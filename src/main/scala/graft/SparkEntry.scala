@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.similarity.Vectors
+
+/** Driver contract — one entry per operator from SURVEY.md §2 plus the
+  * extension tier (dedup / similarity / text analysis). Every query is
+  * deterministic (no current_timestamp, no monotonically_increasing_id,
+  * total ORDER BY, exact integer arithmetic for any aggregated doubles) so
+  * it hash-matches the DuckDB oracle at any partitioning.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the multi-way star join + aggregate (SURVEY.md §2.3). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoinFactDim(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- core
+
+  private def qScan(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qProject(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qFilterNull(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qFilterRange(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 30) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qStringNorm(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), Relational.normString(col("p_name")).as("name_norm"))
+      .orderBy(col("p_partkey"))
+
+  private def qCaseIlike(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_type"),
+        Relational.categorize(col("p_type"),
+          Seq("economy" -> "Value", "standard" -> "Mainstream", "promo" -> "Promoted"))
+          .as("type_category"))
+      .orderBy(col("p_partkey"))
+
+  private def qCaseBands(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_size"),
+        Relational.bands(col("p_size"),
+          Seq((Int.MinValue, 4, "Tiny"), (5, 14, "Small"), (15, 29, "Medium"), (30, 49, "Large")),
+          "Huge").as("size_band"))
+      .orderBy(col("p_partkey"))
+
+  private def qDateTrunc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** E5/E6 — date parts; Spark dayofweek is 1=Sunday..7, the reference's
+    * Postgres DATE_PART('dow') is 0=Sunday..6 → subtract 1. */
+  private def qDatePart(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        hour(col("o_orderdate")).as("order_hour"),
+        (dayofweek(col("o_orderdate")) - 1).as("order_dow"))
+      .orderBy(col("o_orderkey"))
+
+  private def qSurrogateKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Relational.surrogateKey(col("l_orderkey"), col("l_linenumber")).as("row_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qGroupbyMinMaxCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qCountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy(col("l_returnflag"))
+
+  private def qHaving(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"))
+      .filter(col("order_count") > 1)
+      .orderBy(col("o_custkey"))
+
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def qUnion(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+    val sup = t(s, d, "supplier")
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+    c.unionByName(sup).orderBy(col("kind"), col("name"))
+  }
+
+  /** §2.3 — the implied star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, dims broadcast; revenue summed as exact integer cents. */
+  private def qJoinFactDim(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(Relational.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  private def qTopK(s: SparkSession, d: String): DataFrame =
+    Relational.topK(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      100, col("o_totalprice").desc, col("o_orderkey").asc)
+
+  private def qWindowRank(s: SparkSession, d: String): DataFrame =
+    Relational.latestPerKey(
+      t(s, d, "orders"),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+
+  private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(Relational.cents(col("o_totalprice"))).over(w).as("running_spend_cents"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private def qAntiAcceptedValues(s: SparkSession, d: String): DataFrame =
+    Relational.acceptedValuesViolations(
+      t(s, d, "events"), "event_type", Seq("click", "view", "purchase", "signup"))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  private def qJsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  // ----------------------------------------------------- extension tier
+
+  private def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy(col("keep_id"))
+
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def qFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.Stopwords.toMap.apply("en")
+    val txt = col("text")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(txt).as("n_tokens"),
+        TextOps.avgTokenLen(txt).as("avg_token_len"),
+        TextOps.punctRatio(txt).as("punct_ratio"),
+        (TextOps.vocabHits(txt, en).cast("double") / TextOps.tokenCount(txt)).as("stopword_ratio"),
+        TextOps.qualityScore(txt, en).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val best = greatest(TextOps.Stopwords.map { case (_, w) => TextOps.vocabHits(txt, w) }: _*)
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.langId(txt).as("lang_pred"), best.as("best_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5, bits = 4)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qEmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Vectors.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, bits = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan" -> (qScan _),
+    "q_project" -> (qProject _),
+    "q_filter_null" -> (qFilterNull _),
+    "q_filter_range" -> (qFilterRange _),
+    "q_string_norm" -> (qStringNorm _),
+    "q_case_ilike" -> (qCaseIlike _),
+    "q_case_bands" -> (qCaseBands _),
+    "q_date_trunc" -> (qDateTrunc _),
+    "q_date_part" -> (qDatePart _),
+    "q_surrogate_key" -> (qSurrogateKey _),
+    "q_distinct" -> (qDistinct _),
+    "q_groupby_minmaxcount" -> (qGroupbyMinMaxCount _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_having" -> (qHaving _),
+    "q_rollup" -> (qRollup _),
+    "q_union" -> (qUnion _),
+    "q_join_fact_dim" -> (qJoinFactDim _),
+    "q_topk" -> (qTopK _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_anti_accepted_values" -> (qAntiAcceptedValues _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_simhash" -> (qSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_cosine_topk" -> (qCosineTopK _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_embed_neardup" -> (qEmbedNearDup _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,146 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash. Everything is expressed as
+  * DataFrame transformations whose joins are equi-joins on derived keys
+  * (shingle, band bucket, simhash) — i.e. shuffle-partitionable, no
+  * pairwise O(n²) cross product materialized anywhere, which is what makes
+  * these viable at 100 TB.
+  *
+  * Hash choice: MinHash permutations use lexicographic MIN over
+  * `md5(seed || '|' || shingle)` hex strings. md5 on a fixed string is
+  * engine-portable (same result in Spark, DuckDB, Postgres), which makes
+  * the whole pipeline oracle-verifiable end-to-end; the hex-string order is
+  * a fixed pseudo-random permutation of the shingle space, exactly what
+  * MinHash needs. Swap in xxhash64 for raw speed if portability is not
+  * required.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc_id per identical text (content
+    * addressed by md5 fingerprint). Single hash-aggregate, map-side
+    * partials, no sort.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word n-gram shingles per document:
+    * (id, shingle). `n`-gram over the whitespace token array via
+    * transform+slice — pure codegen expressions.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, n)))
+    docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Pairwise n-gram Jaccard over an equi-join on shared shingles.
+    * |A∩B| comes from the join group-by; |A∪B| = |A|+|B|−|A∩B|.
+    * Only pairs sharing ≥1 shingle are ever materialized; with selective
+    * shingles (n ≥ 3) that is ~linear in the number of true near-dup
+    * pairs, not n². Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard ≥ `threshold`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: for each of `k` seeded hash functions, the MIN
+    * md5 hex over the document's shingles. One group-by over the exploded
+    * shingle set computes all k mins in a single shuffle.
+    * Output: (id, sig_1 … sig_k).
+    */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (1 to k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash `rowsPerBand` consecutive signature components per
+    * band; docs sharing any band key are candidate pairs. Band keys are
+    * md5 of the joined components, so buckets distribute uniformly across
+    * shuffle partitions. Output: (id, band, bucket), one row per band.
+    */
+  def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val comps = (1 to rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("bucket"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → band →
+    * bucket equi-join → verify candidates with true Jaccard ≥ threshold.
+    * The verify step joins candidates back to shingles (semi-join shaped,
+    * only candidate docs' shingles shuffle), so false-positive buckets are
+    * filtered exactly, never trusted.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val buckets = lshBuckets(minhashSignatures(sh, k), k, rowsPerBand)
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Intersection size via two equi-joins: candidates ⋈ shingles(id_a),
+    // then ⋈ shingles on (id_b, shingle) — only matching shingles flow,
+    // never the |A|×|B| cross product per pair.
+    val inter = candidates
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over token frequency: bit j is the sign of
+    * Σ_tokens (±1) where the vote is the parity of the j-th hex digit of
+    * md5(token). Engine-portable (md5 + substring only) and one
+    * shuffle (the per-doc group-by). Returns (id, simhash) with the hash
+    * as a 16-char '0'/'1' string (portable across engines; reinterpret as
+    * int for Hamming bucketing).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tok = explode(TextOps.tokens(col(textCol))).as("tok")
+    val exploded = docs.select(col(idCol).as("id"), tok)
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b_$j"))
+    exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        concat((1 to 16).map(j => when(col(s"b_$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator library — the reference's capability surface
+  * (SURVEY.md §2) re-expressed as pure Column / DataFrame => DataFrame
+  * functions over the public `org.apache.spark.sql` API. Everything here is
+  * codegen-friendly builtins: Catalyst handles pushdown, pruning, broadcast
+  * selection and partial aggregation; nothing collects to the driver.
+  */
+object Relational {
+
+  /** E1 — `TRIM(UPPER(c))` normalization
+    * (reference: dbt/models/staging/stg_weather.sql:8-9). */
+  def normString(c: Column): Column = trim(upper(c))
+
+  /** E2 — ILIKE-driven category collapse
+    * (reference: dbt/models/staging/stg_weather.sql:11-16).
+    * `rules` are (substring-lowercase, category) pairs tested in order;
+    * fallthrough is `TRIM(c)` like the reference's ELSE branch. NULL input
+    * propagates NULL through both `contains` and `trim`.
+    */
+  def categorize(c: Column, rules: Seq[(String, String)]): Column =
+    rules.foldRight(trim(c)) { case ((needle, cat), acc) =>
+      when(lower(c).contains(needle), lit(cat)).otherwise(acc)
+    }
+
+  /** E3 — gap-free integer banding CASE
+    * (reference: dbt/models/staging/stg_weather.sql:27-33). Bands are
+    * (loInclusive, hiInclusive, label); first match wins; `last` is the
+    * ELSE label. Gap-free only for integral inputs — mirrors the
+    * reference's INTEGER temperature contract.
+    */
+  def bands(c: Column, bs: Seq[(Int, Int, String)], last: String): Column =
+    bs.foldRight(when(c.isNotNull, lit(last))) { case ((lo, hi, label), acc) =>
+      when(c.between(lo, hi), lit(label)).otherwise(acc)
+    }
+
+  /** E7 — dbt_utils 1.3.1 `generate_surrogate_key` semantics
+    * (reference: dbt/models/marts/dim_locations.sql:7): md5 of the
+    * '-'-joined string casts with a fixed placeholder for NULLs.
+    */
+  val SurrogateNull = "_dbt_utils_surrogate_key_null_"
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit(SurrogateNull))): _*))
+
+  /** Exact money arithmetic over double inputs: round to integer cents and
+    * sum as BIGINT — order-independent (ints), so safe under any shuffle /
+    * partial-aggregation schedule at any scale, and identical across
+    * engines (vs. nondeterministic double summation).
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** A3/T1 — duplicate-key detector: `GROUP BY keys HAVING count(*) > 1`
+    * (dbt `unique` test shape, reference: dbt compiled tests). */
+  def duplicates(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** T2 — dbt `not_null` test: rows violating a non-null contract. */
+  def nullViolations(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNull)
+
+  /** T3 — dbt `accepted_values` test as a left-anti join against the
+    * accepted literal list (reference: dbt/models/marts/schema.yml:40-42).
+    * NULLs are excluded to match SQL `NOT IN` semantics.
+    */
+  def acceptedValuesViolations(df: DataFrame, c: String, accepted: Seq[String]): DataFrame = {
+    val acceptedDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(accepted.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    df.filter(col(c).isNotNull)
+      .join(broadcast(acceptedDf), Seq(c), "left_anti")
+  }
+
+  /** §2.7 — top-k: Catalyst plans TakeOrderedAndProject (no full sort /
+    * single-partition shuffle of the whole input). */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** §2.6 — latest row per key via row_number window; `order` must be a
+    * total order (include a unique tiebreak) for deterministic output. */
+  def latestPerKey(df: DataFrame, partitionCols: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Numeric strategy: components are quantized to fixed-point BIGINT
+  * (×1e6, ~1e-6 quantization error — far below any ranking-relevant
+  * signal). Dot products and norms are then EXACT integer sums, which
+  * makes results (a) independent of summation order — safe under any
+  * partitioning — and (b) bit-identical across engines, so the whole
+  * top-k is oracle-verifiable. The final cosine is one double division of
+  * exact integers (deterministic).
+  *
+  * Scale shape: brute-force is a broadcast of the (small) query set
+  * against the corpus — one scan, no shuffle until the per-query top-k
+  * (window over queryId, tiny). The LSH variant buckets by sign bits so
+  * candidate generation is an equi-join on the bucket key.
+  */
+object Vectors {
+
+  val Scale = 1000000L
+
+  /** array<float> → array<bigint> fixed-point. */
+  def fixedPoint(v: Column): Column =
+    transform(v, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two fixed-point vectors. */
+  def dotFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def normSqFp(a: Column): Column = dotFp(a, a)
+
+  /** Cosine of two fixed-point vectors: exact-int dot / (√nx·√ny).
+    * sqrt of each norm separately — nx*ny would overflow BIGINT. */
+  def cosineFp(a: Column, b: Column): Column =
+    dotFp(a, b).cast("double") / (sqrt(normSqFp(a).cast("double")) * sqrt(normSqFp(b).cast("double")))
+
+  /** Brute-force cosine top-k: every query (broadcast) against the full
+    * corpus; rank per query by (cosine DESC, id ASC) — total order, so
+    * deterministic under ties.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), fixedPoint(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("match_id"), fixedPoint(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"), cosineFp(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket key: the first `bits` components' sign bits as a
+    * '0'/'1' string. With unit-ish random embeddings this partitions the
+    * corpus into 2^bits buckets; near neighbors land in the same bucket
+    * with high probability (random-hyperplane LSH specialized to axis
+    * hyperplanes — swap in seeded random projections for production).
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Bucketed ANN: score only corpus vectors in the query's sign bucket —
+    * candidate generation is an equi-join on the bucket key, so the work
+    * is |bucket| per query instead of |corpus|. Recall < 1 by design;
+    * raise `bits` for speed, lower for recall, or multi-probe by
+    * expanding neighbor buckets.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      fixedPoint(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket")))
+    val c = corpus.select(col(idCol).as("match_id"),
+      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket")).filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"), cosineFp(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
+    * threshold, candidate-generated through the sign-LSH bucket equi-join
+    * (self-join on bucket, never the full n² cross product).
+    */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, bits: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), bits).as("bucket"))
+    v.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        cosineFp(col("x.fv"), col("y.fv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, n-gram heuristic language-ID, and
+  * document fingerprinting. All pure Column expressions (whole-stage
+  * codegen, no UDFs) — they scale linearly with the scan and never
+  * shuffle on their own.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. `split` with an unbounded limit matches
+    * DuckDB/Postgres `string_split` semantics (trailing empties kept). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens that appear in `vocab` (higher-order `filter`, stays
+    * in codegen — no UDF). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab: _*)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length (characters, excluding separators). */
+  def avgTokenLen(text: Column): Column =
+    when(tokenCount(text) > 0,
+      length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text))
+      .otherwise(lit(0.0))
+
+  /** Small multilingual stopword lists for the heuristic language scorer.
+    * Deliberately tiny — the point is the distributed scoring shape
+    * (per-language vocab-hit counts + deterministic argmax), not lexicon
+    * quality; swap lists freely.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "por", "con", "para"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Heuristic language-ID: per-language stopword-hit counts, argmax with a
+    * fixed priority order on ties, 'und' when nothing matches. One pass
+    * over the token array per language — no shuffle, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val scores = Stopwords.map { case (lang, words) => lang -> vocabHits(text, words) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, stopword
+    * presence, penalty for punctuation soup. Deterministic arithmetic only
+    * (single divisions of exact counts) so it is oracle-safe.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(20, 1000), lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, vocabHits(text, stopwords).cast("double") / nTok).otherwise(lit(0.0))
+    val punct = punctRatio(text)
+    (lenOk * 0.4) + least(stopRatio * lit(4.0), lit(1.0)) * 0.4 + (lit(1.0) - punct) * 0.2
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased text —
+    * the exact-dedup / content-address key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}
