@@ -1,0 +1,377 @@
+package graft
+
+import graft.text.TextOps
+
+/** DuckDB-runnable ANSI SQL oracle for every entry in `SparkEntry.queries`.
+  *
+  * Contract (driver): each SQL runs in DuckDB against views named after the
+  * test tables (lineitem, orders, ...) over the same parquet the Spark side
+  * reads; results are compared column-name-sorted and hashed. Rules applied
+  * throughout (SURVEY.md §5):
+  *   - aliases match the Spark output column names exactly;
+  *   - integer-typed Spark outputs (size/length/year/row_number → INT) are
+  *     CAST to INTEGER because DuckDB defaults to BIGINT;
+  *   - double arithmetic mirrors the Spark expression tree operation-for-
+  *     operation (IEEE doubles are deterministic given the same op order);
+  *   - money sums go through round(x*100) → BIGINT (exact ints, order-free);
+  *   - DuckDB date_part('dow') is already 0=Sunday like Postgres, matching
+  *     the Spark side's dayofweek-1 adjustment;
+  *   - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *     replace-all semantics.
+  */
+object OracleSql {
+
+  /** IN-list literal from a vocab, e.g. ('the','a',...). */
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val stop: Map[String, Seq[String]] = TextOps.Stopwords.toMap
+
+  /** md5-of-normalized-text fingerprint (mirrors TextOps.fingerprint). */
+  private val fpExpr =
+    "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+  private def vocabHits(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ${inList(words)})) AS INTEGER)"
+
+  // --- shared CTE bodies for the shingle/minhash pipelines (n = 3) -------
+
+  /** Distinct word 3-gram shingles per doc (mirrors Dedup.shingles n=3). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT id, shingle FROM (
+      |    SELECT doc_id AS id,
+      |           unnest(list_transform(range(1, len(toks) - 1),
+      |                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingle
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |    WHERE len(toks) >= 3))""".stripMargin
+
+  private val shingleCountsCte =
+    "counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)"
+
+  /** jaccard from an `inter(id_a, id_b, n_inter)` CTE joined to counts. */
+  private def jaccardSelect(threshold: Double): String =
+    s"""SELECT id_a, id_b,
+       |       CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON ca.id = id_a
+       |JOIN counts cb ON cb.id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --- fixed-point embedding helpers (mirror similarity.Vectors) ---------
+
+  /** embeddings → (vec_id, fv BIGINT[], nn) with ×1e6 fixed-point and the
+    * exact integer squared norm. */
+  private val fpVecCte =
+    """fp AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+      |  FROM embeddings),
+      |nv AS (
+      |  SELECT vec_id, fv,
+      |         list_sum(list_transform(range(1, len(fv) + 1), i -> fv[i] * fv[i])) AS nn
+      |  FROM fp)""".stripMargin
+
+  /** Exact int dot of q.fv and c.fv divided by the sqrt'd norms. */
+  private def cosineExpr(q: String, c: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($q.fv) + 1), i -> $q.fv[i] * $c.fv[i])) AS DOUBLE)" +
+      s" / (sqrt(CAST($q.nn AS DOUBLE)) * sqrt(CAST($c.nn AS DOUBLE)))"
+
+  /** Sign-LSH bucket over the first 4 raw float components
+    * (mirrors Vectors.signBucket(bits = 4)). */
+  private val bucket4Expr =
+    (1 to 4).map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+
+  val all: Map[String, String] = Map(
+
+    "q_scan" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |       l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_null" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 30 AND l_shipdate < TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_string_norm" ->
+      "SELECT p_partkey, trim(upper(p_name)) AS name_norm FROM part ORDER BY p_partkey",
+
+    "q_case_ilike" ->
+      """SELECT p_partkey, p_type,
+        |       CASE WHEN lower(p_type) LIKE '%economy%' THEN 'Value'
+        |            WHEN lower(p_type) LIKE '%standard%' THEN 'Mainstream'
+        |            WHEN lower(p_type) LIKE '%promo%' THEN 'Promoted'
+        |            ELSE trim(p_type) END AS type_category
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_case_bands" ->
+      """SELECT p_partkey, p_size,
+        |       CASE WHEN p_size <= 4 THEN 'Tiny'
+        |            WHEN p_size BETWEEN 5 AND 14 THEN 'Small'
+        |            WHEN p_size BETWEEN 15 AND 29 THEN 'Medium'
+        |            WHEN p_size BETWEEN 30 AND 49 THEN 'Large'
+        |            WHEN p_size IS NOT NULL THEN 'Huge' END AS size_band
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_trunc" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders ORDER BY o_orderkey",
+
+    "q_date_part" ->
+      """SELECT o_orderkey,
+        |       CAST(date_part('year', o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(date_part('month', o_orderdate) AS INTEGER) AS order_month,
+        |       CAST(date_part('hour', o_orderdate) AS INTEGER) AS order_hour,
+        |       CAST(date_part('dow', o_orderdate) AS INTEGER) AS order_dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_surrogate_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       md5(concat_ws('-',
+        |           COALESCE(CAST(l_orderkey AS VARCHAR), '_dbt_utils_surrogate_key_null_'),
+        |           COALESCE(CAST(l_linenumber AS VARCHAR), '_dbt_utils_surrogate_key_null_'))) AS row_key
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+
+    "q_groupby_minmaxcount" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |       min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS order_count
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_union" ->
+      """SELECT name, acctbal, kind FROM (
+        |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+        |ORDER BY kind, name""".stripMargin,
+
+    "q_join_fact_dim" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS running_spend_cents
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_anti_accepted_values" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type IS NOT NULL
+        |  AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        |ORDER BY event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, $fpExpr AS fp FROM documents ORDER BY doc_id",
+
+    "q_text_quality" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       CASE WHEN n_tokens > 0
+         |            THEN CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / n_tokens
+         |            ELSE 0.0 END AS avg_token_len,
+         |       punct_ratio,
+         |       CAST(hits AS DOUBLE) / n_tokens AS stopword_ratio,
+         |       (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |         + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |         + (1.0 - punct_ratio) * 0.2 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val hitCols = TextOps.Stopwords
+        .map { case (lang, words) => s"${vocabHits(words)} AS h_$lang" }
+        .mkString(",\n         ")
+      val langs = TextOps.Stopwords.map(_._1)
+      val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN best > 0 AND h_$l = best THEN '$l'")
+        .mkString("\n            ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         $hitCols
+         |  FROM documents),
+         |g AS (SELECT doc_id, h.*, $best AS best FROM h)
+         |SELECT doc_id,
+         |       CASE $cases
+         |            ELSE 'und' END AS lang_pred,
+         |       best AS best_hits
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+        .map(h => s"'$h'").mkString("(", ",", ")")
+      val bitSums = (1 to 16)
+        .map(j => s"sum(CASE WHEN substring(h, $j, 1) IN $oddHex THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n         ")
+      val bitChars = (1 to 16)
+        .map(j => s"CASE WHEN b_$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH e AS (
+         |  SELECT doc_id AS id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |s AS (
+         |  SELECT id,
+         |         $bitSums
+         |  FROM e GROUP BY id)
+         |SELECT id AS doc_id, $bitChars AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |${jaccardSelect(0.8)}""".stripMargin,
+
+    "q_minhash_lsh" -> {
+      val sigs = (1 to 6)
+        .map(i => s"min(md5('$i|' || shingle)) AS sig_$i")
+        .mkString(",\n         ")
+      val bands = (0 until 3)
+        .map(b => s"SELECT id, $b AS band, md5(sig_${2 * b + 1} || '|' || sig_${2 * b + 2}) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |sigs AS (
+         |  SELECT id,
+         |         $sigs
+         |  FROM sh GROUP BY id),
+         |buckets AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+         |inter AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.id = cand.id_a
+         |  JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |${jaccardSelect(0.7)}""".stripMargin
+    },
+
+    "q_cosine_topk" ->
+      s"""WITH $fpVecCte,
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM nv q, nv c
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.nn > 0 AND c.nn > 0),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5 AND q.nn > 0 AND c.nn > 0),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |       ${cosineExpr("x", "y")} AS cosine
+         |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE x.nn > 0 AND y.nn > 0
+         |  AND ${cosineExpr("x", "y")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -35,9 +35,14 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, n)))
+    // Docs with < n tokens have no n-grams: sequence(1, size-(n-1)) would
+    // produce a DESCENDING range there (and slice would throw), so guard
+    // with an empty array — explode then drops the row entirely.
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 

@@ -11,7 +11,8 @@ import graft.ops.Relational
 /** The reference pipeline (bronze → silver → gold) re-expressed as pure
   * DataFrame functions. Reference: caphey/weather-api-automate-etl —
   * DAG `dags/weatherstack_full_pipeline.py`, models
-  * `dbt/models/staging/stg_weather.sql`, `dbt/models/marts/*.sql`.
+  * `dbt/models/staging/stg_weather.sql`, and the two mart models under
+  * `dbt/models/marts/` (dim_locations.sql, fct_weather_observations.sql).
   *
   * Orchestration collapses to function composition (SURVEY.md §3.1): the
   * Airflow task chain becomes `ingest → stg → {dim, fct}` with the dbt
@@ -80,7 +81,12 @@ object WeatherPipeline {
       .withColumn("j", j)
       .filter(col("j").isNotNull && col("j.error").isNull)
       .select(
-        monotonically_increasing_id().as("id"),
+        // Deterministic surrogate for the reference's SERIAL id
+        // (dags/weatherstack_full_pipeline.py:27): hash of the natural key
+        // (city, data_interval_start) — stable across re-runs and
+        // partitionings, unlike monotonically_increasing_id. One row per
+        // (city, interval) per run ⇒ unique within a batch.
+        xxhash64(coalesce(col("j.location.name"), col("city")), lit(dataIntervalStart)).as("id"),
         coalesce(col("j.location.name"), col("city")).as("city"),
         col("j.location.country").as("country"),
         col("j.current.temperature").as("temperature"),

@@ -34,20 +34,36 @@ object Vectors {
   def normSqFp(a: Column): Column = dotFp(a, a)
 
   /** Cosine of two fixed-point vectors: exact-int dot / (√nx·√ny).
-    * sqrt of each norm separately — nx*ny would overflow BIGINT. */
+    * sqrt of each norm separately — nx*ny would overflow BIGINT.
+    * NULL (not NaN) when either vector has zero magnitude — NaN sorts
+    * ABOVE all doubles in Spark and would rank zero vectors first.
+    */
   def cosineFp(a: Column, b: Column): Column =
-    dotFp(a, b).cast("double") / (sqrt(normSqFp(a).cast("double")) * sqrt(normSqFp(b).cast("double")))
+    cosineFromNorms(a, b, normSqFp(a), normSqFp(b))
+
+  /** Cosine with the norms precomputed once per vector (they are reused
+    * across every pair the vector participates in — at corpus scale this
+    * saves an O(d) pass per comparison). */
+  def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0,
+      dotFp(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
   /** Brute-force cosine top-k: every query (broadcast) against the full
     * corpus; rank per query by (cosine DESC, id ASC) — total order, so
-    * deterministic under ties.
+    * deterministic under ties. Zero-magnitude vectors never match.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), fixedPoint(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("match_id"), fixedPoint(col(vecCol)).as("cv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), fixedPoint(col(vecCol)).as("qv"))
+      .withColumn("qn", normSqFp(col("qv"))))
+    val c = corpus
+      .select(col(idCol).as("match_id"), fixedPoint(col(vecCol)).as("cv"))
+      .withColumn("cn", normSqFp(col("cv")))
     val scored = c.join(q, col("match_id") =!= col("query_id"))
-      .select(col("query_id"), col("match_id"), cosineFp(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("match_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -71,11 +87,15 @@ object Vectors {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      fixedPoint(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket")))
+      fixedPoint(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("qn", normSqFp(col("qv"))))
     val c = corpus.select(col(idCol).as("match_id"),
       fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("cn", normSqFp(col("cv")))
     val scored = c.join(q, Seq("bucket")).filter(col("match_id") =!= col("query_id"))
-      .select(col("query_id"), col("match_id"), cosineFp(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("match_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -88,10 +108,11 @@ object Vectors {
                    threshold: Double, bits: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("nn", normSqFp(col("fv")))
     v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        cosineFp(col("x.fv"), col("y.fv")).as("cosine"))
+        cosineFromNorms(col("x.fv"), col("y.fv"), col("x.nn"), col("y.nn")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
