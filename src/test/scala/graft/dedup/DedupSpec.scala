@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap whatsoever here"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "short"),                                        // < n tokens
+    (6L, "")                                              // empty
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select($"keep_id", $"dup_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L), (6L, 1L)))
+  }
+
+  test("shingles produces distinct n-grams and drops docs shorter than n tokens") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val byId = sh.groupBy("id").count().orderBy("id").as[(Long, Long)].collect().toMap
+    assert(byId(1L) == 7)          // 9 tokens → 7 trigrams
+    assert(!byId.contains(5L))     // 1 token → none
+    assert(!byId.contains(6L))     // empty → none (the crash case from round 1)
+  }
+
+  test("ngramJaccardPairs finds near-dups above threshold, id_a < id_b") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    // 1~2 share 6 of 8 union trigrams; 1~4 and 2~4 identical-text pairs
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 == 1.0)
+  }
+
+  test("minhashLshPairs candidates verified by true jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.99)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    // only the exact-dup pair survives threshold .99; LSH must find it
+    // (identical docs always share every band)
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 4L)))
+  }
+
+  test("simhash: identical docs get identical 16-bit hashes, format is 0/1 string") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(h(1L) == h(4L))
+    assert(h(1L).length == 16 && h(1L).forall(c => c == '0' || c == '1'))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normString trims and uppercases, propagates NULL") {
+    val out = Seq("  paris ", "London", null).toDF("c")
+      .select(Relational.normString($"c").as("n")).as[String].collect()
+    assert(out.toSeq == Seq("PARIS", "LONDON", null))
+  }
+
+  test("categorize matches substrings case-insensitively in rule order, else trims") {
+    val rules = Seq("sunny" -> "Clear", "rain" -> "Rain", "cloud" -> "Cloudy")
+    val out = Seq("Partly SUNNY", "light rain", "Overcast Clouds", " other  ", null)
+      .toDF("c").select(Relational.categorize($"c", rules).as("k")).as[String].collect()
+    assert(out.toSeq == Seq("Clear", "Rain", "Cloudy", "other", null))
+  }
+
+  test("bands covers boundaries gap-free for integers; NULL stays NULL") {
+    val bs = Seq((Int.MinValue, -1, "Freezing"), (0, 10, "Cold"), (11, 20, "Mild"), (21, 30, "Warm"))
+    val in = Seq[Integer](-51, -1, 0, 10, 11, 20, 21, 30, 31, null).toDF("t")
+    val out = in.select(Relational.bands($"t", bs, "Hot").as("b")).as[String].collect()
+    assert(out.toSeq == Seq("Freezing", "Freezing", "Cold", "Cold", "Mild", "Mild",
+      "Warm", "Warm", "Hot", null))
+  }
+
+  test("surrogateKey matches dbt_utils generate_surrogate_key incl. null placeholder") {
+    // md5('PARIS-FRANCE') and md5('PARIS-_dbt_utils_surrogate_key_null_')
+    val out = Seq(("PARIS", "FRANCE"), ("PARIS", null))
+      .toDF("city", "country")
+      .select(Relational.surrogateKey($"city", $"country").as("k")).as[String].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0) == md5hex("PARIS-FRANCE"))
+    assert(out(1) == md5hex("PARIS-_dbt_utils_surrogate_key_null_"))
+  }
+
+  test("cents rounds half away from zero to exact long cents") {
+    // 0.375*100 = 37.5 exactly in binary → the half-away-from-zero case
+    val out = Seq(0.375, -0.375, 1.0, 0.0).toDF("x")
+      .select(Relational.cents($"x").as("c")).as[Long].collect()
+    assert(out.toSeq == Seq(38L, -38L, 100L, 0L))
+  }
+
+  test("duplicates finds only keys with count > 1") {
+    val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
+    val dup = Relational.duplicates(df, Seq("k")).orderBy("k")
+      .select($"k", $"n").as[(Int, Long)].collect()
+    assert(dup.toSeq == Seq((1, 2L), (3, 3L)))
+  }
+
+  test("acceptedValuesViolations excludes NULLs and accepted values") {
+    val df = Seq("click", "view", "BAD", null).toDF("event_type")
+    val v = Relational.acceptedValuesViolations(df, "event_type", Seq("click", "view"))
+      .as[String].collect()
+    assert(v.toSeq == Seq("BAD"))
+  }
+
+  test("topK returns k rows in total order") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val top = Relational.topK(df, 5, $"v".desc, $"id".asc).select($"id").as[Long].collect()
+    assert(top.toSeq == Seq(9L, 19L, 29L, 39L, 49L))
+  }
+
+  test("latestPerKey keeps exactly one deterministic row per key") {
+    val df = Seq((1, "2024-01-01", 10), (1, "2024-01-02", 20), (2, "2024-01-01", 30))
+      .toDF("k", "d", "v")
+    val out = Relational.latestPerKey(df, Seq("k"), Seq($"d".desc, $"v".desc))
+      .orderBy("k").select($"k", $"v").as[(Int, Int)].collect()
+    assert(out.toSeq == Seq((1, 20), (2, 30)))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WeatherPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2024-06-02 08:30:00") // a Sunday
+  private val now = Timestamp.valueOf("2024-06-02 09:00:00")
+
+  private def payload(city: String, country: String, temp: Int,
+                      desc: String): String =
+    s"""{"location":{"name":"$city","country":"$country"},
+       |"current":{"temperature":$temp,"weather_descriptions":["$desc"],
+       |"humidity":50,"wind_speed":10,"wind_dir":"NW","pressure":1013,
+       |"visibility":10,"uv_index":4,"observation_time":"08:30 AM"}}""".stripMargin
+
+  private def payloads: DataFrame = Seq(
+    ("Paris", payload("Paris", "France", 18, "Partly sunny")),
+    ("London", payload("London", "United Kingdom", -3, "light rain")),
+    ("Tokyo", payload("Tokyo", "Japan", 35, "Overcast Clouds")),
+    ("ErrCity", """{"error":{"code":615,"info":"request failed"}}"""),
+    ("Hot City", payload("Hot City", "X", 75, "Sunny")) // outlier, filtered in staging
+  ).toDF("city", "raw_json")
+
+  test("ingest routes error payloads out and extracts nested fields") {
+    val raw = WeatherPipeline.ingest(payloads, t0, now)
+    assert(raw.count() == 4) // ErrCity dropped
+    val paris = raw.filter($"city" === "Paris").collect().head
+    assert(paris.getAs[String]("country") == "France")
+    assert(paris.getAs[Int]("temperature") == 18)
+    assert(paris.getAs[String]("weather_description") == "Partly sunny")
+  }
+
+  test("ingest ids are deterministic across re-runs and unique within a batch") {
+    val ids1 = WeatherPipeline.ingest(payloads, t0, now).select("id").as[Long].collect().sorted
+    val ids2 = WeatherPipeline.ingest(payloads.repartition(3), t0, now)
+      .select("id").as[Long].collect().sorted
+    assert(ids1.toSeq == ids2.toSeq)
+    assert(ids1.distinct.length == ids1.length)
+  }
+
+  test("staging cleans, categorizes, and filters outliers") {
+    val stg = WeatherPipeline.stgWeather(WeatherPipeline.ingest(payloads, t0, now))
+    val rows = stg.orderBy("city_clean")
+      .select($"city_clean", $"weather_category", $"temperature_category")
+      .as[(String, String, String)].collect()
+    // Hot City (75°) filtered by the -50..60 range
+    assert(rows.toSeq == Seq(
+      ("LONDON", "Rain", "Freezing"),
+      ("PARIS", "Clear", "Mild"),
+      ("TOKYO", "Cloudy", "Hot")))
+  }
+
+  test("marts: dim aggregates per location, fct derives date parts (dow 0=Sunday)") {
+    val stg = WeatherPipeline.stgWeather(WeatherPipeline.ingest(payloads, t0, now))
+    val dim = WeatherPipeline.dimLocations(stg)
+    assert(dim.count() == 3)
+    assert(dim.select("location_key").distinct().count() == 3)
+    val fct = WeatherPipeline.fctWeatherObservations(stg)
+    val dows = fct.select("day_of_week").distinct().as[Int].collect()
+    assert(dows.toSeq == Seq(0)) // 2024-06-02 is a Sunday → Postgres dow 0
+    assert(fct.select("extraction_hour").distinct().as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("data-quality gates pass on clean data and catch violations") {
+    val stg = WeatherPipeline.stgWeather(WeatherPipeline.ingest(payloads, t0, now))
+    val dim = WeatherPipeline.dimLocations(stg)
+    val fct = WeatherPipeline.fctWeatherObservations(stg)
+    WeatherPipeline.Tests.all(dim, fct).foreach { case (name, violations) =>
+      assert(violations.isEmpty, s"unexpected violations in $name")
+    }
+    // inject a bad category → accepted_values must flag it
+    val bad = fct.withColumn("temperature_category", lit("Scorching"))
+    assert(WeatherPipeline.Tests.acceptedTemperatureCategories(bad).count() == bad.count())
+  }
+
+  test("runBatch writes raw + marts and enforces gates end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("wp-test").toString
+    WeatherPipeline.runBatch(payloads, t0, now, dir)
+    val fct = spark.read.parquet(s"$dir/marts/fct_weather_observations")
+    assert(fct.count() == 3)
+    // partitioned layout by extraction_date (at-scale daily overwrite unit)
+    assert(new java.io.File(s"$dir/marts/fct_weather_observations")
+      .listFiles().exists(_.getName.startsWith("extraction_date=")))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts whitespace-separated tokens (empty string → 1 empty token)") {
+    val out = Seq("a b c", "one", "", "a  b").toDF("text")
+      .select(TextOps.tokenCount($"text").as("n")).as[Int].collect()
+    // "a  b" splits to [a, "", b] — faithful to split semantics
+    assert(out.toSeq == Seq(3, 1, 1, 3))
+  }
+
+  test("vocabHits counts only tokens present in the vocab") {
+    val out = Seq("the cat of the hat").toDF("text")
+      .select(TextOps.vocabHits($"text", Seq("the", "of")).as("n")).as[Int].collect()
+    assert(out.head == 3)
+  }
+
+  test("punctRatio is punctuation chars over total chars, 0 for empty") {
+    val out = Seq("ab..", "").toDF("text")
+      .select(TextOps.punctRatio($"text").as("r")).as[Double].collect()
+    assert(out(0) == 0.5)
+    assert(out(1) == 0.0)
+  }
+
+  test("langId picks the language with most stopword hits, 'und' when none") {
+    val out = Seq("the cat is in the hat", "der hund ist nicht da", "xyzzy qwerty")
+      .toDF("text").select(TextOps.langId($"text").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fps = Seq("Hello  World", "hello world", "different").toDF("text")
+      .select(TextOps.fingerprint($"text").as("fp")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val texts = Seq("", "a.b.c...", ("the word " * 50).trim, "no stop words here at all")
+    val out = texts.toDF("text")
+      .select(TextOps.qualityScore($"text", TextOps.Stopwords.toMap.apply("en")).as("q"))
+      .as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}
