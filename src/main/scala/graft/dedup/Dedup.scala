@@ -46,21 +46,18 @@ object Dedup {
     docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** Pairwise n-gram Jaccard over an equi-join on shared shingles.
-    * |A∩B| comes from the join group-by; |A∪B| = |A|+|B|−|A∩B|.
-    * Only pairs sharing ≥1 shingle are ever materialized; with selective
-    * shingles (n ≥ 3) that is ~linear in the number of true near-dup
-    * pairs, not n². Returns (id_a, id_b, jaccard) with id_a < id_b,
-    * jaccard ≥ `threshold`.
+  /** Exact intersection/Jaccard verification for candidate pairs: join
+    * candidates back to the shingle sets (only candidate docs' shingles
+    * flow — semi-join shaped), count shared shingles, derive
+    * |A∪B| = |A|+|B|−|A∩B|, keep pairs with jaccard ≥ threshold.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -68,6 +65,46 @@ object Dedup {
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Pairwise n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
+    * order each doc's shingles by ascending global document frequency;
+    * if J(A,B) ≥ t then the first |X| − ⌈t·|X|⌉ + 1 shingles of BOTH X=A
+    * and X=B (in that canonical order) must share an element, so joining
+    * only the prefixes generates every qualifying pair EXACTLY while
+    * skipping the quadratic blow-up on frequent shingles. A length filter
+    * (t·|A| ≤ |B|) prunes further. Candidates are then verified with the
+    * true Jaccard, so the result is identical to the naive all-pairs join.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `threshold`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    // The shingle set feeds df-ranking, both sides of the prefix self-join
+    // and both sides of the verify join — persist it once instead of
+    // re-running the explode chain per branch. (At 100 TB the equivalent
+    // is materializing the shingle table to storage once per corpus.)
+    val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // canonical order = (global df ASC, shingle ASC): rare shingles first
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .join(counts, "id")
+      // prefix length = |X| - ceil(t*|X|) + 1
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("shingle"), col("n_sh"))
+    val candidates = ranked.as("a").join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** MinHash signature: for each of `k` seeded hash functions, the MIN
@@ -106,27 +143,14 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(minhashSignatures(sh, k), k, rowsPerBand)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // Intersection size via two equi-joins: candidates ⋈ shingles(id_a),
-    // then ⋈ shingles on (id_b, shingle) — only matching shingles flow,
-    // never the |A|×|B| cross product per pair.
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** 16-bit SimHash over token frequency: bit j is the sign of

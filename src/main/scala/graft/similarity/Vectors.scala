@@ -27,9 +27,12 @@ object Vectors {
   def fixedPoint(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two fixed-point vectors. */
+  /** Exact integer dot product of two fixed-point vectors — a native
+    * codegen Expression (graft.functions.DotProductFp); the builtin
+    * `aggregate(zip_with(...))` formulation is interpreted per element and
+    * dominates pairwise similarity joins. */
   def dotFp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProductFp(a, b)
 
   def normSqFp(a: Column): Column = dotFp(a, a)
 
