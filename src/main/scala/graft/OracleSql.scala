@@ -274,6 +274,37 @@ object OracleSql {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    "q_regex_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+        |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(toks) >= 4
+        |            THEN list_min(list_transform(range(1, len(toks) - 2),
+        |                                         i -> md5(array_to_string(list_slice(toks, i, i + 3), ' '))))
+        |            ELSE md5(text) END AS winnow_fp
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |       substring(md5(text), 1, 16) AS phash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(least(64, len - i * 64) AS INTEGER) AS frame_len
+        |FROM (SELECT doc_id, len, unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT))) AS i
+        |      FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_simhash" -> {
       val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
         .map(h => s"'$h'").mkString("(", ",", ")")

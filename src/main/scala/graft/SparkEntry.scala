@@ -223,6 +223,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def qRegexTokens(s: SparkSession, d: String): DataFrame = {
+    val (w, n, o) = TextOps.regexTokenCounts(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"), w.as("n_words"), n.as("n_nums"), o.as("n_other"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing demo: text payloads packed as binary media rows,
+    * features extracted through the per-partition decode path
+    * (graft.multimodal.Multimodal — decode itself is a deterministic
+    * stub; see that object's scaladoc). */
+  private def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private def qFrameSample(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   private def qSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("simhash"))
@@ -286,6 +314,10 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
+    "q_regex_tokens" -> (qRegexTokens _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_frame_sample" -> (qFrameSample _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variant of the pipeline (SURVEY.md §2.10/§7.2-5).
+  *
+  * The reference ingests on a daily schedule (batch); its raw table is
+  * nonetheless an append-only event-time series (`observation_time` vs
+  * `extracted_at` — dags/weatherstack_full_pipeline.py:38-39), so the
+  * stream-native re-expression is: file/memory source → event-time
+  * watermark → tumbling-window aggregates → sinks, plus keyed session
+  * state via flatMapGroupsWithState for the training-data-pipeline tier.
+  *
+  * Everything here is a pure Dataset transform usable under both
+  * `readStream` (incremental, stateful) and plain `read` (the same code
+  * executes as a batch query — Spark's unified semantics), which is how
+  * the specs verify windows/sessions deterministically.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet. At scale this is
+    * the landing zone written by upstream producers; `maxFilesPerTrigger`
+    * bounds per-micro-batch work. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Event-time tumbling-window aggregate with a watermark: count + exact
+    * cent-sum of `value` per (window, event_type). Late rows beyond
+    * `watermark` are dropped and their state evicted — bounded state at
+    * any scale. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(functions.window(col("ts"), window).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  // a stable alias so the object's own `window` name doesn't shadow it
+  private object functions {
+    def window(c: org.apache.spark.sql.Column, d: String) =
+      org.apache.spark.sql.functions.window(c, d)
+  }
+
+  /** In-stream exact dedup by event_id, state bounded by the watermark
+    * (duplicates arriving later than the watermark are already impossible
+    * to admit). */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization per user via flatMapGroupsWithState with an
+    * event-time timeout: a session closes when no event arrives within
+    * `gapMs` of the last one (decided by watermark progress, so state is
+    * bounded and the result is deterministic under any arrival order
+    * within the watermark).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Batch view of the driver events table: epoch-nanos `ts` (read via
+    * nanosAsLong) back to a proper timestamp. */
+  def batchEvents(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+}

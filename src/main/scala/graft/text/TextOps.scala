@@ -74,4 +74,26 @@ object TextOps {
     * the exact-dedup / content-address key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** BPE-ish regex tokenization: counts of maximal runs per character
+    * class (letters / digits / other-non-space) — the pre-tokenizer split
+    * most BPE vocabularies apply before merges. Pure regexp builtins,
+    * whole-stage codegen. */
+  def regexTokenCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))),
+    size(regexp_extract_all(text, lit("[0-9]+"), lit(0))),
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]+"), lit(0))))
+
+  /** Rolling-hash document fingerprint (winnowing-style, Schleimer et al.
+    * SIGMOD'03): hash every `w`-token window, keep the minimum — robust to
+    * local edits, unlike the whole-document md5. Docs shorter than `w`
+    * tokens fall back to the plain md5. */
+  def winnowFingerprint(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= w,
+      array_min(transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(w)))))))
+      .otherwise(md5(text))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+class EventStreamSpec extends SparkSpec {
+  import EventStream._
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  private val events = Seq(
+    Event(1, ts(0), 100, "click", 1.0),
+    Event(2, ts(1), 100, "view", 2.0),
+    Event(3, ts(5), 100, "click", 3.0),   // same session (gap 5m <= 10m)
+    Event(4, ts(30), 100, "click", 4.0),  // new session (gap 25m)
+    Event(5, ts(2), 200, "view", 5.0)
+  )
+
+  test("windowedCounts aggregates by event-time window under a watermark (batch-mode check)") {
+    // unified semantics: the same transform runs as a plain batch query
+    val out = windowedCounts(events.toDF(), watermark = "10 minutes", window = "1 hour")
+      .orderBy("window_start", "event_type")
+      .select($"event_type", $"n_events", $"value_cents")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("click", 3L, 800L), ("view", 2L, 700L)))
+  }
+
+  test("windowedCounts emits finalized windows incrementally from a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedCounts(mem.toDF(), watermark = "1 minute", window = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(events: _*)
+    // advance the watermark far past every window so all results finalize
+    mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .select($"event_type", $"n_events", $"value_cents")
+      .orderBy($"window_start", $"event_type")
+      .as[(String, Long, Long)].collect()
+    // windows: [10:00,10:10) click×2+view×2, [10:30,10:40) click×1
+    assert(rows.toSeq == Seq(("click", 2L, 400L), ("view", 2L, 700L), ("click", 1L, 400L)))
+  }
+
+  test("dedupedEvents drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupedEvents(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(events(0), events(0), events(1), events(0), events(4))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").count() == 3)
+  }
+
+  test("sessionize closes sessions on gap timeout, keyed state per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(events: _*)
+    // push event time forward so every open session times out
+    mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess")
+      .select($"user_id", $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+      .as[(Long, Long, Double)].collect()
+    // user 100: [e1,e2,e3] then [e4]; user 200: [e5]
+    assert(sess.toSeq == Seq((100L, 3L, 6.0), (100L, 1L, 4.0), (200L, 1L, 5.0)))
+  }
+
+  test("batchEvents converts nanos ts and reads the driver table") {
+    val df = EventStream.batchEvents(graft.Tables(spark, "/root/testdata/sf0.001", "events"))
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.count() == 1000)
+  }
+}
