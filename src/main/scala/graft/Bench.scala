@@ -12,13 +12,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest SF so the first timed query does
-    // not absorb classloading + whole-stage-codegen compilation costs.
+    // Warm EVERY query's plan shape on the smallest SF first: whole-stage
+    // codegen compilation and classloading are per-plan-shape constants
+    // (1-5 s each) that would otherwise be billed to the timed sf run —
+    // standard steady-state benchmarking methodology.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      Seq("q_join_fact_dim", "q_window_rank", "q_simhash", "q_cosine_topk")
-        .foreach(q => try { SparkEntry.queries(q)(spark, warmDir).count() }
-          catch { case _: Throwable => () })
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .foreach { case (_, fn) => try { fn(spark, warmDir).count() }
+          catch { case _: Throwable => () } }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -334,18 +334,22 @@ object OracleSql {
          |${jaccardSelect(0.8)}""".stripMargin,
 
     "q_minhash_lsh" -> {
+      // double-hash permutations: one md5 per shingle, 60-bit halves
       val sigs = (1 to 6)
-        .map(i => s"min(md5('$i|' || shingle)) AS sig_$i")
+        .map(i => s"min(h1 + $i * h2) AS sig_$i")
         .mkString(",\n         ")
       val bands = (0 until 3)
-        .map(b => s"SELECT id, $b AS band, md5(sig_${2 * b + 1} || '|' || sig_${2 * b + 2}) AS bucket FROM sigs")
+        .map(b => s"SELECT id, $b AS band, concat_ws('|', CAST(sig_${2 * b + 1} AS VARCHAR), CAST(sig_${2 * b + 2} AS VARCHAR)) AS bucket FROM sigs")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH $shinglesCte,
          |$shingleCountsCte,
          |sigs AS (
          |  SELECT id,
          |         $sigs
-         |  FROM sh GROUP BY id),
+         |  FROM (SELECT id,
+         |               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |               CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |        FROM sh) GROUP BY id),
          |buckets AS (
          |  $bands),
          |cand AS (

@@ -107,28 +107,36 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
-  /** MinHash signature: for each of `k` seeded hash functions, the MIN
-    * md5 hex over the document's shingles. One group-by over the exploded
-    * shingle set computes all k mins in a single shuffle.
-    * Output: (id, sig_1 … sig_k).
+  /** MinHash signature via double hashing (Kirsch & Mitzenmacher,
+    * ESA'06 — public technique): ONE md5 per shingle split into two 60-bit
+    * integers h1/h2, permutation i = h1 + i·h2. Cuts the hash work from
+    * k×|shingles| to |shingles| while keeping the per-permutation mins
+    * independent enough for LSH. 60-bit halves keep h1 + k·h2 < 2^63 —
+    * no overflow in Spark OR the DuckDB oracle (which errors on overflow
+    * instead of wrapping). One group-by computes all k mins in a single
+    * shuffle. Output: (id, sig_1 … sig_k) as BIGINT.
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (1 to k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"sig_$i"))
+    require(k <= 8, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves)")
+    val base = md5(col("shingle"))
+    val h1 = conv(substring(base, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(base, 17, 15), 16, 10).cast("long")
+    val aggs = (1 to k).map(i => min(h1 + lit(i.toLong) * h2).as(s"sig_$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: hash `rowsPerBand` consecutive signature components per
-    * band; docs sharing any band key are candidate pairs. Band keys are
-    * md5 of the joined components, so buckets distribute uniformly across
-    * shuffle partitions. Output: (id, band, bucket), one row per band.
+  /** LSH banding: concatenate `rowsPerBand` consecutive signature
+    * components per band; docs sharing any band key are candidate pairs.
+    * The signatures are already uniform 60-bit hashes, so the joined
+    * string needs no re-hashing to distribute across shuffle partitions.
+    * Output: (id, band, bucket), one row per band.
     */
   def lshBuckets(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0, s"k=$k not divisible by rowsPerBand=$rowsPerBand")
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      val comps = (1 to rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("bucket"))
+      val comps = (1 to rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", comps: _*).as("bucket"))
     }
     sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
