@@ -17,7 +17,7 @@ object Profile {
     val names = if (args.nonEmpty) args.toSeq else Seq("q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
-      val t = (1 to 3).map { _ =>
+      val t = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $n%-22s ${t.map(x => f"$x%.2f").mkString("  ")}")

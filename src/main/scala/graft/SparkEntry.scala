@@ -20,6 +20,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The driver's document/embedding files are single-row-group parquet —
+    * one input split no matter the cluster size — so CPU-heavy per-row
+    * pipelines (md5 chains, shingle explosion, regex scans) would run on
+    * one core. Hash-repartitioning by id first costs a sub-MB shuffle and
+    * spreads the narrow work across all cores; content is unchanged. On a
+    * real multi-file corpus the scan already yields enough splits and this
+    * becomes a cheap no-op-ish rebalance. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the multi-way star join + aggregate (SURVEY.md §2.3). */
   def entry(spark: SparkSession): DataFrame =
@@ -190,22 +200,22 @@ object SparkEntry {
   // ----------------------------------------------------- extension tier
 
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy(col("keep_id"))
+    Dedup.exact(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text").orderBy(col("keep_id"))
 
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   private def qTextQuality(s: SparkSession, d: String): DataFrame = {
     val en = TextOps.Stopwords.toMap.apply("en")
     val txt = col("text")
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"),
         TextOps.tokenCount(txt).as("n_tokens"),
         TextOps.avgTokenLen(txt).as("avg_token_len"),
@@ -218,20 +228,20 @@ object SparkEntry {
   private def qLangId(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
     val best = greatest(TextOps.Stopwords.map { case (_, w) => TextOps.vocabHits(txt, w) }: _*)
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.langId(txt).as("lang_pred"), best.as("best_hits"))
       .orderBy(col("doc_id"))
   }
 
   private def qRegexTokens(s: SparkSession, d: String): DataFrame = {
     val (w, n, o) = TextOps.regexTokenCounts(col("text"))
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), w.as("n_words"), n.as("n_nums"), o.as("n_other"))
       .orderBy(col("doc_id"))
   }
 
   private def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
       .orderBy(col("doc_id"))
 
@@ -241,27 +251,27 @@ object SparkEntry {
     * stub; see that object's scaladoc). */
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .extractFeatures(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"))
+      .extractFeatures(graft.multimodal.Multimodal.packText(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text"))
       .toDF()
       .orderBy(col("doc_id"))
 
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
+      .sampleFrames(graft.multimodal.Multimodal.packText(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text"), 64)
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
   private def qSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+    Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+    Dedup.minhashLshPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 

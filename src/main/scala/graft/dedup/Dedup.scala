@@ -33,39 +33,49 @@ object Dedup {
     * (id, shingle). `n`-gram over the whitespace token array via
     * transform+slice — pure codegen expressions.
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    // Docs with < n tokens have no n-grams: sequence(1, size-(n-1)) would
-    // produce a DESCENDING range there (and slice would throw), so guard
-    // with an empty array — explode then drops the row entirely.
+  /** Sorted distinct word n-gram array for one document — in-row, no
+    * shuffle. Docs with < n tokens have no n-grams: sequence(1, size-(n-1))
+    * would produce a DESCENDING range there (and slice would throw), so
+    * guard with an empty array. */
+  def shingleArray(textCol: Column, n: Int): Column = {
+    val toks = TextOps.tokens(textCol)
     val grams = when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+    sort_array(array_distinct(grams))
   }
 
-  /** Exact intersection/Jaccard verification for candidate pairs: join
-    * candidates back to the shingle sets (only candidate docs' shingles
-    * flow — semi-join shaped), count shared shingles, derive
-    * |A∪B| = |A|+|B|−|A∩B|, keep pairs with jaccard ≥ threshold.
+  /** Per-doc shingle sets: (id, sh_arr sorted-distinct, n_sh). A NARROW
+    * transform — shingle construction never shuffles; the set table is
+    * what both near-dup pipelines persist and reuse. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingleArray(col(textCol), n).as("sh_arr"))
+      .withColumn("n_sh", size(col("sh_arr")).cast("long"))
+
+  /** Exploded (id, shingle) rows — row form of `shingleSets` for
+    * aggregation-shaped consumers; empty docs drop out. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), n)).as("shingle"))
+
+  /** Exact intersection/Jaccard verification for candidate pairs against a
+    * `sets` frame of (id, sh_arr, n_sh): two equi-joins (AQE turns them
+    * into broadcasts when the doc side is small) and an in-row linear
+    * array intersect — |A∪B| = |A|+|B|−|A∩B| — instead of a shuffled
+    * group-by over matched shingle rows.
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  private def jaccardFromSets(candidates: DataFrame, sets: DataFrame,
+                              threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh_arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh_arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Pairwise n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin,
     * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
@@ -80,31 +90,28 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // The shingle set feeds df-ranking, both sides of the prefix self-join
-    // and both sides of the verify join — persist it once instead of
-    // re-running the explode chain per branch. (At 100 TB the equivalent
-    // is materializing the shingle table to storage once per corpus.)
-    val sh = shingles(docs, idCol, textCol, n)
+    // The per-doc set table is built WITHOUT any shuffle (narrow shingle
+    // arrays, already in the lexicographic canonical order the prefix
+    // filter needs) and persisted for its three consumers: both sides of
+    // the prefix self-join and the verify joins. (At 100 TB the
+    // equivalent is materializing this doc-set table to storage.)
+    // Lexicographic prefix order admits more candidates than the
+    // frequency-ascending order, but saves the df group-by + join stages —
+    // the exact verify step makes the result identical either way.
+    val sets = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // canonical order = (global df ASC, shingle ASC): rare shingles first
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(df, "shingle")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy(col("df"), col("shingle"))))
-      .join(counts, "id")
-      // prefix length = |X| - ceil(t*|X|) + 1
-      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("shingle"), col("n_sh"))
-    val candidates = ranked.as("a").join(ranked.as("b"),
+    // prefix length = |X| - ceil(t*|X|) + 1
+    val prefix = sets.select(col("id"), col("n_sh"),
+      explode(slice(col("sh_arr"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))).as("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
           // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
           col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
           col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    jaccardFromSets(candidates, sets, threshold)
   }
 
   /** MinHash signature via double hashing (Kirsch & Mitzenmacher,
@@ -150,15 +157,27 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    require(k <= 8, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves)")
+    // Signatures are computed IN-ROW over the per-doc shingle array (one
+    // md5 per shingle split into 60-bit double-hash halves, k mins via
+    // array ops) — signature construction needs no shuffle at all; the
+    // persisted set table then feeds banding and exact verification.
+    val md5s = transform(col("sh_arr"), s => md5(s))
+    val sigCols = (1 to k).map(i =>
+      array_min(zip_with(col("__h1"), col("__h2"), (a, b) => a + lit(i.toLong) * b)).as(s"sig_$i"))
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .withColumn("__m", md5s)
+      .withColumn("__h1", transform(col("__m"), m => conv(substring(m, 1, 15), 16, 10).cast("long")))
+      .withColumn("__h2", transform(col("__m"), m => conv(substring(m, 17, 15), 16, 10).cast("long")))
+      .select(Seq(col("id"), col("sh_arr"), col("n_sh")) ++ sigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = lshBuckets(minhashSignatures(sh, k), k, rowsPerBand)
+    val buckets = lshBuckets(sets.filter(col("n_sh") > 0), k, rowsPerBand)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    jaccardFromSets(candidates, sets, threshold)
   }
 
   /** 16-bit SimHash over token frequency: bit j is the sign of
