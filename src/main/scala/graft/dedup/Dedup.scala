@@ -100,15 +100,22 @@ object Dedup {
     // the exact verify step makes the result identical either way.
     val sets = shingleSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length = |X| - ceil(t*|X|) + 1
+    // prefix length = |X| - ceil(t*|X|) + 1; keep the 0-based position for
+    // the PPJoin positional filter below
     val prefix = sets.select(col("id"), col("n_sh"),
-      explode(slice(col("sh_arr"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))).as("shingle"))
+      posexplode(slice(col("sh_arr"), lit(1),
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))))
+      .withColumnRenamed("col", "shingle")
+    // positional filter (PPJoin): a match at 0-based positions (i, j) caps
+    // the achievable overlap at min(|A|-i, |B|-j); J >= t needs overlap >=
+    // t/(1+t)·(|A|+|B|) — prune pairs that cannot reach it.
+    val needed = lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
           // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
           col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
-          col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
+          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) >= needed)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardFromSets(candidates, sets, threshold)
