@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Source/sink surface (SURVEY.md §2.1 S1-S9 re-expressed):
+  * schema'd readers with per-record error routing, and the two write
+  * layouts that matter at 100 TB — partitioned overwrite (daily
+  * incremental rebuilds touch one partition, S9) and bucketed tables
+  * (pre-shuffled layout so repeated equi-joins/aggregations on the bucket
+  * key skip their exchange).
+  */
+object IO {
+
+  /** Corrupt-record column name used by permissive reads. */
+  val CorruptCol = "_corrupt_record"
+
+  /** JSON lines → rows under an explicit contract schema, PERMISSIVE mode:
+    * malformed records land in `_corrupt_record` instead of failing the
+    * batch — the reference's skip-and-log per-record tolerance
+    * (dags/weatherstack_full_pipeline.py:75-77) as a source property. */
+  def readJsonPermissive(spark: SparkSession, schema: StructType,
+                         path: String): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** Split a permissive read into (good, bad) frames. The parsed result is
+    * cached first: Spark disallows queries touching only the internal
+    * corrupt-record column of a raw file scan
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the two
+    * routes share one parse this way. */
+  def routeErrors(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
+      parsed.filter(col(CorruptCol).isNotNull))
+  }
+
+  /** Parquet scan under an explicit schema — pruning/pushdown contract
+    * stays with Catalyst; the schema pin keeps evolution deliberate. */
+  def readParquet(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** Partitioned overwrite: with dynamic partition overwrite, a re-run
+    * replaces only the partitions present in `df` — the daily-rebuild
+    * sink that stays O(day) instead of O(table) at scale. */
+  def writePartitioned(df: DataFrame, partitionCols: Seq[String], path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed managed table: co-locates rows by key so later equi-joins /
+    * aggregations on `bucketCols` reuse the layout instead of shuffling.
+    * Bucketing requires saveAsTable (metastore-backed). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}

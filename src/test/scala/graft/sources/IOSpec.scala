@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("readJsonPermissive routes malformed records instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("io-json").toString
+    Seq("""{"id": 1, "name": "ok"}""", """{"id": 2 "name": broken""", """{"id": 3, "name": "also ok"}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val (good, bad) = IO.routeErrors(IO.readJsonPermissive(spark, schema, s"$dir/in"))
+    assert(good.orderBy("id").select($"id").as[Long].collect().toSeq == Seq(1L, 3L))
+    assert(bad.count() == 1)
+  }
+
+  test("writePartitioned overwrites only the partitions present (dynamic)") {
+    val dir = java.nio.file.Files.createTempDirectory("io-part").toString + "/t"
+    IO.writePartitioned(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), Seq("p"), dir)
+    // re-write touching only p=b must leave p=a intact
+    IO.writePartitioned(Seq((9L, "b")).toDF("id", "p"), Seq("p"), dir)
+    val out = spark.read.parquet(dir).orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "a"), (9L, "b")))
+  }
+
+  test("writeBucketed produces a bucketed table whose join needs no exchange on the key") {
+    spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+    // the managed location may survive a previous JVM whose in-memory
+    // catalog is gone — remove it so CTAS doesn't refuse
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, "bucketed_orders")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    IO.writeBucketed(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), "bucketed_orders", Seq("k"), 4)
+    // disable auto-broadcast so the planner must consider the shuffle it
+    // would otherwise need — bucketing has to remove it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t = spark.table("bucketed_orders")
+      val joined = t.as("a").join(t.as("b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"bucketed self-join should not shuffle:\n$plan")
+      assert(joined.count() == 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("readParquet pins the schema and prunes columns") {
+    val df = IO.readParquet(spark,
+      StructType(Seq(StructField("l_orderkey", LongType))),
+      "/root/testdata/sf0.001/lineitem.parquet")
+    assert(df.schema.fieldNames.toSeq == Seq("l_orderkey"))
+    assert(df.count() == 6000)
+  }
+}
