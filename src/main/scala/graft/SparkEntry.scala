@@ -200,22 +200,22 @@ object SparkEntry {
   // ----------------------------------------------------- extension tier
 
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text").orderBy(col("keep_id"))
+    Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy(col("keep_id"))
 
   private def qTokenCount(s: SparkSession, d: String): DataFrame =
-    spread(t(s, d, "documents"), "doc_id")
+    t(s, d, "documents")
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
   private def qFingerprint(s: SparkSession, d: String): DataFrame =
-    spread(t(s, d, "documents"), "doc_id")
+    t(s, d, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
   private def qTextQuality(s: SparkSession, d: String): DataFrame = {
     val en = TextOps.Stopwords.toMap.apply("en")
     val txt = col("text")
-    spread(t(s, d, "documents"), "doc_id")
+    t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.tokenCount(txt).as("n_tokens"),
         TextOps.avgTokenLen(txt).as("avg_token_len"),
@@ -228,14 +228,14 @@ object SparkEntry {
   private def qLangId(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
     val best = greatest(TextOps.Stopwords.map { case (_, w) => TextOps.vocabHits(txt, w) }: _*)
-    spread(t(s, d, "documents"), "doc_id")
+    t(s, d, "documents")
       .select(col("doc_id"), TextOps.langId(txt).as("lang_pred"), best.as("best_hits"))
       .orderBy(col("doc_id"))
   }
 
   private def qRegexTokens(s: SparkSession, d: String): DataFrame = {
     val (w, n, o) = TextOps.regexTokenCounts(col("text"))
-    spread(t(s, d, "documents"), "doc_id")
+    t(s, d, "documents")
       .select(col("doc_id"), w.as("n_words"), n.as("n_nums"), o.as("n_other"))
       .orderBy(col("doc_id"))
   }
@@ -251,13 +251,13 @@ object SparkEntry {
     * stub; see that object's scaladoc). */
   private def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .extractFeatures(graft.multimodal.Multimodal.packText(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text"))
+      .extractFeatures(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"))
       .toDF()
       .orderBy(col("doc_id"))
 
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
-      .sampleFrames(graft.multimodal.Multimodal.packText(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text"), 64)
+      .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
