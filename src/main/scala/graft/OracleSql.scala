@@ -220,6 +220,17 @@ object OracleSql {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                 ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o1.o_orderkey, o1.o_totalprice
+        |FROM events e ASOF LEFT JOIN o1
+        |  ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT $fpExpr AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -197,6 +197,26 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** AS-OF JOIN: each event picks up the most recent order (at or before
+    * the event time) of the same customer — union + running-last_value,
+    * one shuffle (Relational.asOfJoin). The right side is deduplicated to
+    * one order per (customer, date) so the tie-break is deterministic in
+    * both engines. */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros((col("ts") / 1000).cast("long")).as("ts"))
+    val orders = Relational.latestPerKey(
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+      .withColumnRenamed("o_custkey", "user_id")
+    Relational.asOfJoin(events, orders, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   // ----------------------------------------------------- extension tier
 
   private def qDedupExact(s: SparkSession, d: String): DataFrame =
@@ -319,6 +339,7 @@ object SparkEntry {
     "q_window_running" -> (qWindowRunning _),
     "q_anti_accepted_values" -> (qAntiAcceptedValues _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),

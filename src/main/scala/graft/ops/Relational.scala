@@ -90,4 +90,55 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** AS-OF JOIN (backward): for every left row, attach the single right
+    * row with the greatest `rightTs` ≤ `leftTs` within the same `key` —
+    * the time-series point-in-time lookup Spark has no native operator
+    * for.
+    *
+    * Implementation is the union + running-last_value technique: tag both
+    * sides, union them, and carry the most recent right-side payload
+    * forward with `last_value(ignoreNulls) OVER (PARTITION BY key ORDER BY
+    * ts, side ROWS UNBOUNDED PRECEDING)`. ONE shuffle on the join key and
+    * linear window work — never the per-row range scan or the
+    * O(|L|·|R|) interval cross-product a naive theta-join would plan,
+    * so it scales like an ordinary equi-join shuffle at 100 TB.
+    *
+    * Right rows sort BEFORE left rows at equal timestamps (side 0 < 1), so
+    * a right row exactly at `leftTs` is visible — the usual `<=`
+    * convention. If several right rows share (key, rightTs), the last one
+    * in `rightCols` order wins; pre-deduplicate the right side (e.g. via
+    * `latestPerKey`) when that tie must be deterministic.
+    *
+    * Output: left columns + the requested `rightCols` (null when no right
+    * row precedes the left row).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    val rightTagged = right
+      .select((Seq(col(key), col(rightTs).as("__ts")) :+
+        struct(rightCols.map(col): _*).as("__payload")): _*)
+      .withColumn("__side", lit(0))
+    // align schemas: right side carries nulls for the left columns
+    val leftOnly = left.columns.filterNot(_ == key)
+    val rightAligned = leftOnly.foldLeft(rightTagged) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = leftTagged.unionByName(rightAligned.select(leftTagged.columns.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val payload = rightCols.map(c => col("__asof").getField(c).as(c))
+    carried.select(left.columns.map(col) ++ payload: _*)
+  }
 }

@@ -66,6 +66,19 @@ class RelationalSpec extends SparkSpec {
     assert(top.toSeq == Seq(9L, 19L, 29L, 39L, 49L))
   }
 
+  test("asOfJoin attaches the most recent right row at or before each left ts") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 110.0), (3L, 1L, 999.0))
+      .toDF("k", "qts", "px")
+    val out = Relational.asOfJoin(trades, quotes, "k", "ts", "qts", Seq("px"))
+      .orderBy("k", "ts")
+      .select($"trade", $"px").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    // equal timestamps match (<=); keys with no prior quote get null
+    assert(out.toSeq == Seq(("t1", 100.0), ("t2", 110.0), ("t3", null)))
+  }
+
   test("latestPerKey keeps exactly one deterministic row per key") {
     val df = Seq((1, "2024-01-01", 10), (1, "2024-01-02", 20), (2, "2024-01-01", 30))
       .toDF("k", "d", "v")
