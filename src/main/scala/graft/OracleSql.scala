@@ -170,6 +170,15 @@ object OracleSql {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // q_approx_count_distinct: intentionally NO oracle — HLL++ sketch
+    // values are engine-specific; the driver records a rows-only check.
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_union" ->
       """SELECT name, acctbal, kind FROM (
         |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer

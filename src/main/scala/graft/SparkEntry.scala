@@ -139,6 +139,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** PIVOT — long→wide conditional aggregation with an explicit value
+    * list (explicit values keep the plan single-pass; Spark's value
+    * discovery would add a collect). */
+  private def qPivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HyperLogLog++) — the cardinality sketch a
+    * 100 TB pipeline uses instead of exact countDistinct. Sketch results
+    * are engine-specific, so no SQL oracle: the driver records the
+    * weaker rows-only check, and the spec bounds the error vs exact. */
+  private def qApproxCountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   private def qUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
@@ -332,6 +354,8 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "q_having" -> (qHaving _),
     "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
+    "q_approx_count_distinct" -> (qApproxCountDistinct _),
     "q_union" -> (qUnion _),
     "q_join_fact_dim" -> (qJoinFactDim _),
     "q_topk" -> (qTopK _),

@@ -91,6 +91,25 @@ object Relational {
       .drop("__rn")
   }
 
+  /** SALTED equi-join for skewed keys too large to broadcast: the big
+    * side gets a deterministic salt derived from the whole row (identical
+    * rows co-locate, distinct rows of a hot key spread over `buckets`
+    * partitions), the small side is replicated once per bucket, and the
+    * join runs on (key, salt). Turns one straggler partition into
+    * `buckets` even ones at the cost of replicating the small side —
+    * the standard remedy when AQE's skew splitting can't kick in (e.g.
+    * the skew is in a shuffled hash join or the hot key exceeds a single
+    * split's worth). INNER joins only.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+
   /** AS-OF JOIN (backward): for every left row, attach the single right
     * row with the greatest `rightTs` ≤ `leftTs` within the same `key` —
     * the time-series point-in-time lookup Spark has no native operator

@@ -2,8 +2,12 @@ package graft
 
 class OracleSqlSpec extends SparkSpec {
 
+  /** Queries deliberately without a DuckDB oracle (engine-specific
+    * results); the driver records a rows-only check for these. */
+  private val rowsOnly = Set("q_approx_count_distinct")
+
   test("every query has either an oracle or is intentionally rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 

@@ -66,6 +66,16 @@ class RelationalSpec extends SparkSpec {
     assert(top.toSeq == Seq(9L, 19L, 29L, 39L, 49L))
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "tag")
+    val salted = Relational.saltedJoin(big, small, Seq("k"), 8)
+      .orderBy("v").select($"v", $"tag").as[(Int, String)].collect()
+    val plain = big.join(small, "k")
+      .orderBy("v").select($"v", $"tag").as[(Int, String)].collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("asOfJoin attaches the most recent right row at or before each left ts") {
     val trades = Seq((1L, 10L, "t1"), (1L, 25L, "t2"), (2L, 5L, "t3"))
       .toDF("k", "ts", "trade")

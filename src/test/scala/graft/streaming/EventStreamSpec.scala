@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
+
 import graft.SparkSpec
 
 class EventStreamSpec extends SparkSpec {
@@ -34,10 +34,15 @@ class EventStreamSpec extends SparkSpec {
     val mem = MemoryStream[Event]
     val q = windowedCounts(mem.toDF(), watermark = "1 minute", window = "10 minutes")
       .writeStream.format("memory").queryName("wc").outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .start()
+    // deterministic staging: each addData+processAllAvailable is one
+    // micro-batch; append-mode results for a window emit in the batch
+    // AFTER the watermark (updated at batch end) passes the window end
     mem.addData(events: _*)
-    // advance the watermark far past every window so all results finalize
+    q.processAllAvailable()
     mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(98, Timestamp.valueOf("2024-01-01 12:00:01"), 1, "click", 0.0))
     q.processAllAvailable()
     q.stop()
     val rows = spark.table("wc")
@@ -53,7 +58,7 @@ class EventStreamSpec extends SparkSpec {
     val mem = MemoryStream[Event]
     val q = dedupedEvents(mem.toDF(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("dd").outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .start()
     mem.addData(events(0), events(0), events(1), events(0), events(4))
     q.processAllAvailable()
     q.stop()
@@ -65,10 +70,15 @@ class EventStreamSpec extends SparkSpec {
     val mem = MemoryStream[Event]
     val q = sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
       .writeStream.format("memory").queryName("sess").outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .start()
     mem.addData(events: _*)
-    // push event time forward so every open session times out
+    q.processAllAvailable()
+    // push event time forward so open sessions time out; the second
+    // sentinel (same user/ts, within gap) triggers the batch in which the
+    // timeouts fire without closing the sentinel's own session
     mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(98, Timestamp.valueOf("2024-01-01 12:00:00"), 999, "click", 0.0))
     q.processAllAvailable()
     q.stop()
     val sess = spark.table("sess")
