@@ -89,6 +89,19 @@ class EventStreamSpec extends SparkSpec {
     assert(sess.toSeq == Seq((100L, 3L, 6.0), (100L, 1L, 4.0), (200L, 1L, 5.0)))
   }
 
+  test("readEvents consumes a parquet landing directory as a stream") {
+    val dir = java.nio.file.Files.createTempDirectory("es-files").toString
+    events.toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val q = readEvents(spark, s"$dir/in", maxFilesPerTrigger = 2)
+      .groupBy("user_id").count()
+      .writeStream.format("memory").queryName("fe").outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("fe").orderBy("user_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((100L, 4L), (200L, 1L)))
+  }
+
   test("batchEvents converts nanos ts and reads the driver table") {
     val df = EventStream.batchEvents(graft.Tables(spark, "/root/testdata/sf0.001", "events"))
     assert(df.schema("ts").dataType.typeName == "timestamp")
