@@ -418,6 +418,42 @@ object OracleSql {
          |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    "q_ann_ivf" -> {
+      val cosQC =
+        "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +
+          " / (sqrt(CAST(q_n AS DOUBLE)) * sqrt(CAST(c_n AS DOUBLE)))"
+      val centCos =
+        "CAST(list_sum(list_transform(range(1, len(v.fv) + 1), i -> v.fv[i] * cents.cent_v[i])) AS DOUBLE)" +
+          " / (sqrt(CAST(v.nn AS DOUBLE)) * sqrt(CAST(cents.cent_n AS DOUBLE)))"
+      s"""WITH $fpVecCte,
+         |cents AS (SELECT vec_id AS cent_id, fv AS cent_v, nn AS cent_n
+         |          FROM nv WHERE vec_id < 16 AND nn > 0),
+         |casgn AS (
+         |  SELECT c_id, c_v, c_n, cent_id FROM (
+         |    SELECT v.vec_id AS c_id, v.fv AS c_v, v.nn AS c_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $centCos DESC, cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0)
+         |  WHERE r = 1),
+         |qasgn AS (
+         |  SELECT q_id, q_v, q_n, cent_id FROM (
+         |    SELECT v.vec_id AS q_id, v.fv AS q_v, v.nn AS q_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $centCos DESC, cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0 AND v.vec_id < 5)
+         |  WHERE r <= 4),
+         |sc AS (
+         |  SELECT DISTINCT q_id AS query_id, c_id AS match_id, $cosQC AS cosine
+         |  FROM qasgn JOIN casgn USING (cent_id) WHERE c_id <> q_id),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_embed_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),

@@ -331,6 +331,14 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Vectors.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, bits = 4)
@@ -378,6 +386,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _))
 
   def oracleSql: Map[String, String] = OracleSql.all

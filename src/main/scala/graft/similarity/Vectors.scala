@@ -103,6 +103,52 @@ object Vectors {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN (inverted-file): assign every corpus vector to its
+    * nearest of `nCentroids` centroid vectors (the "coarse quantizer" —
+    * here seeded deterministically from the first `nCentroids` corpus ids
+    * instead of trained k-means, keeping the whole structure
+    * oracle-verifiable), then answer each query by scanning only the
+    * `nProbe` centroid lists closest to the query. Build = one broadcast
+    * join + argmax (centroids are tiny); probe = equi-join on the list id
+    * — the classic IVF shape where per-query work is |corpus|·nProbe/
+    * nCentroids instead of |corpus|.
+    *
+    * Assignment ranks by (cosine DESC, centroid id ASC) — total order, so
+    * list membership is deterministic; zero-magnitude vectors are
+    * excluded (no meaningful direction to assign).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    require(nProbe <= nCentroids, s"nProbe=$nProbe > nCentroids=$nCentroids")
+    val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), fixedPoint(col(vecCol)).as("cent_v"))
+      .withColumn("cent_n", normSqFp(col("cent_v"))))
+    def assign(df: DataFrame, side: String, probes: Int): DataFrame = {
+      val v = df.select(col(idCol).as(s"${side}_id"), fixedPoint(col(vecCol)).as(s"${side}_v"))
+        .withColumn(s"${side}_n", normSqFp(col(s"${side}_v")))
+        .filter(col(s"${side}_n") > 0)
+      val scored = v.crossJoin(cents)
+        .select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"), col("cent_id"),
+          cosineFromNorms(col(s"${side}_v"), col("cent_v"), col(s"${side}_n"), col("cent_n"))
+            .as("cent_cos"))
+        .filter(col("cent_cos").isNotNull)
+      val w = Window.partitionBy(s"${side}_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
+        .select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"), col("cent_id"))
+    }
+    val lists = assign(corpus, "c", 1)            // each corpus vector in ONE list
+    val probes = assign(queries, "q", nProbe)     // each query probes nProbe lists
+    val scored = probes.join(lists, Seq("cent_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("match_id"),
+        cosineFromNorms(col("q_v"), col("c_v"), col("q_n"), col("c_n")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      // a corpus vector can appear through several probed lists → dedupe
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold, candidate-generated through the sign-LSH bucket equi-join
     * (self-join on bucket, never the full n² cross product).

@@ -43,6 +43,20 @@ class VectorsSpec extends SparkSpec {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("ivfTopK probes only nearest centroid lists and never returns self or zero vectors") {
+    val corpus = (0L until 40L).map { i =>
+      val angle = (i % 8).toDouble / 8 * 2 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f))
+    }.toDF("vec_id", "embedding")
+    val out = Vectors.ivfTopK(corpus.filter($"vec_id" === 0), corpus, "vec_id", "embedding",
+      k = 3, nCentroids = 8, nProbe = 2)
+      .orderBy("rank").select($"match_id", $"cosine").as[(Long, Double)].collect()
+    assert(out.length == 3)
+    assert(!out.map(_._1).contains(0L))
+    // top matches must be same-direction vectors (cosine ~= 1)
+    assert(out.head._2 > 0.99)
+  }
+
   test("fixed-point dot is exact and order-independent") {
     val d = Seq((Array(0.5f, 0.25f), Array(0.5f, 0.25f))).toDF("a", "b")
       .select(Vectors.dotFp(Vectors.fixedPoint($"a"), Vectors.fixedPoint($"b")).as("d"))
