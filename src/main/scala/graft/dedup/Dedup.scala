@@ -34,10 +34,14 @@ object Dedup {
     * transform+slice — pure codegen expressions.
     */
   /** Sorted distinct word n-gram array for one document — in-row, no
-    * shuffle. Docs with < n tokens have no n-grams: sequence(1, size-(n-1))
-    * would produce a DESCENDING range there (and slice would throw), so
-    * guard with an empty array. */
-  def shingleArray(textCol: Column, n: Int): Column = {
+    * shuffle, single codegen pass (graft.functions.ShingleArray). Docs
+    * with < n tokens yield an empty array. `shingleArrayBuiltins` is the
+    * pure-builtin formulation the native expression is spec-checked
+    * against (and that the DuckDB oracle mirrors). */
+  def shingleArray(textCol: Column, n: Int): Column =
+    graft.functions.ShingleArray(textCol, n)
+
+  def shingleArrayBuiltins(textCol: Column, n: Int): Column = {
     val toks = TextOps.tokens(textCol)
     val grams = when(size(toks) >= n,
       transform(
@@ -165,17 +169,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     require(k <= 8, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves)")
-    // Signatures are computed IN-ROW over the per-doc shingle array (one
-    // md5 per shingle split into 60-bit double-hash halves, k mins via
-    // array ops) — signature construction needs no shuffle at all; the
-    // persisted set table then feeds banding and exact verification.
-    val md5s = transform(col("sh_arr"), s => md5(s))
-    val sigCols = (1 to k).map(i =>
-      array_min(zip_with(col("__h1"), col("__h2"), (a, b) => a + lit(i.toLong) * b)).as(s"sig_$i"))
+    // Signatures are computed IN-ROW over the per-doc shingle array in a
+    // single codegen pass (graft.functions.MinHashSigsFp: md5 once per
+    // shingle, all k mins together — replaces 6k+3 interpreted array
+    // materializations per doc); signature construction needs no shuffle
+    // at all. The persisted set table then feeds banding and exact
+    // verification.
+    val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
     val sets = shingleSets(docs, idCol, textCol, n)
-      .withColumn("__m", md5s)
-      .withColumn("__h1", transform(col("__m"), m => conv(substring(m, 1, 15), 16, 10).cast("long")))
-      .withColumn("__h2", transform(col("__m"), m => conv(substring(m, 17, 15), 16, 10).cast("long")))
+      .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
       .select(Seq(col("id"), col("sh_arr"), col("n_sh")) ++ sigCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = lshBuckets(sets.filter(col("n_sh") > 0), k, rowsPerBand)
