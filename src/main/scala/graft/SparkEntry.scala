@@ -161,6 +161,23 @@ object SparkEntry {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  private def qIntersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  private def qExcept(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  private def qCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   private def qUnion(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
@@ -365,6 +382,9 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_approx_count_distinct" -> (qApproxCountDistinct _),
     "q_union" -> (qUnion _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
+    "q_cube" -> (qCube _),
     "q_join_fact_dim" -> (qJoinFactDim _),
     "q_topk" -> (qTopK _),
     "q_window_rank" -> (qWindowRank _),
