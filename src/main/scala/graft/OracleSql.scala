@@ -228,6 +228,14 @@ object OracleSql {
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

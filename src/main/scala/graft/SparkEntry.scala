@@ -214,6 +214,19 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .orderBy(col("o_custkey"))
 
+  /** Top-3 orders per customer through the BOUNDED map-side top-k
+    * aggregate (graft.functions.TopKByScore): partial aggregation trims
+    * each map task to ≤ k rows per key before the shuffle — the exchange
+    * moves O(keys·k) rows where the window row_number formulation
+    * shuffles the entire input. */
+  private def qTopkPerKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByScore(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("p"))
+      .select(col("o_custkey"), col("p.id").as("o_orderkey"), col("p.score").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   private def qWindowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -388,6 +401,7 @@ object SparkEntry {
     "q_join_fact_dim" -> (qJoinFactDim _),
     "q_topk" -> (qTopK _),
     "q_window_rank" -> (qWindowRank _),
+    "q_topk_per_key" -> (qTopkPerKey _),
     "q_window_running" -> (qWindowRunning _),
     "q_anti_accepted_values" -> (qAntiAcceptedValues _),
     "q_json_extract" -> (qJsonExtract _),
