@@ -11,6 +11,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // prefer few large reduce tasks over per-core parallelism for the
+      // tiny post-shuffle stages of this suite: fewer task launches
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm EVERY query's plan shape on the smallest SF first: whole-stage
