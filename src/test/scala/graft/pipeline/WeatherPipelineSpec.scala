@@ -79,6 +79,22 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(WeatherPipeline.Tests.acceptedTemperatureCategories(bad).count() == bad.count())
   }
 
+  test("end-to-end: JSON landing files → permissive source → pipeline → partitioned marts") {
+    import graft.sources.IO
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("wp-e2e").toString
+    // land the payloads as JSON lines (one malformed record on top)
+    payloads.write.mode("overwrite").json(s"$dir/landing")
+    Seq("{ this is not json").toDF("value").write.mode("append").text(s"$dir/landing")
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("raw_json", StringType)))
+    val (good, bad) = IO.routeErrors(IO.readJsonPermissive(spark, schema, s"$dir/landing"))
+    assert(bad.count() == 1)
+    WeatherPipeline.runBatch(good, t0, now, s"$dir/wh")
+    val fct = spark.read.parquet(s"$dir/wh/marts/fct_weather_observations")
+    assert(fct.count() == 3) // error payload + outlier routed out downstream
+  }
+
   test("runBatch writes raw + marts and enforces gates end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("wp-test").toString
     WeatherPipeline.runBatch(payloads, t0, now, dir)
