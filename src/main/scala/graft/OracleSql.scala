@@ -336,6 +336,20 @@ object OracleSql {
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_train_test_split" ->
+      """SELECT doc_id,
+        |       CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS pct,
+        |       CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+        |            WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """SELECT CAST((len(string_split(text, ' ')) // 64) * 64 AS INTEGER) AS bucket_start,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -317,6 +317,30 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic hash-based train/validation/test split — the
+    * reproducible corpus partitioning a training pipeline needs (stable
+    * under re-runs, joins, and repartitioning, unlike randomSplit).
+    * Hash = first 60 bits of md5(doc_id), engine-portable. */
+  private def qTrainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val pct = pmod(h, lit(100L))
+    t(s, d, "documents")
+      .select(col("doc_id"), pct.as("pct"),
+        when(pct < 80, "train").when(pct < 90, "valid").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-length histogram in 64-token buckets — the packing/batching
+    * statistic for sequence-length-aware training batch assembly. */
+  private def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = TextOps.tokenCount(col("text"))
+    t(s, d, "documents")
+      .select(((n / 64).cast("int") * 64).as("bucket_start"), n.as("n_tokens"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy(col("bucket_start"))
+  }
+
   /** Multimodal plumbing demo: text payloads packed as binary media rows,
     * features extracted through the per-partition decode path
     * (graft.multimodal.Multimodal — decode itself is a deterministic
@@ -413,6 +437,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_regex_tokens" -> (qRegexTokens _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_train_test_split" -> (qTrainTestSplit _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_simhash" -> (qSimhash _),
