@@ -187,6 +187,35 @@ object WeatherPipeline {
       "accepted_values_temperature_category" -> acceptedTemperatureCategories(fct))
   }
 
+  /** Structured Streaming variant (SURVEY.md §7.2-5): the SAME ingest +
+    * staging transforms run incrementally over a JSON landing directory —
+    * Spark's unified batch/stream semantics means zero operator
+    * duplication. Each micro-batch appends cleansed staging rows to a
+    * date-partitioned parquet sink; marts stay periodic batch rebuilds
+    * over the accumulated staging table (aggregating marts in-stream
+    * would need output-mode complete — the daily-rebuild model of the
+    * reference maps cleaner and keeps the sink append-only).
+    *
+    * Returns the started query; callers own the trigger/await policy
+    * (tests use processAllAvailable over a static landing dir — the
+    * Trigger.AvailableNow catch-up pattern).
+    */
+  def startStream(spark: org.apache.spark.sql.SparkSession,
+                  landingDir: String, checkpointDir: String, outDir: String,
+                  dataIntervalStart: Timestamp, now: Timestamp):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val landingSchema = StructType(Seq(
+      StructField("city", StringType), StructField("raw_json", StringType)))
+    val payloads = spark.readStream.schema(landingSchema).json(landingDir)
+    stgWeather(ingest(payloads, dataIntervalStart, now))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("extraction_date")
+      .outputMode("append")
+      .format("parquet")
+      .start(outDir)
+  }
+
   /** End-to-end batch run mirroring the DAG's task chain
     * (dags/weatherstack_full_pipeline.py:172): ingest → staging → test →
     * marts → test → write. Throws on test failure like the DAG's failing

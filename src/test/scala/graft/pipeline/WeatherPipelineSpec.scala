@@ -95,6 +95,23 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(fct.count() == 3) // error payload + outlier routed out downstream
   }
 
+  test("startStream ingests a landing directory incrementally into partitioned staging") {
+    val dir = java.nio.file.Files.createTempDirectory("wp-stream").toString
+    payloads.write.mode("overwrite").json(s"$dir/landing")
+    val q = WeatherPipeline.startStream(spark, s"$dir/landing", s"$dir/ckpt", s"$dir/stg", t0, now)
+    q.processAllAvailable()
+    // late-arriving file → next micro-batch picks it up via the checkpoint
+    Seq(("Rome", payload("Rome", "Italy", 22, "sunny"))).toDF("city", "raw_json")
+      .write.mode("append").json(s"$dir/landing")
+    q.processAllAvailable()
+    q.stop()
+    val stg = spark.read.parquet(s"$dir/stg")
+    assert(stg.count() == 4) // Paris, London, Tokyo + Rome (error + outlier dropped)
+    assert(stg.filter($"city_clean" === "ROME").count() == 1)
+    assert(new java.io.File(s"$dir/stg").listFiles()
+      .exists(_.getName.startsWith("extraction_date=")))
+  }
+
   test("runBatch writes raw + marts and enforces gates end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("wp-test").toString
     WeatherPipeline.runBatch(payloads, t0, now, dir)
