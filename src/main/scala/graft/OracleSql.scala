@@ -160,6 +160,12 @@ object OracleSql {
         |       count(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_having" ->
       """SELECT o_custkey, count(*) AS order_count
         |FROM orders GROUP BY o_custkey HAVING count(*) > 1

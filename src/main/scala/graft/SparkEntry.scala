@@ -126,6 +126,17 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_part"))
       .orderBy(col("l_returnflag"))
 
+  /** Ordered-set aggregates: EXACT continuous percentiles (both engines
+    * implement the same (n−1)·p rank interpolation; quantities are
+    * integral so the arithmetic is bit-stable). */
+  private def qPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .orderBy(col("l_returnflag"))
+
   private def qHaving(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_custkey"))
@@ -415,6 +426,7 @@ object SparkEntry {
     "q_groupby_minmaxcount" -> (qGroupbyMinMaxCount _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_having" -> (qHaving _),
+    "q_percentiles" -> (qPercentiles _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
     "q_approx_count_distinct" -> (qApproxCountDistinct _),
