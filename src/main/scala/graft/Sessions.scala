@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session defaults — Verify, Bench and the
+  * dev tools build from here so config can't drift between entry points
+  * (the round-1 TIMESTAMP(NANOS) read failure was exactly such a drift).
+  */
+object Sessions {
+  def build(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // driver events.parquet carries TIMESTAMP(NANOS): read as epoch-
+      // nanos LongType (convert at use sites — EventStream.batchEvents)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // prefer few large reduce tasks for tiny post-shuffle stages
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+  }
+}
