@@ -59,6 +59,26 @@ object OracleSql {
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** 16-bit token-frequency simhash per doc → `sh16(id, simhash)`
+    * (mirrors Dedup.simhash). */
+  private val simhashCte: String = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+      .map(h => s"'$h'").mkString("(", ",", ")")
+    val bitSums = (1 to 16)
+      .map(j => s"sum(CASE WHEN substring(h, $j, 1) IN $oddHex THEN 1 ELSE -1 END) AS b_$j")
+      .mkString(",\n         ")
+    val bitChars = (1 to 16)
+      .map(j => s"CASE WHEN b_$j > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""e AS (
+       |  SELECT doc_id AS id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |s AS (
+       |  SELECT id,
+       |         $bitSums
+       |  FROM e GROUP BY id),
+       |sh16 AS (SELECT id, $bitChars AS simhash FROM s)""".stripMargin
+  }
+
   // --- fixed-point embedding helpers (mirror similarity.Vectors) ---------
 
   /** embeddings → (vec_id, fv BIGINT[], nn) with ×1e6 fixed-point and the
@@ -371,24 +391,14 @@ object OracleSql {
         |      FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents))
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    "q_simhash" -> {
-      val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-        .map(h => s"'$h'").mkString("(", ",", ")")
-      val bitSums = (1 to 16)
-        .map(j => s"sum(CASE WHEN substring(h, $j, 1) IN $oddHex THEN 1 ELSE -1 END) AS b_$j")
-        .mkString(",\n         ")
-      val bitChars = (1 to 16)
-        .map(j => s"CASE WHEN b_$j > 0 THEN '1' ELSE '0' END")
-        .mkString("concat(", ", ", ")")
-      s"""WITH e AS (
-         |  SELECT doc_id AS id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
-         |s AS (
-         |  SELECT id,
-         |         $bitSums
-         |  FROM e GROUP BY id)
-         |SELECT id AS doc_id, $bitChars AS simhash
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "q_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT id AS doc_id, simhash FROM sh16 ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_dedup" ->
+      s"""WITH $simhashCte
+         |SELECT simhash, min(id) AS keep_id, count(*) AS dup_count
+         |FROM sh16 GROUP BY simhash ORDER BY keep_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $shinglesCte,

@@ -373,6 +373,17 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
+  /** SimHash-clustered dedup in aggregate shape: one row per 16-bit hash
+    * with the surviving id — O(clusters) output regardless of how large
+    * the near-dup clusters are (the all-PAIRS operator
+    * Dedup.simhashNearDupPairs exists for spot mining but its output is
+    * quadratic in cluster size — wrong shape for a corpus-wide pass). */
+  private def qSimhashDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .groupBy(col("simhash"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("keep_id"))
+
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
@@ -454,6 +465,7 @@ object SparkEntry {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_dedup" -> (qSimhashDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_cosine_topk" -> (qCosineTopK _),

@@ -196,6 +196,47 @@ object Dedup {
     * as a 16-char '0'/'1' string (portable across engines; reinterpret as
     * int for Hamming bucketing).
     */
+  /** SimHash near-duplicate pairs within Hamming distance `maxDist`:
+    * pigeonhole banding (split the 16 bits into maxDist+1 chunks — two
+    * hashes within distance d MUST agree on at least one chunk), bucket
+    * equi-join on (chunk, bits), then exact Hamming verification. The
+    * classic Manku/Jain/Sarma WWW'07 structure; candidates are generated
+    * by equi-join, never the n² cross product.
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxDist.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")
+    // integer form of the hash: Hamming distance is one XOR + popcount
+    // per candidate instead of 16 string comparisons
+    val sim = simhash(docs, idCol, textCol)
+      .withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
+    val bounds = chunkBounds(16, maxDist + 1)
+    val chunks = bounds.zipWithIndex.map { case ((start, len), i) =>
+      struct(lit(i).as("chunk"), substring(col("simhash"), start, len).as("bits"))
+    }
+    val buckets = sim.select(col("id"), col("v"),
+      explode(array(chunks: _*)).as("cb"))
+      .select(col("id"), col("v"), col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("bit_count(x.v ^ y.v)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Even-ish split of `total` bit positions into `n` chunks:
+    * (1-based start, length) per chunk; first `total % n` chunks get the
+    * extra bit. */
+  def chunkBounds(total: Int, n: Int): Seq[(Int, Int)] = {
+    val base = total / n
+    val extra = total % n
+    val lens = (0 until n).map(i => base + (if (i < extra) 1 else 0))
+    lens.scanLeft(1)(_ + _).zip(lens).map { case (start, len) => (start, len) }
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val tok = explode(TextOps.tokens(col(textCol))).as("tok")

@@ -47,6 +47,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 4L)))
   }
 
+  test("simhashNearDupPairs finds low-Hamming pairs through chunk banding") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 1)
+      .as[(Long, Long, Int)].collect()
+    // identical docs 1 and 4 have Hamming distance 0 and MUST be found
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 1))
+  }
+
+  test("chunkBounds splits bit positions evenly and covers all of them") {
+    assert(Dedup.chunkBounds(16, 3) == Seq((1, 6), (7, 5), (12, 5)))
+    assert(Dedup.chunkBounds(16, 4) == Seq((1, 4), (5, 4), (9, 4), (13, 4)))
+  }
+
   test("simhash: identical docs get identical 16-bit hashes, format is 0/1 string") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .orderBy("id").as[(Long, String)].collect().toMap
