@@ -6,16 +6,24 @@ object Bench {
     val spark = Sessions.build(cpus, Map(
       "spark.sql.adaptive.enabled" -> sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
     spark.sparkContext.setLogLevel("WARN")
-    // Warm EVERY query's plan shape on the smallest SF first: whole-stage
-    // codegen compilation and classloading are per-plan-shape constants
-    // (1-5 s each) that would otherwise be billed to the timed sf run —
-    // standard steady-state benchmarking methodology.
+    // Steady-state methodology: warm every plan shape on the smallest SF
+    // (codegen compilation + classloading are 1-5 s per-shape constants),
+    // then warm at the TARGET SF too — except for the queries that
+    // persist() intermediate tables, whose second run would reuse the
+    // cache (Spark's CacheManager matches identical plans) and report a
+    // flattered number. Those two are timed from their small-SF-warmed
+    // cold run; everything else recomputes fully on the timed pass.
+    val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .foreach { case (_, fn) => try { fn(spark, warmDir).count() }
           catch { case _: Throwable => () } }
     }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => cachingQueries(name) }
+      .foreach { case (_, fn) => try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => () } }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't bill one query's garbage to the next
       val t0 = System.nanoTime()
