@@ -270,6 +270,14 @@ object OracleSql {
         |         AS running_spend_cents
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(date_diff('day',
+        |                      CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |                                                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |                      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
     "q_anti_accepted_values" ->
       """SELECT event_id, event_type FROM events
         |WHERE event_type IS NOT NULL

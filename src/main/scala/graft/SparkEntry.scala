@@ -248,6 +248,17 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** lag/lead window family: days since the customer's previous order
+    * (NULL for the first). */
+  private def qWindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   private def qAntiAcceptedValues(s: SparkSession, d: String): DataFrame =
     Relational.acceptedValuesViolations(
       t(s, d, "events"), "event_type", Seq("click", "view", "purchase", "signup"))
@@ -450,6 +461,7 @@ object SparkEntry {
     "q_window_rank" -> (qWindowRank _),
     "q_topk_per_key" -> (qTopkPerKey _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_lag" -> (qWindowLag _),
     "q_anti_accepted_values" -> (qAntiAcceptedValues _),
     "q_json_extract" -> (qJsonExtract _),
     "q_asof_join" -> (qAsofJoin _),
