@@ -284,6 +284,20 @@ object OracleSql {
         |  AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
         |ORDER BY event_id""".stripMargin,
 
+    "q_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |       date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -265,6 +265,31 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id"))
 
+  /** Time-series rollup: monthly revenue (date_trunc grain). */
+  private def qMonthlyRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy(col("month"))
+
+  /** RANGE JOIN (equi + interval): same-user event pairs within 5
+    * minutes — burst detection. With the equi key the plan is an
+    * ordinary hash join plus a range filter (scales like any equi
+    * join); comparisons run on µs-truncated event time so they agree
+    * exactly with the oracle's TIMESTAMP precision. */
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") > col("a.us") &&
+          col("b.us") <= col("a.us") + lit(300000000L)) // 5 min in µs
+      .select(col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+        (col("b.us") - col("a.us")).as("gap_us"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_id"), col("event_type"),
@@ -464,6 +489,8 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_anti_accepted_values" -> (qAntiAcceptedValues _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_monthly_revenue" -> (qMonthlyRevenue _),
+    "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
