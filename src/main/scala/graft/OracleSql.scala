@@ -463,6 +463,11 @@ object OracleSql {
          |${jaccardSelect(0.7)}""".stripMargin
     },
 
+    "q_posexplode" ->
+      """SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos, embedding[t.i] AS component
+        |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "q_cosine_topk" ->
       s"""WITH $fpVecCte,
          |sc AS (

@@ -388,6 +388,14 @@ object SparkEntry {
       .orderBy(col("bucket_start"))
   }
 
+  /** Generator/UDTF surface: positional explode of the embedding arrays
+    * into (row, ordinal, component) — the lateral-view shape. */
+  private def qPosexplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .withColumnRenamed("col", "component")
+      .orderBy(col("vec_id"), col("pos"))
+
   /** Multimodal plumbing demo: text payloads packed as binary media rows,
     * features extracted through the per-partition decode path
     * (graft.multimodal.Multimodal — decode itself is a deterministic
@@ -507,6 +515,7 @@ object SparkEntry {
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_posexplode" -> (qPosexplode _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
