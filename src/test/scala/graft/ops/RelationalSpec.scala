@@ -89,6 +89,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(("t1", 100.0), ("t2", 110.0), ("t3", null)))
   }
 
+  test("asOfJoin edge cases: right-only keys ignored, right ties resolved, stable under repartitioning") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2")).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 10L, 1.0), (1L, 10L, 2.0),   // tie at ts=10
+      (2L, 5L, 9.0)                     // key never on the left
+    ).toDF("k", "qts", "px")
+    // deterministic tie-break: pre-dedupe the right side as documented
+    val dedup = Relational.latestPerKey(quotes, Seq("k", "qts"), Seq($"px".desc))
+    val out = Relational.asOfJoin(trades, dedup, "k", "ts", "qts", Seq("px"))
+      .orderBy("ts").select($"trade", $"px").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("t1", 2.0), ("t2", 2.0)))
+    val out2 = Relational.asOfJoin(trades.repartition(5), dedup.repartition(3),
+      "k", "ts", "qts", Seq("px"))
+      .orderBy("ts").select($"trade", $"px").as[(String, Double)].collect()
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("latestPerKey keeps exactly one deterministic row per key") {
     val df = Seq((1, "2024-01-01", 10), (1, "2024-01-02", 20), (2, "2024-01-01", 30))
       .toDF("k", "d", "v")
