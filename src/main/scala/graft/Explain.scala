@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Dump the formatted physical plan of a query — plan-iteration tooling. */
 object Explain {

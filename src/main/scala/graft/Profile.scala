@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Ad-hoc profiling: run selected queries twice and print both timings —
   * separates plan/codegen constants (first run) from execution (second). */

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
