@@ -196,8 +196,15 @@ object OracleSql {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
-    // q_approx_count_distinct: intentionally NO oracle — HLL++ sketch
-    // values are engine-specific; the driver records a rows-only check.
+    // HLL++ sketch values are engine-specific, so the verified contract is
+    // "each engine's OWN sketch is within 5% of the exact count" — both
+    // engines emit (flag, exact, TRUE) rows, which hash-match.
+    "q_approx_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_part_exact,
+        |       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |         <= 0.05 * count(DISTINCT l_partkey) AS within_tolerance
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

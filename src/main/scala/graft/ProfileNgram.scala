@@ -1,43 +1,62 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 
-/** Stage-by-stage timing of the ngram-jaccard pipeline at a given SF. */
+/** Stage-by-stage timing of the ngram-jaccard pipeline at a given SF,
+  * with a Spark-job counter per stage (jobs ≈ scheduler round-trips —
+  * the quantity a loaded driver host multiplies).
+  */
 object ProfileNgram {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("32")
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    })
     def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[stage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      val j0 = jobs.get(); val t0 = System.nanoTime(); val r = f
+      println(f"[stage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  ${jobs.get() - j0} jobs"); r
     }
-    val docs = Tables(spark, sfDir, "documents")
     val n = 3; val threshold = 0.8
-    val sh = time("shingles count") { val s = Dedup.shingles(docs, "doc_id", "text", n); s.count(); s }
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    time("df groupBy")(df.count())
-    val sets = sh.join(df, "shingle")
-      .groupBy("id")
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
-        s => s.getField("shingle")).as("sh_arr"), count(lit(1)).as("n_sh"))
+    val d = Tables(spark, sfDir, "documents").repartition(col("doc_id"))
+    val sets = Dedup.shingleSets(d, "doc_id", "text", n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("sets build+persist")(sets.count())
-    val prefix = sets.select(col("id"), col("n_sh"),
-      explode(slice(col("sh_arr"), lit(1),
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))).as("shingle"))
-    time("prefix explode")(prefix.count())
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
-          col("a.n_sh") >= lit(threshold) * col("b.n_sh"))
+    val exploded = sets.select(col("id"), col("n_sh"), explode(col("sh_arr")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
+    val wDf = Window.partitionBy("sh")
+    val wPos = Window.partitionBy("id").orderBy(col("df"), col("sh"))
+    val prefix = exploded
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("pos", row_number().over(wPos) - 1)
+      .filter(col("pos") < (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+    time("prefix windows")(prefix.count())
+    val candidates = prefix
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("n_sh"), col("pos"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val nCand = time("candidates self-join")(candidates.count())
+    val nCand = time("candidates")(candidates.count())
     println(s"[stage] candidates = $nCand")
-    time("full query fresh run") {
-      Dedup.ngramJaccardPairs(Tables(spark, sfDir, "documents"), "doc_id", "text", n, threshold).count()
+    (1 to 3).foreach { i =>
+      time(s"full query run $i") {
+        Dedup.ngramJaccardPairs(Tables(spark, sfDir, "documents").repartition(col("doc_id")),
+          "doc_id", "text", n, threshold).count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"full minhash run $i") {
+        Dedup.minhashLshPairs(Tables(spark, sfDir, "documents").repartition(col("doc_id")),
+          "doc_id", "text", n, 6, 2, 0.7).count()
+      }
     }
     spark.stop()
   }

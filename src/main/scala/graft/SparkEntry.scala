@@ -163,13 +163,21 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** Approximate distinct (HyperLogLog++) — the cardinality sketch a
-    * 100 TB pipeline uses instead of exact countDistinct. Sketch results
-    * are engine-specific, so no SQL oracle: the driver records the
-    * weaker rows-only check, and the spec bounds the error vs exact. */
+    * 100 TB pipeline uses instead of exact countDistinct. Raw sketch
+    * values are engine-specific, so the VERIFIED output is the
+    * engine-independent contract instead: the exact count plus a BOOLEAN
+    * that the sketch landed within 5% relative error of it (Spark's
+    * sketch on the Spark side, DuckDB's on the oracle side — both inside
+    * tolerance ⇒ identical rows, hash-matchable). */
   private def qApproxCountDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("n_part_exact"))
+      .select(col("l_returnflag"), col("n_part_exact"),
+        (abs(col("approx") - col("n_part_exact"))
+          <= lit(0.05) * col("n_part_exact")).as("within_tolerance"))
       .orderBy(col("l_returnflag"))
 
   private def qIntersect(s: SparkSession, d: String): DataFrame =
@@ -304,7 +312,8 @@ object SparkEntry {
   private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
     val events = t(s, d, "events")
       .select(col("event_id"), col("user_id"),
-        timestamp_micros((col("ts") / 1000).cast("long")).as("ts"))
+        // integer `div`, not `/`: double division loses ulps above 2^53 ns
+        timestamp_micros(expr("ts div 1000")).as("ts"))
     val orders = Relational.latestPerKey(
       t(s, d, "orders").select(col("o_custkey"), col("o_orderdate"),
         col("o_orderkey"), col("o_totalprice")),

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -81,6 +82,38 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
+  /** The shared persisted per-doc set table — (id, sh_arr, n_sh, ord_sh)
+    * where `ord_sh` is the doc's xxhash64'd shingles in CANONICAL order:
+    * ascending global document frequency, hashed shingle as tie-break
+    * (the AllPairs/PPJoin preprocessing). BOTH near-dup pipelines persist
+    * this exact plan, so Spark's CacheManager keeps ONE copy and
+    * whichever pipeline runs first pays the build — the in-session
+    * equivalent of materializing the canonical corpus shingle table once
+    * at 100 TB and pointing every consumer at it. Folding the df ordering
+    * into the build means the Jaccard query's prefix generation is a
+    * narrow slice of `ord_sh` at query time: the df aggregation's two
+    * shuffles happen once per corpus, not once per query.
+    *
+    * Downstream only needs shingle EQUALITY plus a fixed total order,
+    * which the 8-byte hash provides at a fraction of the string cost; a
+    * rare hash collision merely admits one extra candidate pair, which
+    * the exact (string-set) verification discards.
+    */
+  private def persistedSets(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val base = shingleSets(docs, idCol, textCol, n)
+    val exploded = base.select(col("id"), explode(col("sh_arr")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val ordered = exploded
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+        s => s.getField("sh")).as("ord_sh"))
+    base.join(ordered, Seq("id"), "left")
+      .withColumn("ord_sh", coalesce(col("ord_sh"), array().cast("array<bigint>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Pairwise n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin,
     * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
     * order each doc's shingles by ascending global document frequency;
@@ -94,48 +127,60 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // The per-doc set table is built WITHOUT any shuffle (narrow shingle
-    // arrays, already in the lexicographic canonical order the prefix
-    // filter needs) and persisted for its three consumers: both sides of
-    // the prefix self-join and the verify joins. (At 100 TB the
-    // equivalent is materializing this doc-set table to storage.)
-    // Lexicographic prefix order admits more candidates than the
-    // frequency-ascending order, but saves the df group-by + join stages —
-    // the exact verify step makes the result identical either way.
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length = |X| - ceil(t*|X|) + 1; keep the 0-based position for
-    // the PPJoin positional filter below
+    val sets = persistedSets(docs, idCol, textCol, n)
+    // Prefixes come straight off the canonically-ordered hash array the
+    // shared set table already carries: rarest-first order means prefix
+    // collisions almost never happen on natural (Zipfian) corpora. A
+    // NARROW slice — prefix length = |X| - ceil(t*|X|) + 1 — with
+    // posexplode keeping the 0-based canonical position for the PPJoin
+    // positional filter below.
     val prefix = sets.select(col("id"), col("n_sh"),
-      posexplode(slice(col("sh_arr"), lit(1),
+      posexplode(slice(col("ord_sh"), lit(1),
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))))
-      .withColumnRenamed("col", "shingle")
-    // positional filter (PPJoin): a match at 0-based positions (i, j) caps
-    // the achievable overlap at min(|A|-i, |B|-j); J >= t needs overlap >=
-    // t/(1+t)·(|A|+|B|) — prune pairs that cannot reach it.
+      .withColumnRenamed("col", "sh")
+    // Candidate pairs by GROUPING the prefix rows per hashed shingle and
+    // expanding (a, b) pairs in-row — same pairs a prefix self-join
+    // yields, but the (expensive) ordered-prefix subtree is computed ONCE
+    // instead of once per join side, and one shuffle replaces two. The
+    // per-shingle collect is bounded because df-ascending prefixes hold
+    // each doc's rarest shingles: a group's size is the shingle's prefix-
+    // df, which the canonical order keeps near 1 on Zipfian corpora.
     val needed = lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh"))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
-          // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
-          col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
-          col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
-          least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) >= needed)
+    val candidates = prefix
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("n_sh"), col("pos"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
+        col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
+        col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
+        // positional filter (PPJoin): a match at 0-based positions (i, j)
+        // caps the achievable overlap at min(|A|-i, |B|-j); J >= t needs
+        // overlap >= t/(1+t)·(|A|+|B|) — prune pairs that cannot reach it.
+        least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) >= needed)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    jaccardFromSets(candidates, sets, threshold)
+    // A pair sharing several prefix shingles is verified that many times
+    // (bounded by the prefix length); deduping the FINAL tiny result
+    // replaces a full candidate-table shuffle (distinct before verify)
+    // with a few redundant broadcast-join probes — the verified rows are
+    // bit-identical, so the end distinct is exact.
+    jaccardFromSets(candidates, sets, threshold).distinct()
   }
 
   /** MinHash signature via double hashing (Kirsch & Mitzenmacher,
     * ESA'06 — public technique): ONE md5 per shingle split into two 60-bit
     * integers h1/h2, permutation i = h1 + i·h2. Cuts the hash work from
     * k×|shingles| to |shingles| while keeping the per-permutation mins
-    * independent enough for LSH. 60-bit halves keep h1 + k·h2 < 2^63 —
-    * no overflow in Spark OR the DuckDB oracle (which errors on overflow
-    * instead of wrapping). One group-by computes all k mins in a single
-    * shuffle. Output: (id, sig_1 … sig_k) as BIGINT.
+    * independent enough for LSH. 60-bit halves keep h1 + k·h2 < 2^63 for
+    * k ≤ 7 (max h1 + 7·h2 = 8·(2^60−1) = 2^63−8) — no overflow in Spark
+    * OR the DuckDB oracle (which errors on overflow instead of wrapping);
+    * k = 8 would already wrap for large h1/h2. One group-by computes all
+    * k mins in a single shuffle. Output: (id, sig_1 … sig_k) as BIGINT.
     */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    require(k <= 8, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves)")
+    require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
     val base = md5(col("shingle"))
     val h1 = conv(substring(base, 1, 15), 16, 10).cast("long")
     val h2 = conv(substring(base, 17, 15), 16, 10).cast("long")
@@ -168,25 +213,28 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    require(k <= 8, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves)")
+    require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
     // Signatures are computed IN-ROW over the per-doc shingle array in a
     // single codegen pass (graft.functions.MinHashSigsFp: md5 once per
     // shingle, all k mins together — replaces 6k+3 interpreted array
-    // materializations per doc); signature construction needs no shuffle
-    // at all. The persisted set table then feeds banding and exact
-    // verification.
+    // materializations per doc). They are derived NARROWLY on top of the
+    // shared persisted set table (same plan the Jaccard pipeline persists
+    // — one cache entry feeds both), so signature construction adds no
+    // shuffle and no second materialization.
+    val sets = persistedSets(docs, idCol, textCol, n)
     val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sigs = sets
       .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
-      .select(Seq(col("id"), col("sh_arr"), col("n_sh")) ++ sigCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = lshBuckets(sets.filter(col("n_sh") > 0), k, rowsPerBand)
+      .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
+    val buckets = lshBuckets(sigs.filter(col("n_sh") > 0), k, rowsPerBand)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    jaccardFromSets(candidates, sets, threshold)
+    // No distinct before verify: docs agreeing on several bands are
+    // verified once per band (bounded by nBands) and the tiny verified
+    // result is deduped instead — saves the candidate-table shuffle.
+    jaccardFromSets(candidates, sets, threshold).distinct()
   }
 
   /** 16-bit SimHash over token frequency: bit j is the sign of

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * oracle mirrors: per shingle, h1 = first 15 hex digits of md5 (= the
   * top 60 bits of the big-endian digest), h2 = hex digits 17..31, and
   * sig_i = min over shingles of h1 + i·h2 (Kirsch-Mitzenmacher double
-  * hashing; 60-bit halves keep h1 + k·h2 < 2^63). Empty array → NULL
-  * (min over an empty set).
+  * hashing; 60-bit halves keep h1 + k·h2 < 2^63 only for k ≤ 7 — max
+  * h1 + 7·h2 = 8·(2^60−1) = 2^63−8 — so k = 8 is rejected). Empty array →
+  * NULL (min over an empty set). Arrays with nullable elements are
+  * rejected at type-check time: the builtin transform(md5) chain this is
+  * bit-identical to propagates null per element, which a min-tracking
+  * single pass cannot mirror.
   */
 case class MinHashSigsFp(child: Expression, k: Int) extends UnaryExpression {
 
@@ -29,11 +33,13 @@ case class MinHashSigsFp(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sigs_fp"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if k >= 1 && k <= 8 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) =>
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: k=$k out of range 1..8")
+    case ArrayType(StringType, false) if k >= 1 && k <= 7 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, false) =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: k=$k out of range 1..7")
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires non-nullable array elements (null shingles have no md5)")
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${dt.catalogString}")
+      s"$prettyName requires array<string> with non-null elements, got ${dt.catalogString}")
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -122,5 +122,5 @@ object EventStream {
   /** Batch view of the driver events table: epoch-nanos `ts` (read via
     * nanosAsLong) back to a proper timestamp. */
   def batchEvents(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

@@ -3,8 +3,10 @@ package graft
 class OracleSqlSpec extends SparkSpec {
 
   /** Queries deliberately without a DuckDB oracle (engine-specific
-    * results); the driver records a rows-only check for these. */
-  private val rowsOnly = Set("q_approx_count_distinct")
+    * results); the driver records a rows-only check for these. Empty
+    * since round 3: q_approx_count_distinct now verifies through the
+    * engine-independent within-tolerance contract. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has either an oracle or is intentionally rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
