@@ -12,7 +12,8 @@ object Bench {
     // persist() intermediate tables, whose second run would reuse the
     // cache (Spark's CacheManager matches identical plans) and report a
     // flattered number. Those two are timed from their small-SF-warmed
-    // cold run; everything else recomputes fully on the timed pass.
+    // cold run; the timed pass itself is honest about their shared build:
+    // whichever runs first pays the one-time persisted-table cost.
     val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -24,16 +25,25 @@ object Bench {
       .filterNot { case (name, _) => cachingQueries(name) }
       .foreach { case (_, fn) => try { fn(spark, sfDir).count() }
         catch { case _: Throwable => () } }
+    // Warm-up persists (and any stray cache) must not leak into the timed
+    // pass — the timed run rebuilds its own caches from zero.
+    spark.catalog.clearCache()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // don't bill one query's garbage to the next
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,12 +117,46 @@ object Vectors {
     * list membership is deterministic; zero-magnitude vectors are
     * excluded (no meaningful direction to assign).
     */
+  /** Corpus-side IVF inverted lists: every vector assigned to its nearest
+    * centroid (cosine DESC, centroid id ASC tie-break) through ONE in-row
+    * argmax — `array_max` over `transform` of a broadcast array of
+    * centroid structs. The assignment plan is scan → project: NO shuffle,
+    * NO window, and the nCentroids× row blow-up of a crossJoin+rank
+    * formulation never materializes, so the index build scales linearly
+    * with the corpus. (The single transform lambda keeps one copy of the
+    * dot-product subtree in the expression DAG — unlike a chained
+    * when/greatest argmax, which embeds it O(n²) times.) Centroids — the
+    * coarse quantizer — are tiny by design; IVF keeps them resident.
+    * Returns (cent_id, c_id, c_v, c_n); zero-magnitude vectors excluded.
+    */
+  def ivfLists(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), fixedPoint(col(vecCol)).as("cent_v"))
+      .withColumn("cent_n", normSqFp(col("cent_v")))
+      .filter(col("cent_n") > 0)
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("cent_v"), col("cent_n"))).as("cs"))
+    val v = corpus.select(col(idCol).as("c_id"), fixedPoint(col(vecCol)).as("c_v"))
+      .withColumn("c_n", normSqFp(col("c_v")))
+      .filter(col("c_n") > 0)
+    v.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(
+          cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
+            .as("cos"),
+          (-c.getField("cent_id")).as("neg_id")))))
+      .select((-col("best.neg_id")).as("cent_id"), col("c_id"), col("c_v"), col("c_n"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
     require(nProbe <= nCentroids, s"nProbe=$nProbe > nCentroids=$nCentroids")
     val cents = broadcast(corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cent_id"), fixedPoint(col(vecCol)).as("cent_v"))
       .withColumn("cent_n", normSqFp(col("cent_v"))))
+    // Query-side probe selection (top-nProbe lists per query) stays a
+    // window rank: the query set is the small side by definition.
     def assign(df: DataFrame, side: String, probes: Int): DataFrame = {
       val v = df.select(col(idCol).as(s"${side}_id"), fixedPoint(col(vecCol)).as(s"${side}_v"))
         .withColumn(s"${side}_n", normSqFp(col(s"${side}_v")))
@@ -136,7 +170,7 @@ object Vectors {
       scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
         .select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"), col("cent_id"))
     }
-    val lists = assign(corpus, "c", 1)            // each corpus vector in ONE list
+    val lists = ivfLists(corpus, idCol, vecCol, nCentroids) // narrow build
     val probes = assign(queries, "q", nProbe)     // each query probes nProbe lists
     val scored = probes.join(lists, Seq("cent_id"))
       .filter(col("c_id") =!= col("q_id"))

@@ -57,6 +57,23 @@ class VectorsSpec extends SparkSpec {
     assert(out.head._2 > 0.99)
   }
 
+  test("ivfLists assignment is narrow: no shuffle, no window over the corpus") {
+    val corpus = (0L until 40L).map { i =>
+      val angle = (i % 8).toDouble / 8 * 2 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f))
+    }.toDF("vec_id", "embedding")
+    val lists = Vectors.ivfLists(corpus, "vec_id", "embedding", nCentroids = 8)
+    lists.collect() // materialize so the executed plan is final
+    val plan = lists.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle in IVF build:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in IVF build:\n$plan")
+    // every non-zero vector lands in exactly one list, ties to lowest id
+    assert(lists.count() == 40)
+    val own = lists.filter($"c_id" < 8).select($"c_id", $"cent_id")
+      .as[(Long, Long)].collect().toMap
+    assert(own.forall { case (id, cent) => id == cent }) // centroids self-assign
+  }
+
   test("fixed-point dot is exact and order-independent") {
     val d = Seq((Array(0.5f, 0.25f), Array(0.5f, 0.25f))).toDF("a", "b")
       .select(Vectors.dotFp(Vectors.fixedPoint($"a"), Vectors.fixedPoint($"b")).as("d"))
