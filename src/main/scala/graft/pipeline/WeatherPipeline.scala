@@ -219,22 +219,44 @@ object WeatherPipeline {
   /** End-to-end batch run mirroring the DAG's task chain
     * (dags/weatherstack_full_pipeline.py:172): ingest → staging → test →
     * marts → test → write. Throws on test failure like the DAG's failing
-    * dbt_test task. Mart writes partition by extraction_date — the
-    * at-scale layout for daily incremental overwrites.
+    * dbt_test task.
+    *
+    * Scale posture: `raw` is persisted across its four consumers (raw
+    * append + two marts + tests) instead of re-parsing the payloads per
+    * sink, and the fact write goes through DYNAMIC partition overwrite
+    * (graft.sources.IO.writePartitioned) — a daily re-run replaces only
+    * the `extraction_date` partitions present in the batch, O(day) not
+    * O(table).
     */
   def runBatch(payloads: DataFrame, dataIntervalStart: Timestamp, now: Timestamp,
                outDir: String): Unit = {
     val raw = ingest(payloads, dataIntervalStart, now)
-    raw.write.mode("append").parquet(s"$outDir/raw/weather")
-    val stg = stgWeather(raw)
-    val dim = dimLocations(stg)
-    val fct = fctWeatherObservations(stg)
-    Tests.all(dim, fct).foreach { case (name, violations) =>
-      val n = violations.limit(1).count()
-      require(n == 0, s"data-quality test failed: $name")
-    }
-    dim.write.mode("overwrite").parquet(s"$outDir/marts/dim_locations")
-    fct.write.mode("overwrite").partitionBy("extraction_date")
-      .parquet(s"$outDir/marts/fct_weather_observations")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      raw.write.mode("append").parquet(s"$outDir/raw/weather")
+      val stg = stgWeather(raw)
+      val dim = dimLocations(stg)
+      val fct = fctWeatherObservations(stg)
+      Tests.all(dim, fct).foreach { case (name, violations) =>
+        val n = violations.limit(1).count()
+        require(n == 0, s"data-quality test failed: $name")
+      }
+      dim.write.mode("overwrite").parquet(s"$outDir/marts/dim_locations")
+      graft.sources.IO.writePartitioned(fct, Seq("extraction_date"),
+        s"$outDir/marts/fct_weather_observations")
+    } finally { raw.unpersist(); () }
+  }
+
+  /** The full daily run the reference's DAG schedules: per-city fetch
+    * (retry + skip-on-error, WeatherFetcher.fetchAll) → payload frame →
+    * `runBatch`. Returns the fetch results so callers can log/alert on
+    * skipped cities, as the reference prints per-city errors. */
+  def runDaily(spark: org.apache.spark.sql.SparkSession, fetcher: WeatherFetcher,
+               cities: Seq[String], dataIntervalStart: Timestamp, now: Timestamp,
+               outDir: String, retries: Int = 2,
+               log: String => Unit = _ => ()): Seq[WeatherFetcher.FetchResult] = {
+    val results = WeatherFetcher.fetchAll(fetcher, cities, retries, log)
+    runBatch(WeatherFetcher.payloads(spark, results), dataIntervalStart, now, outDir)
+    results
   }
 }

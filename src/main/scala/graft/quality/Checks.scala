@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
@@ -22,9 +22,18 @@ import graft.ops.Relational
   */
 object Checks {
 
-  sealed trait Check { def name: String; def violations(df: DataFrame): DataFrame }
+  sealed trait Check {
+    def name: String
+    def violations(df: DataFrame): DataFrame
 
-  /** dbt `unique` (composite keys allowed). */
+    /** Row-level violation predicate, when the check is expressible per
+      * row: lets `report` fuse every such check into ONE conditional
+      * aggregate pass. None for checks that need grouping (Unique). */
+    def rowViolation: Option[Column] = None
+  }
+
+  /** dbt `unique` (composite keys allowed). Not a row predicate — its
+    * violation count is "number of duplicated key groups". */
   final case class Unique(cols: Seq[String]) extends Check {
     val name = s"unique_${cols.mkString("_")}"
     def violations(df: DataFrame): DataFrame = Relational.duplicates(df, cols)
@@ -34,6 +43,7 @@ object Checks {
   final case class NotNull(col0: String) extends Check {
     val name = s"not_null_$col0"
     def violations(df: DataFrame): DataFrame = Relational.nullViolations(df, col0)
+    override def rowViolation: Option[Column] = Some(col(col0).isNull)
   }
 
   /** dbt `accepted_values` (NULLs pass, like SQL NOT IN). */
@@ -41,6 +51,8 @@ object Checks {
     val name = s"accepted_values_$col0"
     def violations(df: DataFrame): DataFrame =
       Relational.acceptedValuesViolations(df, col0, values)
+    override def rowViolation: Option[Column] =
+      Some(col(col0).isNotNull && !col(col0).isin(values.map(_.asInstanceOf[Any]): _*))
   }
 
   /** Closed-range test (the reference's unimplemented roadmap item,
@@ -50,20 +62,37 @@ object Checks {
     val name = s"in_range_$col0"
     def violations(df: DataFrame): DataFrame =
       df.filter(col(col0).isNotNull && !col(col0).between(lo, hi))
+    override def rowViolation: Option[Column] =
+      Some(col(col0).isNotNull && !col(col0).between(lo, hi))
   }
 
   /** Arbitrary predicate that every row must satisfy. */
   final case class Satisfies(name: String, predicateSql: String) extends Check {
     def violations(df: DataFrame): DataFrame = df.filter(s"NOT ($predicateSql)")
+    override def rowViolation: Option[Column] = Some(not(expr(predicateSql)))
   }
 
-  /** One row per check: (check, n_violations, passed). Violation counts
-    * run as one Spark job per check over the (ideally cached) input. */
-  def report(df: DataFrame, checks: Seq[Check]): Seq[(String, Long, Boolean)] =
-    checks.map { c =>
-      val n = c.violations(df).count()
+  /** One row per check: (check, n_violations, passed). All row-predicate
+    * checks (not_null / accepted_values / in_range / satisfies) fuse into
+    * a SINGLE conditional-aggregate scan — one job however many checks —
+    * and only grouping checks (Unique) cost an extra aggregation each. */
+  def report(df: DataFrame, checks: Seq[Check]): Seq[(String, Long, Boolean)] = {
+    val fused = checks.zipWithIndex
+      .collect { case (c, i) => c.rowViolation.map(p => (i, c, p)) }.flatten
+    val fusedCounts: Map[Int, Long] =
+      if (fused.isEmpty) Map.empty
+      else {
+        val aggs = fused.map { case (i, _, p) =>
+          coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"c_$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        fused.map { case (i, _, _) => i -> row.getAs[Long](s"c_$i") }.toMap
+      }
+    checks.zipWithIndex.map { case (c, i) =>
+      val n = fusedCounts.getOrElse(i, c.violations(df).count())
       (c.name, n, n == 0)
     }
+  }
 
   /** Pipeline gate: throws on the first failing check (mirrors the
     * reference DAG failing on dbt test, dags/weatherstack_full_pipeline

@@ -121,4 +121,21 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/marts/fct_weather_observations")
       .listFiles().exists(_.getName.startsWith("extraction_date=")))
   }
+
+  test("re-running a day overwrites only that extraction_date partition") {
+    val dir = java.nio.file.Files.createTempDirectory("wp-dyn").toString
+    val day2 = Timestamp.valueOf("2024-06-03 09:00:00")
+    WeatherPipeline.runBatch(payloads, t0, now, dir)   // day 1: 3 rows
+    val oneCity = Seq(("Rome", payload("Rome", "Italy", 22, "sunny")))
+      .toDF("city", "raw_json")
+    WeatherPipeline.runBatch(oneCity, t0, day2, dir)   // day 2: 1 row
+    val fct = spark.read.parquet(s"$dir/marts/fct_weather_observations")
+    // dynamic partition overwrite: day 1's partition survives the day-2 run
+    assert(fct.count() == 4)
+    assert(fct.filter($"extraction_date" === "2024-06-02").count() == 3)
+    assert(fct.filter($"extraction_date" === "2024-06-03").count() == 1)
+    // re-run day 2 with the same batch → still 1 row for that day, not 2
+    WeatherPipeline.runBatch(oneCity, t0, day2, dir)
+    assert(spark.read.parquet(s"$dir/marts/fct_weather_observations").count() == 4)
+  }
 }
