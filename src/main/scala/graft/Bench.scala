@@ -14,7 +14,8 @@ object Bench {
     // flattered number. Those two are timed from their small-SF-warmed
     // cold run; the timed pass itself is honest about their shared build:
     // whichever runs first pays the one-time persisted-table cost.
-    val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh")
+    val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh",
+      "q_simhash", "q_simhash_dedup")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -305,6 +305,13 @@ object OracleSql {
         | AND b.ts <= a.ts + INTERVAL 5 MINUTE
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_json_serialize" ->
+      """SELECT o_orderkey,
+        |       to_json(struct_pack(o_orderkey := o_orderkey,
+        |                           o_orderstatus := o_orderstatus)) AS payload
+        |FROM orders WHERE o_orderstatus IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -58,6 +58,36 @@ object ProfileNgram {
           "doc_id", "text", n, 6, 2, 0.7).count()
       }
     }
+    // minhash sub-stages on the warm shared cache (same plan as
+    // persistedSets → CacheManager serves it)
+    val sets2 = {
+      val ex = Dedup.shingles(d, "doc_id", "text", n)
+        .withColumn("sh", xxhash64(col("shingle")))
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .groupBy("id")
+        .agg(
+          sort_array(collect_list(col("shingle"))).as("sh_arr"),
+          count(lit(1)).as("n_sh"),
+          transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+            s => s.getField("sh")).as("ord_sh"))
+        .repartition(nPart, col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    time("sets2 count (cache hit?)")(sets2.count())
+    val k = 6
+    val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
+    val sigs = sets2
+      .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
+      .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
+    (1 to 2).foreach(i => time(s"sigs narrow $i")(sigs.count()))
+    val buckets = Dedup.lshBuckets(sigs.filter(col("n_sh") > 0), k, 2)
+    (1 to 2).foreach(i => time(s"buckets $i")(buckets.count()))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    (1 to 2).foreach(i => time(s"candidates mh $i")(cand.count()))
     spark.stop()
   }
 }

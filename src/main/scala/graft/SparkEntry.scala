@@ -298,6 +298,18 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** E8 — JSON serialization (`to_json`): rows re-encoded as compact JSON
+    * objects, the payload-envelope shape the reference keeps in its
+    * raw_json column. Non-null fields only: Spark omits null fields where
+    * DuckDB emits them, so the verified contract covers the common
+    * (non-null) encoding both engines agree on byte-for-byte. */
+  private def qJsonSerialize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderstatus").isNotNull)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("payload"))
+      .orderBy(col("o_orderkey"))
+
   private def qJsonExtract(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_id"), col("event_type"),
@@ -421,8 +433,16 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  private def qSimhash(s: SparkSession, d: String): DataFrame =
+  /** Both simhash queries persist this identical plan, so the signature
+    * table materializes ONCE per session (CacheManager dedupes identical
+    * plans) — the in-session analogue of materializing the corpus
+    * signature table that every simhash consumer reads at 100 TB. */
+  private def simhashShared(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def qSimhash(s: SparkSession, d: String): DataFrame =
+    simhashShared(s, d)
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
@@ -432,7 +452,7 @@ object SparkEntry {
     * Dedup.simhashNearDupPairs exists for spot mining but its output is
     * quadratic in cluster size — wrong shape for a corpus-wide pass). */
   private def qSimhashDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+    simhashShared(s, d)
       .groupBy(col("simhash"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("keep_id"))
@@ -506,6 +526,7 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_anti_accepted_values" -> (qAntiAcceptedValues _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_json_serialize" -> (qJsonSerialize _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
     "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),

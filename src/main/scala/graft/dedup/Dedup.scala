@@ -72,45 +72,62 @@ object Dedup {
     * group-by over matched shingle rows.
     */
   private def jaccardFromSets(candidates: DataFrame, sets: DataFrame,
-                              threshold: Double): DataFrame =
+                              threshold: Double): DataFrame = {
+    // Both lookups join the IDENTICAL projection (aliased, not renamed):
+    // the two broadcast subplans are then equal and exchange reuse builds
+    // the broadcast once instead of twice.
+    val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
     candidates
-      .join(sets.select(col("id").as("id_a"), col("sh_arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh_arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .join(s.as("sa"), col("id_a") === col("sa.id"))
+      .join(s.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sa.sh_arr"), col("sb.sh_arr"))).cast("long"))
       .select(col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        (col("n_inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
-  /** The shared persisted per-doc set table — (id, sh_arr, n_sh, ord_sh)
-    * where `ord_sh` is the doc's xxhash64'd shingles in CANONICAL order:
-    * ascending global document frequency, hashed shingle as tie-break
-    * (the AllPairs/PPJoin preprocessing). BOTH near-dup pipelines persist
+  /** The shared persisted per-doc set table (id, sh_arr, n_sh) — a pure
+    * NARROW build (ShingleArray per row, no shuffle beyond whatever
+    * partitioning the caller provides). Both near-dup pipelines persist
     * this exact plan, so Spark's CacheManager keeps ONE copy and
-    * whichever pipeline runs first pays the build — the in-session
-    * equivalent of materializing the canonical corpus shingle table once
-    * at 100 TB and pointing every consumer at it. Folding the df ordering
-    * into the build means the Jaccard query's prefix generation is a
-    * narrow slice of `ord_sh` at query time: the df aggregation's two
-    * shuffles happen once per corpus, not once per query.
-    *
-    * Downstream only needs shingle EQUALITY plus a fixed total order,
-    * which the 8-byte hash provides at a fraction of the string cost; a
-    * rare hash collision merely admits one extra candidate pair, which
-    * the exact (string-set) verification discards.
-    */
+    * whichever pipeline runs first pays the (cheap) build — the
+    * in-session equivalent of materializing the corpus shingle table
+    * once at 100 TB and pointing every consumer at it. */
   private def persistedSets(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int): DataFrame = {
-    val base = shingleSets(docs, idCol, textCol, n)
-    val exploded = base.select(col("id"), explode(col("sh_arr")).as("shingle"))
+                            n: Int): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The canonical-order index on top of the set table — (id, n_sh,
+    * ord_sh) with the doc's xxhash64'd shingles sorted by ascending
+    * global document frequency, hashed shingle as tie-break (the
+    * AllPairs/PPJoin preprocessing). Persisted separately from the base
+    * table so only the Jaccard pipeline pays the df aggregation, and the
+    * index rows carry 8-byte hashes only — downstream candidate
+    * generation needs shingle EQUALITY plus a fixed total order, both of
+    * which the hash provides at a fraction of the string cost; a rare
+    * hash collision merely admits one extra candidate pair, which the
+    * exact (string-set) verification against the base table discards.
+    * At 100 TB these are the two materialized artifacts of a dedup
+    * corpus: the shingle-set table and its ordered prefix index. */
+  private def persistedOrderIndex(sets: DataFrame): DataFrame = {
+    val exploded = sets.select(col("id"), explode(col("sh_arr")).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
-    val ordered = exploded
+    // The explicit numbered repartition pins the cached index's partition
+    // count: AQE would otherwise coalesce the (byte-wise tiny) aggregate
+    // output to ~1 partition, serializing the narrow prefix expansion
+    // that runs on top of the cache onto one core.
+    val nPart = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    exploded
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("sh")))),
-        s => s.getField("sh")).as("ord_sh"))
-    base.join(ordered, Seq("id"), "left")
-      .withColumn("ord_sh", coalesce(col("ord_sh"), array().cast("array<bigint>")))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+          s => s.getField("sh")).as("ord_sh"))
+      .repartition(nPart, col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -128,13 +145,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sets = persistedSets(docs, idCol, textCol, n)
-    // Prefixes come straight off the canonically-ordered hash array the
-    // shared set table already carries: rarest-first order means prefix
-    // collisions almost never happen on natural (Zipfian) corpora. A
-    // NARROW slice — prefix length = |X| - ceil(t*|X|) + 1 — with
-    // posexplode keeping the 0-based canonical position for the PPJoin
-    // positional filter below.
-    val prefix = sets.select(col("id"), col("n_sh"),
+    // Prefixes come straight off the canonically-ordered hash index:
+    // rarest-first order means prefix collisions almost never happen on
+    // natural (Zipfian) corpora. A NARROW slice — prefix length =
+    // |X| - ceil(t*|X|) + 1 — with posexplode keeping the 0-based
+    // canonical position for the PPJoin positional filter below.
+    val index = persistedOrderIndex(sets)
+    val prefix = index.select(col("id"), col("n_sh"),
       posexplode(slice(col("ord_sh"), lit(1),
         (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))))
       .withColumnRenamed("col", "sh")
@@ -227,10 +244,18 @@ object Dedup {
       .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
       .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
     val buckets = lshBuckets(sigs.filter(col("n_sh") > 0), k, rowsPerBand)
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // Candidates by grouping per (band, bucket) and expanding pairs
+    // in-row — the pairs a bucket self-join would emit, at ONE shuffle
+    // instead of two join sides plus an exchange. Bucket sizes are small
+    // by LSH construction (that is the point of banding), so the
+    // per-bucket collect stays bounded.
+    val candidates = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
     // No distinct before verify: docs agreeing on several bands are
     // verified once per band (bounded by nBands) and the tiny verified
     // result is deduped instead — saves the candidate-table shuffle.
@@ -266,11 +291,17 @@ object Dedup {
     val buckets = sim.select(col("id"), col("v"),
       explode(array(chunks: _*)).as("cb"))
       .select(col("id"), col("v"), col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
-    buckets.as("x").join(buckets.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.bits") === col("y.bits") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        expr("bit_count(x.v ^ y.v)").cast("int").as("hamming"))
+    // pair expansion per bucket group (one shuffle, no self-join); bucket
+    // sizes are bounded by the pigeonhole banding, same as LSH buckets
+    buckets
+      .groupBy(col("chunk"), col("bits"))
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.v ^ b.v)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
