@@ -389,6 +389,96 @@ object OracleSql {
         |       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_repetition" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(g) > 0
+        |            THEN CAST(list_max(list_transform(list_distinct(g),
+        |                   x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g)
+        |       END AS top_2gram_frac,
+        |       CASE WHEN len(toks) > 0
+        |            THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |       END AS dup_token_frac
+        |FROM (SELECT doc_id, toks,
+        |             CASE WHEN len(toks) >= 2
+        |                  THEN list_transform(range(1, len(toks)),
+        |                         i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+        |                  ELSE [] END AS g
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val hitCols = TextOps.Stopwords
+        .map { case (lang, words) => s"${vocabHits(words)} AS h_$lang" }
+        .mkString(",\n         ")
+      val langs = TextOps.Stopwords.map(_._1)
+      val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN best > 0 AND h_$l = best THEN '$l'")
+        .mkString("\n            ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         $hitCols
+         |  FROM documents),
+         |g AS (SELECT doc_id, h.*, $best AS best FROM h),
+         |l AS (
+         |  SELECT doc_id,
+         |         CASE $cases
+         |              ELSE 'und' END AS lang
+         |  FROM g),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY md5(concat('strat|', CAST(doc_id AS VARCHAR))), doc_id)
+         |         AS INTEGER) AS sample_rank
+         |  FROM l)
+         |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 50
+         |ORDER BY lang, sample_rank""".stripMargin
+    },
+
+    "q_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |st AS (SELECT count(*) AS n_docs FROM dl),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(round(tf.tf * ln(CAST(st.n_docs AS DOUBLE) / dfx.df) * 1000000.0)
+        |              AS BIGINT) AS score_fp
+        |  FROM tf JOIN dfx ON tf.term = dfx.term, st),
+        |r AS (
+        |  SELECT doc_id, term, score_fp,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY score_fp DESC, term ASC) AS INTEGER) AS term_rank
+        |  FROM sc)
+        |SELECT doc_id, term, score_fp, term_rank FROM r WHERE term_rank <= 3
+        |ORDER BY doc_id, term_rank""".stripMargin,
+
+    "q_bm25_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         CAST(round(
+        |           ln((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+        |             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+        |             * 1000000.0) AS BIGINT) AS w_fp
+        |  FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, st),
+        |agg AS (SELECT doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp FROM sc GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, score_fp,
+        |         CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS INTEGER) AS doc_rank
+        |  FROM agg)
+        |SELECT doc_id, score_fp, doc_rank FROM r WHERE doc_rank <= 10
+        |ORDER BY doc_rank""".stripMargin,
+
     "q_winnow_fingerprint" ->
       """SELECT doc_id,
         |       CASE WHEN len(toks) >= 4

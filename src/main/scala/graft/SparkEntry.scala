@@ -380,6 +380,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition filters (Rae et al., arXiv:2112.11446):
+    * top-bigram fraction + duplicate-token fraction — the signals that
+    * catch boilerplate/spam documents in corpus cleaning. */
+  private def qRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.topNgramFrac(col("text"), 2).as("top_2gram_frac"),
+        TextOps.dupTokenFrac(col("text")).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stratified sampling: per-language quota via a hash-
+    * ordered rank inside each stratum — the reproducible per-source/
+    * per-language subsampling step of corpus assembly. Stable under
+    * re-runs and any partitioning (hash order, not randomSplit). */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .withColumn("h", md5(concat(lit("strat|"), col("doc_id").cast("string"))))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  /** TF-IDF top-3 terms per document (quantized scores — see
+    * text.Search scaladoc for the cross-engine numeric strategy). */
+  private def qTfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.tfidfTopTerms(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("term_rank"))
+
+  /** BM25 keyword search: top-10 documents for a fixed conjunctive bag
+    * of terms, postings pruned before any shuffle. */
+  private def qBm25Search(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bm25TopDocs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
+      Seq("hash", "join", "scan"), 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_rank"))
+
   private def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
     spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
@@ -537,6 +577,10 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_regex_tokens" -> (qRegexTokens _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_repetition" -> (qRepetition _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_tfidf_topterms" -> (qTfidfTopTerms _),
+    "q_bm25_search" -> (qBm25Search _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_multimodal_decode" -> (qMultimodalDecode _),

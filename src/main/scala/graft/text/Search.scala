@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword search / term weighting over the document corpus: TF-IDF top
+  * terms per document and BM25 ranking (Robertson & Spärck Jones — public
+  * formulas). The engine-portability strategy mirrors similarity.Vectors:
+  * every per-term weight is quantized to fixed-point BIGINT (×1e6)
+  * BEFORE summation/ranking, so aggregation is exact integer arithmetic —
+  * order-independent under any partitioning and bit-identical across
+  * engines (the one transcendental, ln, is computed on identical inputs
+  * in both engines; quantization absorbs its sub-ulp wobble).
+  *
+  * Scale shape: token explode → (id, term) group-by is the classic
+  * map-side-combining aggregation; for BM25 the query-term filter is
+  * pushed BELOW the aggregations so only matching postings shuffle —
+  * per-query work is O(postings of query terms), not O(corpus tokens).
+  */
+object Search {
+
+  val ScoreScale = 1000000.0
+
+  private def fp(c: Column): Column = round(c * ScoreScale).cast("long")
+
+  /** (id, term, tf) term frequencies — one shuffle with partial combine. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (id, dl) document lengths in tokens (docs with ≥ 1 token). */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokenCount(col(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+
+  /** Corpus stats as a single broadcastable row: (n_docs, avgdl).
+    * avgdl = exact long sum / count — order-free. */
+  private def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+  /** Top-k terms per document by TF-IDF (idf = ln(N / df)), ranked by the
+    * quantized score with term as tie-break. Returns
+    * (id, term, score_fp, term_rank). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docLengths(docs, idCol, textCol))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(stats))
+      .withColumn("score_fp",
+        fp(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+    val w = Window.partitionBy("id").orderBy(col("score_fp").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("id"), col("term"), col("score_fp"), col("term_rank"))
+  }
+
+  /** BM25 top-k documents for a bag of query terms (k1/b are the classic
+    * defaults). idf = ln((N − df + 0.5)/(df + 0.5) + 1); each term's
+    * contribution is quantized then summed as exact integers. The query-
+    * term filter runs BEFORE any shuffle, so only matching postings move.
+    * Returns (id, score_fp, doc_rank). */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docLengths(docs, idCol, textCol)
+    val stats = corpusStats(dl)
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    // (1-b) + b·dl/avgdl, then ×k1 — written so each double op matches
+    // the oracle SQL operation-for-operation (IEEE-deterministic)
+    val lenNorm = lit(1 - b) + col("dl") * b / col("avgdl")
+    val wTerm = idf * (col("tf") * (k1 + 1)) / (col("tf") + lenNorm * k1)
+    val scored = tf.join(dfT, "term").join(dl, "id").crossJoin(broadcast(stats))
+      .withColumn("w_fp", fp(wTerm))
+      .groupBy("id").agg(sum(col("w_fp")).as("score_fp"))
+    // global top-k via sort+limit (TakeOrderedAndProject — no single-
+    // partition window over the full match set); the rank column is then
+    // a window over at most k rows.
+    val top = scored.orderBy(col("score_fp").desc, col("id").asc).limit(k)
+    top.withColumn("doc_rank",
+        row_number().over(Window.orderBy(col("score_fp").desc, col("id").asc)))
+      .select(col("id"), col("score_fp"), col("doc_rank"))
+  }
+}

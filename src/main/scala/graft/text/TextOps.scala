@@ -84,6 +84,38 @@ object TextOps {
     size(regexp_extract_all(text, lit("[0-9]+"), lit(0))),
     size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]+"), lit(0))))
 
+  /** Non-distinct word n-gram array (keeps duplicates — repetition
+    * metrics need multiplicity, unlike the dedup shingle set). Docs with
+    * < n tokens yield an empty array. */
+  def ngramArray(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of the doc's n-grams taken by its single most frequent
+    * n-gram — the "top n-gram fraction" repetition filter of large-corpus
+    * quality pipelines (Rae et al., Gopher, arXiv:2112.11446 §A1.1 —
+    * public method). In-row O(distinct·total) HOF scan; NULL for docs
+    * with no n-grams. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val g = ngramArray(text, n)
+    when(size(g) > 0,
+      array_max(transform(array_distinct(g), x => size(filter(g, y => y === x))))
+        .cast("double") / size(g))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token
+    * (1 − distinct/total) — the duplicate-token repetition signal. NULL
+    * for empty docs. */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style, Schleimer et al.
     * SIGMOD'03): hash every `w`-token window, keep the minimum — robust to
     * local edits, unlike the whole-document md5. Docs shorter than `w`

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hash join hash join hash"),
+    (2L, "scan filter scan"),
+    (3L, "hash scan merge sort"),
+    (4L, "window window window window")
+  ).toDF("doc_id", "text")
+
+  test("termFreqs counts multiplicity per (doc, term)") {
+    val tf = Search.termFreqs(docs, "doc_id", "text")
+      .filter($"id" === 1L).orderBy($"term")
+      .select($"term", $"tf").as[(String, Long)].collect()
+    assert(tf.toSeq == Seq(("hash", 3L), ("join", 2L)))
+  }
+
+  test("tfidf ranks a doc's distinctive terms first") {
+    val out = Search.tfidfTopTerms(docs, "doc_id", "text", 2)
+    // doc 4: 'window' appears only there, 4 times → must be its top term
+    val top4 = out.filter($"id" === 4L && $"term_rank" === 1)
+      .select($"term").as[String].collect()
+    assert(top4.toSeq == Seq("window"))
+    // ranks are 1..k, deterministic
+    assert(out.filter($"term_rank" < 1).count() == 0)
+    assert(out.groupBy("id").count().filter($"count" > 2).count() == 0)
+  }
+
+  test("bm25 ranks docs containing more query terms higher; non-matching docs absent") {
+    val out = Search.bm25TopDocs(docs, "doc_id", "text", Seq("hash", "scan"), 10)
+      .orderBy($"doc_rank")
+      .select($"id", $"doc_rank").as[(Long, Int)].collect()
+    // doc 4 has neither term → absent; docs 1,2,3 present
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // doc 3 contains BOTH terms → idf sum ranks it first
+    assert(out.head._1 == 3L)
+  }
+
+  test("bm25 is stable under repartitioning (quantized integer scores)") {
+    val a = Search.bm25TopDocs(docs, "doc_id", "text", Seq("hash", "scan"), 10).collect()
+    val b = Search.bm25TopDocs(docs.repartition(7), "doc_id", "text", Seq("hash", "scan"), 10).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("repetition metrics: repeated bigrams and tokens score high") {
+    val m = docs.select($"doc_id",
+      TextOps.topNgramFrac($"text", 2).as("t2"),
+      TextOps.dupTokenFrac($"text").as("dup"))
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double)].collect()
+    // doc 4 "window x4": bigrams are 3x "window window" → frac 1.0; dup 3/4
+    assert(m(3)._2 == 1.0)
+    assert(m(3)._3 == 0.75)
+    // doc 3 all-distinct tokens → dup 0.0
+    assert(m(2)._3 == 0.0)
+  }
+
+  test("repetition metrics are NULL for docs below the n-gram size") {
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+      .select(TextOps.topNgramFrac($"text", 2).as("t2"))
+      .collect()
+    assert(one.head.isNullAt(0))
+  }
+}
