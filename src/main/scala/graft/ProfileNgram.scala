@@ -58,26 +58,15 @@ object ProfileNgram {
           "doc_id", "text", n, 6, 2, 0.7).count()
       }
     }
-    // minhash sub-stages on the warm shared cache (same plan as
-    // persistedSets → CacheManager serves it)
-    val sets2 = {
-      val ex = Dedup.shingles(d, "doc_id", "text", n)
-        .withColumn("sh", xxhash64(col("shingle")))
-      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .groupBy("id")
-        .agg(
-          sort_array(collect_list(col("shingle"))).as("sh_arr"),
-          count(lit(1)).as("n_sh"),
-          transform(array_sort(collect_list(struct(col("df"), col("sh")))),
-            s => s.getField("sh")).as("ord_sh"))
-        .repartition(nPart, col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    time("sets2 count (cache hit?)")(sets2.count())
+    // minhash sub-stages on the warm shared set table: `sets` (persisted
+    // above) is the SAME (id, sh_arr, n_sh) plan minhashLshPairs persists
+    // internally, so these timings really do measure work on top of the
+    // warm cache — no third cache entry, no cold rebuild mislabeled as a
+    // hit.
+    time("sets count (warm cache)")(sets.count())
     val k = 6
     val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
-    val sigs = sets2
+    val sigs = sets
       .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
       .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
     (1 to 2).foreach(i => time(s"sigs narrow $i")(sigs.count()))

@@ -476,10 +476,12 @@ object SparkEntry {
   /** Both simhash queries persist this identical plan, so the signature
     * table materializes ONCE per session (CacheManager dedupes identical
     * plans) — the in-session analogue of materializing the corpus
-    * signature table that every simhash consumer reads at 100 TB. */
+    * signature table that every simhash consumer reads at 100 TB.
+    * Registered with [[graft.Caches]] so `Caches.release()` frees it. */
   private def simhashShared(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(
+      Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def qSimhash(s: SparkSession, d: String): DataFrame =
     simhashShared(s, d)

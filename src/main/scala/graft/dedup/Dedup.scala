@@ -97,8 +97,9 @@ object Dedup {
     * once at 100 TB and pointing every consumer at it. */
   private def persistedSets(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame =
-    shingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(
+      shingleSets(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The canonical-order index on top of the set table — (id, n_sh,
     * ord_sh) with the doc's xxhash64'd shingles sorted by ascending
@@ -120,15 +121,16 @@ object Dedup {
     // output to ~1 partition, serializing the narrow prefix expansion
     // that runs on top of the cache onto one core.
     val nPart = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    exploded
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_sh"),
-        transform(array_sort(collect_list(struct(col("df"), col("sh")))),
-          s => s.getField("sh")).as("ord_sh"))
-      .repartition(nPart, col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Caches.track(
+      exploded
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .groupBy("id")
+        .agg(
+          count(lit(1)).as("n_sh"),
+          transform(array_sort(collect_list(struct(col("df"), col("sh")))),
+            s => s.getField("sh")).as("ord_sh"))
+        .repartition(nPart, col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Pairwise n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin,
@@ -229,8 +231,10 @@ object Dedup {
     * filtered exactly, never trusted.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+                      n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+                      maxBucket: Int = 1024): DataFrame = {
     require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     // Signatures are computed IN-ROW over the per-doc shingle array in a
     // single codegen pass (graft.functions.MinHashSigsFp: md5 once per
     // shingle, all k mins together — replaces 6k+3 interpreted array
@@ -247,15 +251,33 @@ object Dedup {
     // Candidates by grouping per (band, bucket) and expanding pairs
     // in-row — the pairs a bucket self-join would emit, at ONE shuffle
     // instead of two join sides plus an exchange. Bucket sizes are small
-    // by LSH construction (that is the point of banding), so the
-    // per-bucket collect stays bounded.
-    val candidates = buckets
+    // by LSH construction on natural corpora, but an ADVERSARIAL corpus
+    // (thousands of byte-identical docs) puts every copy in one bucket,
+    // and an uncapped collect_list would build that whole bucket as a
+    // single row. SKEW GUARD: a streaming window count (spillable row
+    // buffer, unlike collect_list's single array) sizes each bucket
+    // first; buckets ≤ maxBucket expand in-row, oversized buckets fall
+    // back to the streaming equi-self-join. Both branches and the join
+    // reuse the window's (band, bucket) hash partitioning, so on a
+    // well-behaved corpus the guard adds no extra exchange and the big
+    // branch is an empty scan.
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+    val smallPairs = sized
+      .filter(col("bsz").between(2, maxBucket))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val big = sized.filter(col("bsz") > maxBucket)
+    val bigPairs = big.as("ga")
+      .join(big.as("gb"),
+        col("ga.band") === col("gb.band") && col("ga.bucket") === col("gb.bucket") &&
+          col("ga.id") < col("gb.id"))
+      .select(col("ga.id").as("id_a"), col("gb.id").as("id_b"))
+    val candidates = smallPairs.union(bigPairs)
     // No distinct before verify: docs agreeing on several bands are
     // verified once per band (bounded by nBands) and the tiny verified
     // result is deduped instead — saves the candidate-table shuffle.
@@ -291,15 +313,19 @@ object Dedup {
     val buckets = sim.select(col("id"), col("v"),
       explode(array(chunks: _*)).as("cb"))
       .select(col("id"), col("v"), col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
-    // pair expansion per bucket group (one shuffle, no self-join); bucket
-    // sizes are bounded by the pigeonhole banding, same as LSH buckets
-    buckets
-      .groupBy(col("chunk"), col("bits"))
-      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    // Pair expansion via bucket equi-SELF-JOIN, deliberately NOT the
+    // collect_list-per-group shape used for LSH buckets: the simhash chunk
+    // keyspace is FIXED and tiny (a (maxDist+1)-way split of 16 bits gives
+    // at most 2^6 = 64 distinct values per chunk), so each group holds
+    // ~N/keyspace of the corpus and any per-group array would be a
+    // single-task OOM at scale. The join's buffered side spills to disk
+    // (ExternalAppendOnlyUnsafeRowArray), so a giant bucket streams
+    // through in bounded memory; both sides hash-partition on
+    // (chunk, bits) and emit the identical pair set.
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.v ^ b.v)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)

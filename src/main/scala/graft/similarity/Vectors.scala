@@ -146,6 +146,10 @@ object Vectors {
           cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
             .as("cos"),
           (-c.getField("cent_id")).as("neg_id")))))
+      // array_max over an EMPTY centroid set (every id < nCentroids vector
+      // absent or zero-norm) is NULL — drop such rows so the contract stays
+      // "every output row belongs to a real list".
+      .filter(col("best").isNotNull)
       .select((-col("best.neg_id")).as("cent_id"), col("c_id"), col("c_v"), col("c_n"))
   }
 

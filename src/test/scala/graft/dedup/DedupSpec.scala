@@ -55,6 +55,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= 1))
   }
 
+  test("simhashNearDupPairs plan streams pairs (no collect_list over fixed-keyspace buckets)") {
+    // The simhash chunk keyspace is fixed and tiny, so a collect_list per
+    // (chunk, bits) group would materialize ~N/keyspace of the corpus in
+    // one row. The pairs plan must use the streaming equi-self-join.
+    val plan = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), s"pairs plan must not collect buckets:\n$plan")
+  }
+
+  test("minhashLshPairs skew guard: oversized buckets route to self-join, same result") {
+    // 40 byte-identical docs land in ONE bucket per band; with
+    // maxBucket = 4 every bucket exceeds the cap so ALL pairs must come
+    // from the streaming self-join branch — and match the uncapped run.
+    val clones = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val degenerate = clones.toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(degenerate, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.99, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashLshPairs(degenerate, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+    assert(capped.size == 40 * 39 / 2) // all-pairs of identical docs
+  }
+
   test("chunkBounds splits bit positions evenly and covers all of them") {
     assert(Dedup.chunkBounds(16, 3) == Seq((1, 6), (7, 5), (12, 5)))
     assert(Dedup.chunkBounds(16, 4) == Seq((1, 4), (5, 4), (9, 4), (13, 4)))

@@ -74,6 +74,21 @@ class VectorsSpec extends SparkSpec {
     assert(own.forall { case (id, cent) => id == cent }) // centroids self-assign
   }
 
+  test("ivfLists with an empty centroid set emits no rows (not NULL cent_ids)") {
+    // All id < nCentroids vectors are zero-norm, so the centroid array is
+    // empty and array_max over it is NULL for EVERY corpus vector — those
+    // rows must be dropped, not surfaced with cent_id NULL.
+    val corpus = Seq(
+      (0L, Array(0f, 0f, 0f)),     // would-be centroid, zero-norm → excluded
+      (1L, Array(0f, 0f, 0f)),     // would-be centroid, zero-norm → excluded
+      (5L, Array(1f, 0f, 0f)),
+      (6L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val lists = Vectors.ivfLists(corpus, "vec_id", "embedding", nCentroids = 2)
+    assert(lists.count() == 0)
+    assert(lists.filter($"cent_id".isNull).count() == 0)
+  }
+
   test("fixed-point dot is exact and order-independent") {
     val d = Seq((Array(0.5f, 0.25f), Array(0.5f, 0.25f))).toDF("a", "b")
       .select(Vectors.dotFp(Vectors.fixedPoint($"a"), Vectors.fixedPoint($"b")).as("d"))
