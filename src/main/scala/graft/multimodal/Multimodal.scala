@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * decode / feature-extraction / frame-sampling run as per-partition batch
   * transforms.
   *
-  * The container has no image/audio libraries, so the DECODE STEP IS A
-  * STUB (`StubDecoder` — a deterministic fake keyed on the payload bytes).
-  * Everything around it — the media schema, the typed Dataset plumbing,
-  * the mapPartitions batch shape with one decoder instance per partition
-  * (decoder init is the expensive part in real pipelines), the frame
-  * explosion — is real and tested; swapping `StubDecoder` for a JNI/
-  * javax.imageio decoder changes no plan shape.
+  * Two decoder implementations ship behind the seam:
+  *   - [[ImageDecoder]] — a REAL pure-JVM byte-level decode of BMP
+  *     (24-bit) and PPM P6 payloads with a genuine 8×8 average
+  *     perceptual hash; use it for actual image corpora.
+  *   - [[StubDecoder]] — a deterministic fake keyed on the payload
+  *     bytes, used by the oracle-verified demo query over text
+  *     payloads (the container ships no compressed-codec libraries,
+  *     and text/plain is not an image).
+  * Everything around the seam — the media schema, the typed Dataset
+  * plumbing, the mapPartitions batch shape with one decoder instance per
+  * partition (decoder init is the expensive part in real pipelines), the
+  * frame explosion — is identical for both; swapping decoders changes no
+  * plan shape.
   */
 object Multimodal {
 
