@@ -526,6 +526,26 @@ object OracleSql {
          |SELECT simhash, min(id) AS keep_id, count(*) AS dup_count
          |FROM sh16 GROUP BY simhash ORDER BY keep_id""".stripMargin,
 
+    "q_simhash_pairs" -> {
+      // chunk layout mirrors Dedup.chunkBounds(16, 3) = (1,6),(7,5),(12,5);
+      // '0b…' binary-literal CAST turns the portable 0/1 hash string into
+      // the integer whose XOR popcount is the Hamming distance
+      val chunks = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |WHERE bit_count(xor(a.v, b.v)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |$shingleCountsCte,

@@ -499,6 +499,14 @@ object SparkEntry {
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("keep_id"))
 
+  /** SimHash near-dup PAIRS over the shared persisted signature table:
+    * pigeonhole chunk banding + streaming bucket equi-self-join + exact
+    * XOR/popcount Hamming verify (Dedup.simhashNearDupPairsFromSigs).
+    * maxDist = 2 → 3 chunks of 6/5/5 bits. */
+  private def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
@@ -589,6 +597,7 @@ object SparkEntry {
     "q_frame_sample" -> (qFrameSample _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),

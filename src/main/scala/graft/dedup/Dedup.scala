@@ -300,12 +300,19 @@ object Dedup {
     * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxDist.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int): DataFrame = {
+                          maxDist: Int): DataFrame =
+    simhashNearDupPairsFromSigs(simhash(docs, idCol, textCol), maxDist)
+
+  /** Same operator over a precomputed signature frame (id, simhash) —
+    * the shape to use when the corpus signature table is already
+    * materialized (it is the shared persisted artifact every simhash
+    * consumer reads; recomputing it per operator would re-scan the
+    * corpus). */
+  def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")
     // integer form of the hash: Hamming distance is one XOR + popcount
     // per candidate instead of 16 string comparisons
-    val sim = simhash(docs, idCol, textCol)
-      .withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
+    val sim = sigs.withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
     val bounds = chunkBounds(16, maxDist + 1)
     val chunks = bounds.zipWithIndex.map { case ((start, len), i) =>
       struct(lit(i).as("chunk"), substring(col("simhash"), start, len).as("bits"))
