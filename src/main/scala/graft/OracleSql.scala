@@ -546,6 +546,15 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q_contamination" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)
+         |SELECT c.id AS doc_id, count(*) AS n_shared
+         |FROM sh c JOIN bench b ON c.shingle = b.shingle
+         |WHERE c.id % 50 <> 0
+         |GROUP BY c.id
+         |ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH $shinglesCte,
          |$shingleCountsCte,

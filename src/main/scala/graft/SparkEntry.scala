@@ -507,6 +507,20 @@ object SparkEntry {
     Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Eval-set decontamination: corpus docs (doc_id % 50 ≠ 0) sharing any
+    * word trigram with the "benchmark" slice (doc_id % 50 = 0), with the
+    * distinct shared-gram count. Benchmark grams broadcast — the corpus
+    * side never shuffles (Dedup.contamination). */
+  private def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
@@ -598,6 +612,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_contamination" -> (qContamination _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),

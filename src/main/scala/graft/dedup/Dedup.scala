@@ -188,6 +188,32 @@ object Dedup {
     jaccardFromSets(candidates, sets, threshold).distinct()
   }
 
+  /** Benchmark-contamination check — the n-gram decontamination pass LLM
+    * training pipelines run against eval sets (the 13-gram collision
+    * filters described in public LM reports; here the n is a parameter):
+    * for each corpus doc, the count of DISTINCT n-grams it shares with
+    * any benchmark doc. Benchmarks are tiny relative to a training
+    * corpus, so the benchmark's distinct shingle set broadcasts and the
+    * corpus never shuffles — the whole check is scan + broadcast-semi
+    * shape + one aggregation on the (already small) hit set. Set
+    * `broadcastBench = false` for an unusually large benchmark side to
+    * fall back to a shuffle equi-join on the shingle.
+    * Returns (id, n_shared), one row per CONTAMINATED corpus doc.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val corpusGrams = shingles(corpus, idCol, textCol, n)
+    val benchGrams = shingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val bench = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    // per-doc shingles are already distinct (ShingleArray dedupes), so the
+    // per-id count IS the distinct shared-gram count
+    corpusGrams.join(bench, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signature via double hashing (Kirsch & Mitzenmacher,
     * ESA'06 — public technique): ONE md5 per shingle split into two 60-bit
     * integers h1/h2, permutation i = h1 + i·h2. Cuts the hash work from

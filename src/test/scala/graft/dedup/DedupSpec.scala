@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     assert(capped.size == 40 * 39 / 2) // all-pairs of identical docs
   }
 
+  test("contamination counts distinct shared n-grams per corpus doc, broadcast bench side") {
+    val benchmark = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, benchmark, "doc_id", "text", n = 3)
+    // docs 1/2/4 share exactly the 3 benchmark trigrams; 3 shares none,
+    // 5/6 have no trigrams at all — only contaminated docs appear
+    val hits = out.as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 3L, 2L -> 3L, 4L -> 3L))
+    // the benchmark gram set must be the broadcast side (corpus unshuffled)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("chunkBounds splits bit positions evenly and covers all of them") {
     assert(Dedup.chunkBounds(16, 3) == Seq((1, 6), (7, 5), (12, 5)))
     assert(Dedup.chunkBounds(16, 4) == Seq((1, 4), (5, 4), (9, 4), (13, 4)))
