@@ -52,6 +52,26 @@ object ProfileMinhash {
       Dedup.shingleSets(docs, "doc_id", "text", 3)
         .select(sum(size(col("sh_arr")))).count()
     }
+    spark.catalog.clearCache(); graft.Caches.release()
+
+    // cold ngram-jaccard, bench shape, stage split
+    (1 to 3).foreach { i =>
+      time(s"cold ngram_jaccard (bench) $i") {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          .orderBy(col("id_a"), col("id_b")).count()
+      }
+      spark.catalog.clearCache(); graft.Caches.release()
+    }
+    val sets2 = time("nj: sets build+persist") {
+      val s = graft.Caches.track(
+        Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      s.count(); s
+    }
+    time("nj: rest on warm sets") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b")).count()
+    }
     spark.stop()
   }
 }

@@ -76,12 +76,16 @@ object Dedup {
     // Both lookups join the IDENTICAL projection (aliased, not renamed):
     // the two broadcast subplans are then equal and exchange reuse builds
     // the broadcast once instead of twice.
+    // n_inter via a codegen merge walk (graft.functions
+    // .SortedIntersectCount) — the set arrays are sorted-distinct by
+    // ShingleArray construction, so |A∩B| needs no hash set and no
+    // materialized intersect array per candidate pair.
     val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
     candidates
       .join(s.as("sa"), col("id_a") === col("sa.id"))
       .join(s.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("n_inter",
-        size(array_intersect(col("sa.sh_arr"), col("sb.sh_arr"))).cast("long"))
+        graft.functions.SortedIntersectCount(col("sa.sh_arr"), col("sb.sh_arr")))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / (col("sa.n_sh") + col("sb.n_sh") - col("n_inter")))
           .as("jaccard"))
