@@ -546,6 +546,33 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q_dedup_clusters" -> {
+      // chunk layout mirrors Dedup.chunkBounds(16, 2) = (1,8),(9,8);
+      // transitive closure via a recursive CTE (UNION dedups → fixpoint),
+      // component id = min reachable node over the undirected edge set
+      val chunks = Seq((0, 1, 8), (1, 9, 8))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 1),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q_contamination" ->
       s"""WITH $shinglesCte,
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)

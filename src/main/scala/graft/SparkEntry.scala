@@ -507,6 +507,17 @@ object SparkEntry {
     Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup CLUSTER resolution: connected components over the simhash
+    * Hamming ≤ 1 graph (off the shared signature table) — one (doc_id,
+    * cluster_id) row per doc in a ≥2-doc component, cluster_id = the
+    * component's min doc_id. Identical signatures contract to one graph
+    * node before the min-label iteration (Dedup.simhashClusters), so the
+    * iterated graph is the distinct-signature graph, not the corpus. */
+  private def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Eval-set decontamination: corpus docs (doc_id % 50 ≠ 0) sharing any
     * word trigram with the "benchmark" slice (doc_id % 50 = 0), with the
     * distinct shared-gram count. Benchmark grams broadcast — the corpus
@@ -613,6 +624,7 @@ object SparkEntry {
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_contamination" -> (qContamination _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),

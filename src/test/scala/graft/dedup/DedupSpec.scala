@@ -92,6 +92,35 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("connectedComponents labels every endpoint with its component min") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    // a 4-chain has diameter 3; one round cannot propagate the min
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
+  test("simhashClusters (signature-contracted) equals doc-level connected components") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val viaContract = Dedup.simhashClusters(sigs, maxDist = 1)
+      .as[(Long, Long)].collect().toSet
+    val viaDocs = Dedup.connectedComponents(
+      Dedup.simhashNearDupPairsFromSigs(sigs, maxDist = 1).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaContract == viaDocs)
+    // identical docs 1 and 4 share a signature → same cluster, min id 1
+    assert(viaContract.contains((4L, 1L)) && viaContract.contains((1L, 1L)))
+  }
+
   test("chunkBounds splits bit positions evenly and covers all of them") {
     assert(Dedup.chunkBounds(16, 3) == Seq((1, 6), (7, 5), (12, 5)))
     assert(Dedup.chunkBounds(16, 4) == Seq((1, 4), (5, 4), (9, 4), (13, 4)))
