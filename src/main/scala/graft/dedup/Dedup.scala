@@ -149,7 +149,8 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `threshold`.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double, maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     val sets = persistedSets(docs, idCol, textCol, n)
     // Prefixes come straight off the canonically-ordered hash index:
     // rarest-first order means prefix collisions almost never happen on
@@ -165,25 +166,46 @@ object Dedup {
     // expanding (a, b) pairs in-row — same pairs a prefix self-join
     // yields, but the (expensive) ordered-prefix subtree is computed ONCE
     // instead of once per join side, and one shuffle replaces two. The
-    // per-shingle collect is bounded because df-ascending prefixes hold
-    // each doc's rarest shingles: a group's size is the shingle's prefix-
-    // df, which the canonical order keeps near 1 on Zipfian corpora.
-    val needed = lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh"))
-    val candidates = prefix
-      .groupBy(col("sh"))
-      .agg(collect_list(struct(col("id"), col("n_sh"), col("pos"))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(col("xs")).as("a"), col("xs"))
-      .select(col("a"), explode(col("xs")).as("b"))
-      .filter(col("a.id") < col("b.id") &&
+    // per-shingle group is bounded on NATURAL corpora because
+    // df-ascending prefixes hold each doc's rarest shingles, but an
+    // adversarial corpus (thousands of identical docs) makes every
+    // prefix shingle frequent — so the SKEW GUARD is fused into the
+    // aggregation itself: CappedCollect keeps at most `maxBucket`
+    // elements per group (partial aggregation bounds map output too) and
+    // flags overflow; overflowed shingles re-derive their rows narrowly
+    // from the cached index and stream through an equi-self-join with
+    // identical length + positional filters.
+    def lengthAndPositionalFilter(a: String, b: String): Column = {
+      val needed = lit(threshold / (1 + threshold)) *
+        (col(s"$a.n_sh") + col(s"$b.n_sh"))
+      col(s"$a.id") < col(s"$b.id") &&
         // length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
-        col("b.n_sh") >= lit(threshold) * col("a.n_sh") &&
-        col("a.n_sh") >= lit(threshold) * col("b.n_sh") &&
+        col(s"$b.n_sh") >= lit(threshold) * col(s"$a.n_sh") &&
+        col(s"$a.n_sh") >= lit(threshold) * col(s"$b.n_sh") &&
         // positional filter (PPJoin): a match at 0-based positions (i, j)
         // caps the achievable overlap at min(|A|-i, |B|-j); J >= t needs
         // overlap >= t/(1+t)·(|A|+|B|) — prune pairs that cannot reach it.
-        least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) >= needed)
+        least(col(s"$a.n_sh") - col(s"$a.pos"),
+          col(s"$b.n_sh") - col(s"$b.pos")) >= needed
+    }
+    val grouped = prefix
+      .groupBy(col("sh"))
+      .agg(graft.functions.CappedCollect(
+        col("id"), col("n_sh"), col("pos"), maxBucket).as("cc"))
+    val smallPairs = grouped
+      .filter(!col("cc.overflow") && size(col("cc.xs")) > 1)
+      .select(explode(col("cc.xs")).as("a"), col("cc.xs").as("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(lengthAndPositionalFilter("a", "b"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val bigKeys = grouped.filter(col("cc.overflow")).select(col("sh"))
+    val big = prefix.join(broadcast(bigKeys), Seq("sh"), "left_semi")
+      .select(struct(col("id"), col("n_sh"), col("pos")).as("x"), col("sh"))
+    val bigPairs = big.select(col("x").as("a"), col("sh")).as("ga")
+      .join(big.select(col("x").as("b"), col("sh")).as("gb"), Seq("sh"))
+      .filter(lengthAndPositionalFilter("a", "b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val candidates = smallPairs.union(bigPairs)
     // A pair sharing several prefix shingles is verified that many times
     // (bounded by the prefix length); deduping the FINAL tiny result
     // replaces a full candidate-table shuffle (distinct before verify)
@@ -284,24 +306,24 @@ object Dedup {
     // by LSH construction on natural corpora, but an ADVERSARIAL corpus
     // (thousands of byte-identical docs) puts every copy in one bucket,
     // and an uncapped collect_list would build that whole bucket as a
-    // single row. SKEW GUARD: a streaming window count (spillable row
-    // buffer, unlike collect_list's single array) sizes each bucket
-    // first; buckets ≤ maxBucket expand in-row, oversized buckets fall
-    // back to the streaming equi-self-join. Both branches and the join
-    // reuse the window's (band, bucket) hash partitioning, so on a
-    // well-behaved corpus the guard adds no extra exchange and the big
-    // branch is an empty scan.
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-    val smallPairs = sized
-      .filter(col("bsz").between(2, maxBucket))
+    // single row. SKEW GUARD fused into the aggregation: CappedCollect
+    // keeps at most `maxBucket` ids per bucket (partial aggregation
+    // bounds map output too) and flags overflow; overflowed buckets
+    // re-derive their rows and stream through an equi-self-join. On a
+    // well-behaved corpus the guard adds no work and the big branch is
+    // an empty scan.
+    val grouped = buckets
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .agg(graft.functions.CappedCollect(
+        col("id"), lit(0L), lit(0), maxBucket).as("cc"))
+    val smallPairs = grouped
+      .filter(!col("cc.overflow") && size(col("cc.xs")) > 1)
+      .select(explode(col("cc.xs")).as("a"), col("cc.xs").as("xs"))
+      .select(col("a.id").as("id_a"), explode(col("xs")).as("b"))
+      .select(col("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val big = sized.filter(col("bsz") > maxBucket)
+    val bigKeys = grouped.filter(col("cc.overflow")).select(col("band"), col("bucket"))
+    val big = buckets.join(broadcast(bigKeys), Seq("band", "bucket"), "left_semi")
     val bigPairs = big.as("ga")
       .join(big.as("gb"),
         col("ga.band") === col("gb.band") && col("ga.bucket") === col("gb.bucket") &&

@@ -80,6 +80,22 @@ class DedupSpec extends SparkSpec {
     assert(capped.size == 40 * 39 / 2) // all-pairs of identical docs
   }
 
+  test("ngramJaccardPairs skew guard: oversized prefix groups route to self-join, same result") {
+    // identical docs make every prefix shingle maximally frequent; with
+    // maxBucket = 4 all prefix groups exceed the cap, so every candidate
+    // must flow through the self-join branch — and match the uncapped run
+    val clones = (1L to 30L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val degenerate = clones.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+    assert(capped.size == 30 * 29 / 2)
+  }
+
   test("contamination counts distinct shared n-grams per corpus doc, broadcast bench side") {
     val benchmark = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val out = Dedup.contamination(docs, benchmark, "doc_id", "text", n = 3)
