@@ -573,6 +573,17 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS st
+        |      FROM t)
+        |SELECT doc_id,
+        |       CAST((st - 1) // 48 AS INTEGER) AS chunk_idx,
+        |       array_to_string(list_slice(toks, st, st + 63), ' ') AS chunk_text,
+        |       CAST(len(list_slice(toks, st, st + 63)) AS INTEGER) AS n_tok
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_contamination" ->
       s"""WITH $shinglesCte,
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)

@@ -532,6 +532,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Passage chunking: 64-token windows starting every 48 tokens (16
+    * overlap), one row per (doc, chunk) — a narrow in-row expansion
+    * (TextOps.chunks), no shuffle. */
+  private def qChunks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.text.TextOps.chunks(col("text"), size = 64, overlap = 16)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"), col("col.n_tok").as("n_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private def qNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
@@ -625,6 +636,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_contamination" -> (qContamination _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_chunks" -> (qChunks _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),

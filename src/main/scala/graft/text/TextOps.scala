@@ -22,6 +22,30 @@ object TextOps {
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(vocab: _*)))
 
+  /** Fixed-size overlapping token windows — the passage "chunking" every
+    * RAG / pretraining pipeline runs before embedding or packing. One
+    * chunk starts every `size - overlap` tokens; each holds up to `size`
+    * tokens rejoined with single spaces. A pure in-row expression
+    * (sequence → transform → slice): chunking parallelizes with the scan
+    * and never shuffles. Returns array<struct<chunk_text, n_tok>> in
+    * chunk order; empty-token docs yield a single chunk of their raw
+    * text's tokens (consistent with whitespace-split semantics).
+    */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size >= 1, s"size=$size must be >= 1")
+    require(overlap >= 0 && overlap < size, s"overlap=$overlap must be in [0, size)")
+    val stride = size - overlap
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(org.apache.spark.sql.functions.size(toks), lit(1)), lit(stride)),
+      s => {
+        val piece = slice(toks, s, lit(size))
+        struct(
+          concat_ws(" ", piece).as("chunk_text"),
+          org.apache.spark.sql.functions.size(piece).as("n_tok"))
+      })
+  }
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

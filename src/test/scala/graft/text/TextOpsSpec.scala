@@ -13,6 +13,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(3, 1, 1, 3))
   }
 
+  test("chunks emits overlapping fixed-size token windows in order") {
+    val df = Seq("a b c d e f g h i j").toDF("text") // 10 tokens
+    val out = df.select(posexplode(TextOps.chunks($"text", size = 4, overlap = 2)))
+      .select($"pos", $"col.chunk_text", $"col.n_tok")
+      .as[(Int, String, Int)].collect().toSeq
+    // stride 2 → starts 1,3,5,7,9; tail chunks shrink
+    assert(out == Seq(
+      (0, "a b c d", 4), (1, "c d e f", 4), (2, "e f g h", 4),
+      (3, "g h i j", 4), (4, "i j", 2)))
+  }
+
+  test("chunks of a short or empty doc yield exactly one chunk") {
+    val out = Seq("x y", "").toDF("text")
+      .select(size(TextOps.chunks($"text", size = 64, overlap = 16)).as("n"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(1, 1))
+  }
+
   test("vocabHits counts only tokens present in the vocab") {
     val out = Seq("the cat of the hat").toDF("text")
       .select(TextOps.vocabHits($"text", Seq("the", "of")).as("n")).as[Int].collect()
