@@ -10,6 +10,9 @@ object Sessions {
   def build(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the library's SQL functions (dot_fp, shingle_array,
+      // sorted_intersect_count) + the sorted-intersect rewrite rule
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * expressions into the SQL function registry so `spark.sql("SELECT
-  * dot_fp(a, b) ...")` works alongside the Column API.
+  * dot_fp(a, b) ...")` works alongside the Column API, and installs the
+  * [[RewriteSortedIntersectCount]] optimizer rule so the portable
+  * `size(array_intersect(...))` formulation over provably-sorted inputs
+  * compiles to the merge-count kernel.
   *
   * Usage:
   *   SparkSession.builder()
@@ -22,5 +25,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "dot_fp expects exactly 2 arguments")
         DotProductFp(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sorted_intersect_count expects exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_array"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_array expects (text, n)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(n: Integer, _) =>
+            ShingleArray(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"shingle_array n must be an integer literal, got $other")
+        }
+      }))
+    ext.injectOptimizerRule(_ => RewriteSortedIntersectCount)
   }
 }
