@@ -25,6 +25,78 @@ object ImageDecoder extends Multimodal.MediaDecoder {
       s"unsupported payload (${bytes.length} bytes): expected BMP or PPM P6 magic")
   }
 
+  /** Full pixel decode: (width, height, row-major RGB triples). Feeds the
+    * resize path, which needs pixels rather than the aHash summary. */
+  def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, px) =
+      if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') bmpPixelAccessor(bytes)
+      else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') ppmPixelAccessor(bytes)
+      else throw new IllegalArgumentException(
+        s"unsupported payload (${bytes.length} bytes): expected BMP or PPM P6 magic")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        val p = (y * w + x) * 3
+        out(p) = r.toByte; out(p + 1) = g.toByte; out(p + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Nearest-neighbor resample of row-major RGB pixels to (ow, oh) — the
+    * standard cheap resize for thumbnailing / model-input normalization;
+    * integer source-index arithmetic keeps it deterministic everywhere. */
+  def resizeRgb(w: Int, h: Int, rgb: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0, s"bad dims ${w}x$h -> ${ow}x$oh")
+    require(rgb.length >= w * h * 3, "rgb buffer shorter than dims imply")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val s = (sy * w + sx) * 3
+        val d = (y * ow + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def bmpPixelAccessor(b: Array[Byte]): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    require(b.length >= 54, s"truncated BMP: ${b.length} bytes")
+    val dataOff = le32(b, 10)
+    val width = le32(b, 18)
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad BMP dimensions ${width}x$rawHeight")
+    require(le16(b, 28) == 24, s"unsupported BMP bit depth ${le16(b, 28)} (only 24-bit)")
+    require(le32(b, 30) == 0, s"unsupported BMP compression ${le32(b, 30)}")
+    val stride = ((width * 3 + 3) / 4) * 4
+    require(b.length >= dataOff + stride * height, "truncated BMP pixel data")
+    (width, height, (x: Int, y: Int) => {
+      val row = if (rawHeight > 0) height - 1 - y else y
+      val p = dataOff + row * stride + x * 3
+      (u8(b(p + 2)), u8(b(p + 1)), u8(b(p)))
+    })
+  }
+
+  private def ppmPixelAccessor(b: Array[Byte]): (Int, Int, (Int, Int) => (Int, Int, Int)) = {
+    val (width, height, dataOff) = ppmHeader(b)
+    (width, height, (x: Int, y: Int) => {
+      val p = dataOff + (y * width + x) * 3
+      (u8(b(p)), u8(b(p + 1)), u8(b(p + 2)))
+    })
+  }
+
   private def u8(b: Byte): Int = b & 0xff
 
   private def le32(b: Array[Byte], off: Int): Int =
@@ -36,30 +108,23 @@ object ImageDecoder extends Multimodal.MediaDecoder {
   /** 24-bit uncompressed BMP. Rows are padded to 4-byte boundaries and
     * stored bottom-up unless the height field is negative (top-down). */
   private def decodeBmp(b: Array[Byte]): (Int, Int, String) = {
-    require(b.length >= 54, s"truncated BMP: ${b.length} bytes")
-    val dataOff = le32(b, 10)
-    val width = le32(b, 18)
-    val rawHeight = le32(b, 22)
-    val height = math.abs(rawHeight)
-    val bpp = le16(b, 28)
-    val compression = le32(b, 30)
-    require(width > 0 && height > 0, s"bad BMP dimensions ${width}x$rawHeight")
-    require(bpp == 24, s"unsupported BMP bit depth $bpp (only 24-bit)")
-    require(compression == 0, s"unsupported BMP compression $compression")
-    val stride = ((width * 3 + 3) / 4) * 4
-    require(b.length >= dataOff + stride * height, "truncated BMP pixel data")
-    // luma per pixel; BMP stores BGR, bottom-up when rawHeight > 0
-    def gray(x: Int, y: Int): Int = {
-      val row = if (rawHeight > 0) height - 1 - y else y
-      val p = dataOff + row * stride + x * 3
-      (u8(b(p + 2)) * 299 + u8(b(p + 1)) * 587 + u8(b(p)) * 114) / 1000
-    }
-    (width, height, aHash(width, height, gray))
+    val (width, height, px) = bmpPixelAccessor(b)
+    (width, height, aHash(width, height, grayOf(px)))
   }
 
   /** PPM P6: ASCII header tokens (magic, width, height, maxval) with
     * whitespace and `#`-to-end-of-line comments, then raw RGB bytes. */
   private def decodePpm(b: Array[Byte]): (Int, Int, String) = {
+    val (width, height, px) = ppmPixelAccessor(b)
+    (width, height, aHash(width, height, grayOf(px)))
+  }
+
+  /** Integer-luma grayscale view over an RGB pixel accessor. */
+  private def grayOf(px: (Int, Int) => (Int, Int, Int)): (Int, Int) => Int =
+    (x, y) => { val (r, g, b) = px(x, y); (r * 299 + g * 587 + b * 114) / 1000 }
+
+  /** Parse the PPM P6 ASCII header → (width, height, pixel-data offset). */
+  private def ppmHeader(b: Array[Byte]): (Int, Int, Int) = {
     var pos = 2 // past "P6"
     def nextToken(): Int = {
       // skip whitespace and comments
@@ -81,13 +146,8 @@ object ImageDecoder extends Multimodal.MediaDecoder {
     require(width > 0 && height > 0, s"bad PPM dimensions ${width}x$height")
     require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval (1-byte samples only)")
     pos += 1 // single whitespace byte after maxval, then raw data
-    val dataOff = pos
-    require(b.length >= dataOff + width * height * 3, "truncated PPM pixel data")
-    def gray(x: Int, y: Int): Int = {
-      val p = dataOff + (y * width + x) * 3
-      (u8(b(p)) * 299 + u8(b(p + 1)) * 587 + u8(b(p + 2)) * 114) / 1000
-    }
-    (width, height, aHash(width, height, gray))
+    require(b.length >= pos + width * height * 3, "truncated PPM pixel data")
+    (width, height, pos)
   }
 
   /** Average-hash: mean luma per 8×8 grid cell (block average, every cell
