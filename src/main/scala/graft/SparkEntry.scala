@@ -27,8 +27,8 @@ object SparkEntry {
     * spreads the narrow work across all cores; content is unchanged. On a
     * real multi-file corpus the scan already yields enough splits and this
     * becomes a cheap no-op-ish rebalance. */
-  private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+  private[graft] def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(Par.widthFor(df), col(idCol))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the multi-way star join + aggregate (SURVEY.md §2.3). */

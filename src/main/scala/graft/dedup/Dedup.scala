@@ -99,7 +99,7 @@ object Dedup {
     * whichever pipeline runs first pays the (cheap) build — the
     * in-session equivalent of materializing the corpus shingle table
     * once at 100 TB and pointing every consumer at it. */
-  private def persistedSets(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def persistedSets(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame =
     graft.Caches.track(
       shingleSets(docs, idCol, textCol, n)
@@ -117,14 +117,15 @@ object Dedup {
     * exact (string-set) verification against the base table discards.
     * At 100 TB these are the two materialized artifacts of a dedup
     * corpus: the shingle-set table and its ordered prefix index. */
-  private def persistedOrderIndex(sets: DataFrame): DataFrame = {
+  private[graft] def persistedOrderIndex(sets: DataFrame): DataFrame = {
     val exploded = sets.select(col("id"), explode(col("sh_arr")).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
     // The explicit numbered repartition pins the cached index's partition
     // count: AQE would otherwise coalesce the (byte-wise tiny) aggregate
     // output to ~1 partition, serializing the narrow prefix expansion
-    // that runs on top of the cache onto one core.
-    val nPart = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // that runs on top of the cache onto one core. Width is data-sized
+    // (graft.Par) — matching the set table's input, not a fixed 32.
+    val nPart = graft.Par.widthFor(sets)
     graft.Caches.track(
       exploded
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -523,7 +524,20 @@ object Dedup {
     lens.scanLeft(1)(_ + _).zip(lens).map { case (start, len) => (start, len) }
   }
 
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Signature build as a pure NARROW map (graft.functions.SimHashFp):
+    * one in-row pass per document — no token explode, no corpus-wide
+    * shuffle. Bit-identical to [[simhashBuiltins]], the builtin
+    * formulation the DuckDB oracle mirrors (spec-checked); the NULL
+    * filter reproduces the builtin's explode dropping null-text docs. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHashFp(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The explode + md5 + 16-conditional-sum group-by formulation of
+    * [[simhash]] — kept as the spec-parity reference for SimHashFp (and
+    * the shape the oracle SQL mirrors). */
+  def simhashBuiltins(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     val tok = explode(TextOps.tokens(col(textCol))).as("tok")
     val exploded = docs.select(col(idCol).as("id"), tok)
