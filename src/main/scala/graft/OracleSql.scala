@@ -502,6 +502,24 @@ object OracleSql {
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY 1 ORDER BY bucket_start""".stripMargin,
 
+    // Synthetic-image decode (graft.multimodal.SynthImages → ImageDecoder):
+    // dimensions are closed-form over doc_id; byte_len is the exact format
+    // arithmetic — BMP: 54-byte header + 4-byte-padded rows; PPM P6:
+    // "P6\n{w} {h}\n255\n" header + raw RGB. The phash column is excluded
+    // (average-hash is not oracle-SQL-expressible; golden-pinned in spec).
+    "q_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |                 THEN 54 + ((3 * w + 3) // 4) * 4 * h
+        |                 ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h
+        |            END AS INTEGER) AS byte_len,
+        |       CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -467,6 +467,23 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** The REAL image decode path under the correctness gate: synthetic
+    * BMP/PPM payloads generated from each document's text bytes
+    * (graft.multimodal.SynthImages — dimensions closed-form over doc_id,
+    * pixels cycling the text), decoded byte-for-byte by ImageDecoder
+    * through the same per-partition seam as the stub. byte_len / width /
+    * height are oracle-verified (the format arithmetic is closed-form
+    * SQL); the perceptual hash — not expressible in oracle SQL — is
+    * exercised here and pinned by golden values in ImageDecoderSpec. */
+  private def qImageDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(
+        graft.multimodal.SynthImages.packSynth(t(s, d, "documents"), "doc_id", "text"),
+        graft.multimodal.ImageDecoder)
+      .toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
@@ -630,6 +647,7 @@ object SparkEntry {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_image_decode" -> (qImageDecode _),
     "q_frame_sample" -> (qFrameSample _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
