@@ -472,7 +472,8 @@ object Dedup {
     * back to docs with one join + one aggregation.
     * Returns (id, cluster_id), cluster_id = min doc id in the component.
     */
-  def simhashClusters(sigs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashClusters(sigs: DataFrame, maxDist: Int,
+                      maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
     // distinct signatures AS the node set: reuse the pair generator with
     // the signature string standing in for the node id
     val nodes = sigs.select(col("simhash")).distinct()
@@ -484,24 +485,40 @@ object Dedup {
     // components are resolved with driver-side union-find (micro-
     // seconds) instead of iterated Spark jobs whose per-round scheduling
     // constant dwarfs the data. This is the same bounded-small-side
-    // reasoning as broadcasting IVF centroids, NOT a corpus collect;
-    // for unbounded pair graphs use [[connectedComponents]].
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
-      var r = x
-      while (parent.getOrElseUpdate(r, r) != r) {
-        parent(r) = parent(parent(r)); r = parent(r)
-      }
-      r
-    }
-    hashPairs.collect().foreach { row =>
-      val ra = find(row.getString(0)); val rb = find(row.getString(1))
-      // union-by-min keeps every root the component's minimum signature
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    // reasoning as broadcasting IVF centroids, NOT a corpus collect —
+    // but the bound DRIFTS with the parameters: widening maxDist blows
+    // up the per-node neighborhood (Σ_d C(16,d) ≈ the whole 2^16 space
+    // at maxDist 15), so the collect is guarded by the ANALYTIC
+    // worst-case edge count, decided with no extra Spark action. Above
+    // `maxCollectEdges` the same contracted graph runs the distributed
+    // [[connectedComponents]] instead — identical labels, no collect.
+    val worstCaseEdges: BigInt = {
+      def choose16(d: Int): BigInt =
+        (1 to d).map(i => BigInt(16 - i + 1)).product / (1 to d).map(BigInt(_)).product
+      val neighborhood = (1 to maxDist).map(choose16).sum
+      (BigInt(1) << 16) * neighborhood / 2
     }
     val spark = sigs.sparkSession
     import spark.implicits._
-    val comp = parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp")
+    val comp =
+      if (worstCaseEdges <= BigInt(maxCollectEdges)) {
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) {
+            parent(r) = parent(parent(r)); r = parent(r)
+          }
+          r
+        }
+        hashPairs.collect().foreach { row =>
+          val ra = find(row.getString(0)); val rb = find(row.getString(1))
+          // union-by-min keeps every root the component's minimum signature
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp")
+      } else
+        connectedComponents(hashPairs)
+          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
     // docs → component key (isolated signatures fall back to themselves),
     // then one aggregation pins the component's min doc id
     val withComp = sigs

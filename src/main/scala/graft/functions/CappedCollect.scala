@@ -11,11 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Size-CAPPED collect for the dedup candidate-group expansions: gathers
-  * up to `cap` struct<id:bigint, n_sh:bigint, pos:int> elements per
-  * group and reports `overflow = true` (with the elements dropped) the
-  * moment a group exceeds the cap.
+  * up to `cap` struct<id, n_sh:bigint, pos:int> elements per group and
+  * reports `overflow = true` (with the elements dropped) the moment a
+  * group exceeds the cap. The id field may be int, bigint, or string —
+  * whatever the caller's document key is; the output element type mirrors
+  * the input's.
   *
   * This is the skew guard fused INTO the aggregation: a plain
   * collect_list materializes a giant bucket as one row (single-task OOM
@@ -36,8 +39,13 @@ case class CappedCollect(child: Expression, cap: Int,
                          inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CappedBuffer] {
 
-  private val elemType = StructType(Seq(
-    StructField("id", LongType), StructField("n_sh", LongType),
+  private lazy val idType: DataType = child.dataType match {
+    case StructType(fs) if fs.nonEmpty => fs(0).dataType
+    case _ => LongType
+  }
+
+  private lazy val elemType = StructType(Seq(
+    StructField("id", idType), StructField("n_sh", LongType),
     StructField("pos", IntegerType)))
 
   override def children: Seq[Expression] = Seq(child)
@@ -49,10 +57,11 @@ case class CappedCollect(child: Expression, cap: Int,
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StructType(Array(a, b, c))
-      if a.dataType == LongType && b.dataType == LongType &&
-        c.dataType == IntegerType && cap >= 1 => TypeCheckResult.TypeCheckSuccess
+      if (a.dataType == LongType || a.dataType == IntegerType || a.dataType == StringType) &&
+        b.dataType == LongType && c.dataType == IntegerType && cap >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires struct<id:bigint,n_sh:bigint,pos:int> and cap >= 1")
+      s"$prettyName requires struct<id:int|bigint|string,n_sh:bigint,pos:int> and cap >= 1")
   }
 
   override def createAggregationBuffer(): CappedBuffer = new CappedBuffer(cap)
@@ -61,7 +70,12 @@ case class CappedCollect(child: Expression, cap: Int,
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      buf.add(row.getLong(0), row.getLong(1), row.getInt(2))
+      // UTF8String from an unsafe row aliases a reused buffer — copy it
+      val id = row.get(0, idType) match {
+        case s: UTF8String => s.clone()
+        case other => other
+      }
+      buf.add(id, row.getLong(1), row.getInt(2))
     }
     buf
   }
@@ -90,15 +104,17 @@ case class CappedCollect(child: Expression, cap: Int,
 
 /** Bounded triple buffer: stores up to `cap` elements; one element past
   * the cap flips `overflowed` and drops the payload (the caller re-derives
-  * oversized groups from the raw rows, so nothing is lost). */
+  * oversized groups from the raw rows, so nothing is lost). Ids are held
+  * boxed (Long / Integer / UTF8String) — the buffer never exceeds `cap`
+  * elements, so boxing cost is bounded by construction. */
 final class CappedBuffer(cap: Int) {
-  private var ids = new Array[Long](math.min(cap, 16))
+  private var ids = new Array[AnyRef](math.min(cap, 16))
   private var nshs = new Array[Long](math.min(cap, 16))
   private var poss = new Array[Int](math.min(cap, 16))
   private var n = 0
   var overflowed = false
 
-  def add(id: Long, nsh: Long, pos: Int): Unit = {
+  def add(id: Any, nsh: Long, pos: Int): Unit = {
     if (overflowed) return
     if (n == cap) { overflowed = true; n = 0; return }
     if (n == ids.length) {
@@ -107,7 +123,7 @@ final class CappedBuffer(cap: Int) {
       nshs = java.util.Arrays.copyOf(nshs, sz)
       poss = java.util.Arrays.copyOf(poss, sz)
     }
-    ids(n) = id; nshs(n) = nsh; poss(n) = pos; n += 1
+    ids(n) = id.asInstanceOf[AnyRef]; nshs(n) = nsh; poss(n) = pos; n += 1
   }
 
   def mergeFrom(other: CappedBuffer): Unit = {
@@ -118,7 +134,7 @@ final class CappedBuffer(cap: Int) {
     }
   }
 
-  def elems: Seq[(Long, Long, Int)] =
+  def elems: Seq[(Any, Long, Int)] =
     if (overflowed) Seq.empty else (0 until n).map(i => (ids(i), nshs(i), poss(i)))
 
   def toBytes: Array[Byte] = {
@@ -128,7 +144,18 @@ final class CappedBuffer(cap: Int) {
     out.writeInt(n)
     var i = 0
     while (i < n) {
-      out.writeLong(ids(i)); out.writeLong(nshs(i)); out.writeInt(poss(i)); i += 1
+      // self-describing element tag: the buffer is type-agnostic and the
+      // per-element byte is noise next to the payload
+      ids(i) match {
+        case l: java.lang.Long => out.writeByte(0); out.writeLong(l)
+        case j: java.lang.Integer => out.writeByte(1); out.writeInt(j)
+        case s: UTF8String =>
+          val b = s.getBytes
+          out.writeByte(2); out.writeInt(b.length); out.write(b)
+        case other => throw new IllegalStateException(
+          s"capped_collect: unsupported id ${other.getClass}")
+      }
+      out.writeLong(nshs(i)); out.writeInt(poss(i)); i += 1
     }
     bos.toByteArray
   }
@@ -141,7 +168,18 @@ object CappedBuffer {
     buf.overflowed = bb.get() != 0
     val n = bb.getInt
     var i = 0
-    while (i < n) { buf.add(bb.getLong, bb.getLong, bb.getInt); i += 1 }
+    while (i < n) {
+      val id: Any = bb.get() match {
+        case 0 => bb.getLong
+        case 1 => bb.getInt
+        case 2 =>
+          val len = bb.getInt
+          val b = new Array[Byte](len); bb.get(b)
+          UTF8String.fromBytes(b)
+        case t => throw new IllegalStateException(s"capped_collect: bad id tag $t")
+      }
+      buf.add(id, bb.getLong, bb.getInt); i += 1
+    }
     buf
   }
 }

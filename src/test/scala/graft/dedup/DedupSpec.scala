@@ -96,6 +96,23 @@ class DedupSpec extends SparkSpec {
     assert(capped.size == 30 * 29 / 2)
   }
 
+  test("string doc ids flow through both guarded near-dup pipelines") {
+    // the capped aggregate must not silently require bigint ids: run both
+    // pipelines (capped AND overflow-routed) over string keys and check
+    // against the long-id runs of the same corpus
+    val sdocs = docs.withColumn("doc_id", concat(lit("doc-"), format_string("%02d", $"doc_id")))
+    val nj = Dedup.ngramJaccardPairs(sdocs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(nj == Set(("doc-01", "doc-02"), ("doc-01", "doc-04"), ("doc-02", "doc-04")))
+    val clones = (1 to 30).map(i => (f"c-$i%02d", "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.99, maxBucket = 4)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(capped.size == 30 * 29 / 2) // all pairs, via the overflow branch
+    assert(capped.forall { case (a, b) => a < b })
+  }
+
   test("contamination counts distinct shared n-grams per corpus doc, broadcast bench side") {
     val benchmark = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val out = Dedup.contamination(docs, benchmark, "doc_id", "text", n = 3)
@@ -135,6 +152,21 @@ class DedupSpec extends SparkSpec {
     assert(viaContract == viaDocs)
     // identical docs 1 and 4 share a signature → same cluster, min id 1
     assert(viaContract.contains((4L, 1L)) && viaContract.contains((1L, 1L)))
+  }
+
+  test("simhashClusters wide-maxDist parameter drift falls back to distributed CC") {
+    // maxDist = 15's analytic worst case (2^16 · Σ C(16,d) / 2 edges)
+    // blows past any sane collect bound, so the default must take the
+    // distributed connectedComponents path — and still produce the same
+    // labels the (explicitly unbounded) union-find path yields
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val viaFallback = Dedup.simhashClusters(sigs, maxDist = 15)
+      .as[(Long, Long)].collect().toSet
+    val viaUnionFind = Dedup.simhashClusters(sigs, maxDist = 15,
+      maxCollectEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(viaFallback == viaUnionFind)
+    assert(viaFallback.nonEmpty) // Hamming <= 15 links nearly everything
   }
 
   test("chunkBounds splits bit positions evenly and covers all of them") {

@@ -41,6 +41,20 @@ class CappedCollectSpec extends SparkSpec {
     assert(under == ((false, 8)))
   }
 
+  test("string ids collect, overflow, and survive the partial-merge serde") {
+    val sdf = (1 to 12).map(i => (1L, s"doc-$i", i.toLong, i)).toDF("g", "id", "n_sh", "pos")
+    val got = sdf.repartition(5)
+      .groupBy($"g")
+      .agg(CappedCollect($"id", $"n_sh", $"pos", 20).as("cc"))
+      .select(explode($"cc.xs.id")).as[String].collect().toSet
+    assert(got == (1 to 12).map(i => s"doc-$i").toSet)
+    val over = sdf.repartition(5)
+      .groupBy($"g")
+      .agg(CappedCollect($"id", $"n_sh", $"pos", 4).as("cc"))
+      .select($"cc.overflow", size($"cc.xs")).as[(Boolean, Int)].collect().head
+    assert(over == ((true, 0)))
+  }
+
   test("collected elements carry all three fields (order-insensitive)") {
     val got = rows(4).repartition(3)
       .groupBy($"g")
