@@ -297,6 +297,18 @@ object OracleSql {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
+    // q_partition_prune reads the year-partitioned copy of orders (same
+    // rows, different layout), so the oracle is the equivalent predicate
+    // over the base table; o_year is the INT partition-directory value.
+    "q_partition_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY 1, 2 ORDER BY o_month""".stripMargin,
+
     "q_range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         |       date_diff('microsecond', a.ts, b.ts) AS gap_us

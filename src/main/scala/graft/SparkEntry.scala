@@ -274,6 +274,40 @@ object SparkEntry {
       .orderBy(col("event_id"))
 
   /** Time-series rollup: monthly revenue (date_trunc grain). */
+  // One year-partitioned copy of orders per (session, sf dir), written
+  // through IO.writePartitioned on first use (deterministic content, so a
+  // leftover directory from a previous JVM is equally valid). This is the
+  // layout a daily-rebuilt fact table has at scale; q_partition_prune
+  // reads it back WITH a partition predicate so the scan's partition
+  // pruning — the single most scale-critical I/O behavior — sits under
+  // the correctness gate rather than only under a plan spec.
+  private val partDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def partitionedOrdersDir(s: SparkSession, d: String): String =
+    partDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orders_by_year_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        graft.sources.IO.writePartitioned(
+          t(s, d, "orders").withColumn("o_year", year(col("o_orderdate"))),
+          Seq("o_year"), dir)
+      dir
+    })
+
+  /** Partition-pruned scan: monthly revenue for ONE year read from the
+    * year-partitioned layout. The o_year predicate is a partition filter —
+    * the scan lists and reads only that year's directory (PartitionFilters
+    * in the plan; asserted by IOSpec and recorded in PLANS.md), which at
+    * 100 TB is the difference between reading a day and reading the
+    * table. */
+  private def qPartitionPrune(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedOrdersDir(s, d))
+      .filter(col("o_year") === 1996)
+      .groupBy(col("o_year"), month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy(col("o_month"))
+
   private def qMonthlyRevenue(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
@@ -631,6 +665,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_json_serialize" -> (qJsonSerialize _),
     "q_monthly_revenue" -> (qMonthlyRevenue _),
+    "q_partition_prune" -> (qPartitionPrune _),
     "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -28,6 +28,24 @@ class IOSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a"), (9L, "b")))
   }
 
+  test("partition predicate on a partitioned layout prunes the scan to matching directories") {
+    val dir = java.nio.file.Files.createTempDirectory("io-prune").toString + "/t"
+    val df = (1 to 40).map(i => (i.toLong, 1990 + i % 4)).toDF("id", "y")
+    IO.writePartitioned(df, Seq("y"), dir)
+    val q = spark.read.parquet(dir).filter($"y" === 1991)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    // the predicate must land in PartitionFilters (not a post-scan data
+    // filter), and the file listing must shrink to the one directory
+    assert(scan.partitionFilters.exists(_.toString.contains("1991")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    assert(scan.metadata("PartitionFilters").contains("1991"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 1, s"expected 1 pruned partition, scanned $selected")
+    assert(q.count() == 10)
+  }
+
   test("writeBucketed produces a bucketed table whose join needs no exchange on the key") {
     spark.sql("DROP TABLE IF EXISTS bucketed_orders")
     // the managed location may survive a previous JVM whose in-memory
