@@ -103,6 +103,44 @@ object Vectors {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The query-side multi-probe set: the vector's own sign bucket plus
+    * every Hamming-1 neighbor (each bit flipped once) — `bits + 1` keys.
+    * A near neighbor that straddles one hyperplane (a sign bit the two
+    * vectors disagree on) lands in exactly such a neighbor bucket, which
+    * is the dominant LSH miss mode; probing them lifts recall at a
+    * bounded (bits + 1)× candidate cost instead of the 2×-per-bit cost
+    * of lowering `bits`. (Lv et al., VLDB'07 multi-probe LSH, specialized
+    * to the sign family.) */
+  def multiProbeBuckets(v: Column, bits: Int): Column = {
+    val base = signBucket(v, bits)
+    array((base +: (0 until bits).map { i =>
+      val flipped = when(substring(base, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(base, 1, i), flipped, substring(base, i + 2, bits - i - 1))
+    }): _*)
+  }
+
+  /** [[lshTopK]] with Hamming-1 multi-probe on the QUERY side only: the
+    * corpus keeps one row per vector (its own bucket — the index layout
+    * is unchanged and each corpus vector still appears in at most one
+    * probed bucket, so no candidate dedup is needed); each query expands
+    * to `bits + 1` probe keys before the same equi-join. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, bits: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      fixedPoint(col(vecCol)).as("qv"),
+      explode(multiProbeBuckets(col(vecCol), bits)).as("bucket"))
+      .withColumn("qn", normSqFp(col("qv"))))
+    val c = corpus.select(col(idCol).as("match_id"),
+      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("cn", normSqFp(col("cv")))
+    val scored = c.join(q, Seq("bucket")).filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF-style ANN (inverted-file): assign every corpus vector to its
     * nearest of `nCentroids` centroid vectors (the "coarse quantizer" —
     * here seeded deterministically from the first `nCentroids` corpus ids
@@ -151,6 +189,123 @@ object Vectors {
       // "every output row belongs to a real list".
       .filter(col("best").isNotNull)
       .select((-col("best.neg_id")).as("cent_id"), col("c_id"), col("c_v"), col("c_n"))
+  }
+
+  /** Deterministic Lloyd-iteration k-means over the fixed-point vectors —
+    * the TRAINED coarse quantizer alternative to the id-seeded one.
+    * Everything that could introduce nondeterminism is pinned down:
+    *   - init = the id-seeded centroids (first k non-zero-norm ids),
+    *   - assignment = the same (cosine DESC, cent_id ASC) in-row argmax
+    *     as [[ivfLists]] (cosine is scale-invariant, so the unnormalized
+    *     integer mean below is a valid spherical-k-means representative),
+    *   - update = component-wise INTEGER mean (sum of fixed-point longs
+    *     / count — order-independent exact arithmetic, no float drift),
+    *   - empty clusters keep their previous centroid.
+    * The update aggregation is the classic distributed k-means shape:
+    * posexplode components → groupBy (centroid, position) with map-side
+    * partial sums — k·d result rows per round regardless of corpus size;
+    * the k·d centroid matrix rides to the driver and back as a broadcast
+    * literal (the same bounded-small-side reasoning as [[ivfLists]]).
+    * Returns (cent_id, cent_v, cent_n) like the seeded quantizer.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k, iters=$iters out of range")
+    val spark = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("c_id"), fixedPoint(col(vecCol)).as("c_v"))
+      .withColumn("c_n", normSqFp(col("c_v")))
+      .filter(col("c_n") > 0)
+    // deterministic init: the k smallest-id non-zero vectors
+    var cents: Array[(Long, Array[Long])] = v
+      .orderBy(col("c_id")).limit(k)
+      .select(col("c_id"), col("c_v")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val centArr = array(cents.map { case (cid, cv) =>
+        struct(lit(cid).as("cent_id"),
+          array(cv.map(lit(_)): _*).as("cent_v"),
+          lit(cv.map(x => x * x).sum).as("cent_n"))
+      }: _*)
+      val assigned = v.withColumn("best", array_max(transform(centArr, c =>
+        struct(
+          cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
+            .as("cos"),
+          (-c.getField("cent_id")).as("neg_id")))))
+        .filter(col("best").isNotNull)
+        .select((-col("best.neg_id")).as("cent_id"), col("c_v"))
+      val sums = assigned
+        .select(col("cent_id"), posexplode(col("c_v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCent = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byCent.get(cid) match {
+          case Some(rows) =>
+            val d = prev.length
+            val next = new Array[Long](d)
+            rows.foreach { r =>
+              next(r.getInt(1)) = r.getLong(2) / r.getLong(3) // exact int mean
+            }
+            (cid, next)
+          case None => (cid, prev) // empty cluster: keep previous centroid
+        }
+      }
+      it += 1
+    }
+    import spark.implicits._
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cent_id", "cent_v")
+      .withColumn("cent_n", normSqFp(col("cent_v")))
+      .filter(col("cent_n") > 0)
+  }
+
+  /** [[ivfLists]] against an explicit centroid frame (cent_id, cent_v,
+    * cent_n) — the seam that lets the trained quantizer drop in for the
+    * id-seeded one without changing the build's narrow scan shape. */
+  def ivfListsWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame): DataFrame = {
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id"), col("cent_v"), col("cent_n"))).as("cs"))
+    val v = corpus.select(col(idCol).as("c_id"), fixedPoint(col(vecCol)).as("c_v"))
+      .withColumn("c_n", normSqFp(col("c_v")))
+      .filter(col("c_n") > 0)
+    v.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(
+          cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
+            .as("cos"),
+          (-c.getField("cent_id")).as("neg_id")))))
+      .filter(col("best").isNotNull)
+      .select((-col("best.neg_id")).as("cent_id"), col("c_id"), col("c_v"), col("c_n"))
+  }
+
+  /** [[ivfTopK]] against an explicit centroid frame — probe selection and
+    * list scan identical to the seeded variant. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int, cents: DataFrame): DataFrame = {
+    val bcents = broadcast(cents)
+    val q = queries.select(col(idCol).as("q_id"), fixedPoint(col(vecCol)).as("q_v"))
+      .withColumn("q_n", normSqFp(col("q_v")))
+      .filter(col("q_n") > 0)
+    val scoredQ = q.crossJoin(bcents)
+      .select(col("q_id"), col("q_v"), col("q_n"), col("cent_id"),
+        cosineFromNorms(col("q_v"), col("cent_v"), col("q_n"), col("cent_n")).as("cent_cos"))
+      .filter(col("cent_cos").isNotNull)
+    val wq = Window.partitionBy("q_id").orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = scoredQ.withColumn("__r", row_number().over(wq)).filter(col("__r") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("q_n"), col("cent_id"))
+    val lists = ivfListsWith(corpus, idCol, vecCol, cents)
+    val scored = probes.join(lists, Seq("cent_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("c_id").as("match_id"),
+        cosineFromNorms(col("q_v"), col("c_v"), col("q_n"), col("c_n")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -95,4 +95,122 @@ class VectorsSpec extends SparkSpec {
       .as[Long].collect()
     assert(d.head == 500000L * 500000L + 250000L * 250000L)
   }
+
+  test("trainCentroids: deterministic k-means, trained recall@k >= seeded (within tolerance)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    // deterministic: two independent trainings produce identical centroids
+    val c1 = Vectors.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 5)
+      .orderBy("cent_id").as[(Long, Seq[Long], Long)].collect().toSeq
+    val c2 = Vectors.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 5)
+      .orderBy("cent_id").as[(Long, Seq[Long], Long)].collect().toSeq
+    assert(c1 == c2)
+    assert(c1.size == 16)
+    // iters = 0 reproduces the id-seeded quantizer's lists exactly
+    val seeded0 = Vectors.ivfLists(emb, "vec_id", "embedding", nCentroids = 16)
+      .select($"cent_id", $"c_id").as[(Long, Long)].collect().toMap
+    // (cent ids are renumbered 0..k-1 in id order; seeded uses raw ids —
+    // compare by grouping structure instead of labels)
+    val init = Vectors.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 0)
+    val lists0 = Vectors.ivfListsWith(emb, "vec_id", "embedding", init)
+      .select($"cent_id", $"c_id").as[(Long, Long)].collect().toMap
+    assert(lists0.keySet == seeded0.keySet)
+    def partitionOf(m: Map[Long, Long]) =
+      m.groupBy(_._2).values.map(_.keySet).toSet
+    assert(partitionOf(lists0) == partitionOf(seeded0))
+    // on the (uniform random) embeddings table, training must at least
+    // hold recall in the same band as the seeded quantizer
+    val trained = Vectors.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 5)
+    val rTrained = recallOf(queries, emb,
+      Vectors.ivfTopKWith(queries, emb, "vec_id", "embedding", k = 10, nProbe = 4, trained))
+    val rSeeded = recallOf(queries, emb,
+      Vectors.ivfTopK(queries, emb, "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4))
+    info(f"recall@10 trained=$rTrained%.3f seeded=$rSeeded%.3f")
+    assert(rTrained >= rSeeded - 0.1,
+      f"trained recall $rTrained%.3f fell far below seeded $rSeeded%.3f")
+  }
+
+  /** Mean recall@k of `topk` against brute-force ground truth. */
+  private def recallOf(queries: org.apache.spark.sql.DataFrame,
+                       corpus: org.apache.spark.sql.DataFrame,
+                       topk: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Vectors.bruteForceTopK(queries, corpus, "vec_id", "embedding", 10)
+      .select($"query_id", $"match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = topk.select($"query_id", $"match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    per.sum / per.size
+  }
+
+  test("trainCentroids recovers cluster structure a degenerate seed misses") {
+    // 8 well-separated direction clusters in 8-dim; ids ordered so the
+    // first k ids ALL sit in cluster 0 — the id-seeded quantizer then
+    // puts every centroid in one cluster (the realistic failure mode of
+    // seeding from head-of-corpus ids), while k-means must migrate
+    // centroids toward the true cluster directions. Deterministic data +
+    // deterministic algorithm -> a stable strict comparison.
+    val pts = (0 until 240).map { i =>
+      val cluster = i / 30                     // ids 0..29 all cluster 0
+      val jitterDim = (cluster + 1 + i % 7) % 8
+      val v = Array.fill(8)(0f)
+      v(cluster) = 1f
+      v(jitterDim) = v(jitterDim) + 0.15f * (1 + i % 3)
+      (i.toLong, v)
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 30 === 7) // one probe per cluster
+    val trained = Vectors.trainCentroids(corpus, "vec_id", "embedding", k = 8, iters = 8)
+    val rTrained = recallOf(queries, corpus,
+      Vectors.ivfTopKWith(queries, corpus, "vec_id", "embedding", k = 10, nProbe = 2, trained))
+    val rSeeded = recallOf(queries, corpus,
+      Vectors.ivfTopK(queries, corpus, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 2))
+    info(f"clustered corpus recall@10 trained=$rTrained%.3f seeded=$rSeeded%.3f")
+    assert(rTrained > rSeeded,
+      f"training should beat the degenerate seed: trained=$rTrained%.3f seeded=$rSeeded%.3f")
+    assert(rTrained >= 0.9, f"trained recall too low: $rTrained%.3f")
+  }
+
+  test("multiProbeBuckets emits the own bucket plus each Hamming-1 neighbor") {
+    val df = Seq((0L, Array(1f, -1f, 1f))).toDF("vec_id", "embedding")
+    val got = df.select(Vectors.multiProbeBuckets($"embedding", 3).as("b"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("101", "001", "111", "100"))
+  }
+
+  test("multi-probe finds the hyperplane-straddling neighbor single-bucket misses") {
+    // query sits just ABOVE the first hyperplane, its true nearest just
+    // BELOW: different sign buckets, so single-bucket LSH cannot return
+    // it — the Hamming-1 probe of the flipped first bit must
+    val corpus = Seq(
+      (0L, Array(0.05f, 1f, 1f)),    // query
+      (1L, Array(-0.05f, 1f, 1f)),   // nearest, across the hyperplane
+      (2L, Array(0.9f, 1f, 1f)),     // same bucket as query, less similar
+      (3L, Array(-1f, -1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0)
+    val single = Vectors.lshTopK(queries, corpus, "vec_id", "embedding", k = 2, bits = 3)
+      .select($"match_id").as[Long].collect().toSet
+    val multi = Vectors.lshTopKMultiProbe(queries, corpus, "vec_id", "embedding", k = 2, bits = 3)
+      .orderBy("rank").select($"match_id").as[Long].collect().toSeq
+    assert(!single.contains(1L))
+    assert(multi == Seq(1L, 2L)) // found across the boundary, ranked first
+  }
+
+  test("multi-probe recall@k on the embeddings table is >= single-bucket") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val rSingle = recallOf(queries, emb,
+      Vectors.lshTopK(queries, emb, "vec_id", "embedding", k = 10, bits = 4))
+    val rMulti = recallOf(queries, emb,
+      Vectors.lshTopKMultiProbe(queries, emb, "vec_id", "embedding", k = 10, bits = 4))
+    info(f"recall@10 multi-probe=$rMulti%.3f single=$rSingle%.3f")
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.5, f"multi-probe recall implausibly low: $rMulti%.3f")
+  }
 }
