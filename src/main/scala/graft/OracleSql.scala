@@ -329,6 +329,24 @@ object OracleSql {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // same flag-and-running-sum formulation as Relational.sessionize;
+    // epoch_us(ts) matches Spark's `ts div 1000` on the nanos-as-long read
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |g AS (SELECT user_id, us,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |      FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       min(us) AS session_start_us, max(us) AS session_end_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
     "q_asof_join" ->
       """WITH o1 AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

@@ -332,6 +332,24 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Gap-based sessionization of the event stream (batch): 30-minute
+    * inactivity gap per user, one row per session with its bounds and
+    * event count (Relational.sessionize — single window shuffle on the
+    * user key). Times compared at µs precision (`ts div 1000`) so Spark's
+    * nanos-as-long read and DuckDB's µs-truncated parquet timestamps
+    * agree. */
+  private def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    Relational.sessionize(e, "user_id", "us",
+        gap = 30L * 60 * 1000000, tieBreak = col("event_id"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("us")).as("session_start_us"),
+        max(col("us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** E8 — JSON serialization (`to_json`): rows re-encoded as compact JSON
     * objects, the payload-envelope shape the reference keeps in its
     * raw_json column. Non-null fields only: Spark omits null fields where
@@ -668,6 +686,7 @@ object SparkEntry {
     "q_partition_prune" -> (qPartitionPrune _),
     "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_sessionize" -> (qSessionize _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),

@@ -160,4 +160,27 @@ object Relational {
     val payload = rightCols.map(c => col("__asof").getField(c).as(c))
     carried.select(left.columns.map(col) ++ payload: _*)
   }
+
+  /** Gap-based SESSIONIZATION (batch): assign every event to a session
+    * that closes after `gap` time units of inactivity — the activity-
+    * stream segmentation every behavioral / training-telemetry pipeline
+    * runs (the batch twin of `EventStream.sessionize`). One window over
+    * (key, ts): an event opens a new session when it is its key's first
+    * or follows its predecessor by more than `gap`; the running sum of
+    * those flags numbers sessions 0,1,2,… per key. ONE shuffle (the
+    * window partitioning), no self-join, no iteration — at 100 TB this
+    * is a single exchange on the session key. Session numbering is
+    * deterministic for any `tieBreak` making (ts, tieBreak) a total
+    * order per key; equal-ts events always share a session either way
+    * (their gap is 0).
+    * Returns the input plus `session_idx` (0-based per key).
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), tieBreak)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    events.withColumn("session_idx",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+  }
 }

@@ -113,4 +113,24 @@ class RelationalSpec extends SparkSpec {
       .orderBy("k").select($"k", $"v").as[(Int, Int)].collect()
     assert(out.toSeq == Seq((1, 20), (2, 30)))
   }
+
+  test("sessionize: gap splits sessions, equal-ts events share one, numbering is per-key") {
+    // user 1: two events 10 apart, a 100 gap, one more;
+    // user 2: equal timestamps, then a wide gap
+    val e = Seq(
+      (1L, 1L, 100L), (2L, 1L, 110L), (3L, 1L, 210L),
+      (4L, 2L, 50L), (5L, 2L, 50L), (6L, 2L, 500L)
+    ).toDF("event_id", "k", "ts")
+    val out = Relational.sessionize(e, "k", "ts", gap = 50L, tieBreak = $"event_id")
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(2L) == 0L) // 10 apart, same session
+    assert(out(3L) == 1L)                  // 100 > gap, new session
+    assert(out(4L) == 0L && out(5L) == 0L) // equal ts share a session
+    assert(out(6L) == 1L)                  // numbering restarts per key
+    // stable under repartitioning (window owns the ordering)
+    val out2 = Relational.sessionize(e.repartition(5), "k", "ts", gap = 50L,
+      tieBreak = $"event_id")
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out2 == out)
+  }
 }
