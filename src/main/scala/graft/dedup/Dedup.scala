@@ -120,21 +120,23 @@ object Dedup {
   private[graft] def persistedOrderIndex(sets: DataFrame): DataFrame = {
     val exploded = sets.select(col("id"), explode(col("sh_arr")).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
-    // The explicit numbered repartition pins the cached index's partition
-    // count: AQE would otherwise coalesce the (byte-wise tiny) aggregate
-    // output to ~1 partition, serializing the narrow prefix expansion
-    // that runs on top of the cache onto one core. Width is data-sized
-    // (graft.Par) — matching the set table's input, not a fixed 32.
-    val nPart = graft.Par.widthFor(sets)
+    // Global document frequencies as an aggregate + JOIN rather than a
+    // window: the window formulation shuffle-SORTS the whole exploded
+    // gram table by shingle; the join formulation shuffles only the
+    // (distinct-gram-sized) df map and lets AQE pick the join strategy —
+    // broadcast when the vocabulary fits (then the gram table never
+    // moves and the groupBy below runs exchange-free on the set table's
+    // id partitioning), plain shuffle join when a 100 TB vocabulary
+    // doesn't. Either way the sort disappears: canonical order comes
+    // from the per-doc array_sort, which is in-row.
+    val dfMap = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     graft.Caches.track(
-      exploded
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      exploded.join(dfMap, Seq("sh"))
         .groupBy("id")
         .agg(
           count(lit(1)).as("n_sh"),
           transform(array_sort(collect_list(struct(col("df"), col("sh")))),
             s => s.getField("sh")).as("ord_sh"))
-        .repartition(nPart, col("id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
