@@ -249,6 +249,22 @@ object OracleSql {
         |GROUP BY r_name, n_name
         |ORDER BY region_name, nation_name""".stripMargin,
 
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       c.c_name AS c_name,
+        |       coalesce(o.cnt, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+        |                 WHERE o_custkey % 3 = 0 GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,

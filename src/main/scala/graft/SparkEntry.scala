@@ -220,6 +220,33 @@ object SparkEntry {
           .as("revenue_cents"))
       .orderBy(col("region_name"), col("nation_name"))
 
+  /** LEFT SEMI join (EXISTS shape): orders having at least one
+    * high-quantity line. The semi join streams the fact side and never
+    * duplicates it per matching line — the planner broadcasts the
+    * (filtered, projected) existence set. */
+  private def qSemiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "lineitem").filter(col("l_quantity") > 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+
+  /** FULL OUTER join with keys exclusive to BOTH sides (the parity
+    * filters guarantee left-only and right-only rows exist, so both
+    * null-extension paths are actually exercised): customers without
+    * orders carry n_orders = 0, order keys without a customer row carry
+    * a NULL name. */
+  private def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = t(s, d, "orders").filter(col("o_custkey") % 3 === 0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   private def qTopK(s: SparkSession, d: String): DataFrame =
     Relational.topK(
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -674,6 +701,8 @@ object SparkEntry {
     "q_except" -> (qExcept _),
     "q_cube" -> (qCube _),
     "q_join_fact_dim" -> (qJoinFactDim _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_topk" -> (qTopK _),
     "q_window_rank" -> (qWindowRank _),
     "q_topk_per_key" -> (qTopkPerKey _),
