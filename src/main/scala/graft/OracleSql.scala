@@ -345,6 +345,19 @@ object OracleSql {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // The streaming windowed aggregate equals this batch SQL on bounded
+    // input (complete mode, one AvailableNow pass). Spark's 1-hour
+    // tumbling windows align to the epoch, so the bucket is integer
+    // floor arithmetic on epoch-µs.
+    "q_stream_window_counts" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
     // same flag-and-running-sum formulation as Relational.sessionize;
     // epoch_us(ts) matches Spark's `ts div 1000` on the nanos-as-long read
     "q_sessionize" ->

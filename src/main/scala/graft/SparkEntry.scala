@@ -377,6 +377,15 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The STREAMING engine under the correctness gate: tumbling-window
+    * counts computed by an actual Structured Streaming run (file source →
+    * watermark + event-time window → memory sink, AvailableNow) over the
+    * events parquet, verified against the plain SQL aggregation — see
+    * EventStream.runWindowedCountsOnce. */
+  private def qStreamWindowCounts(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.runWindowedCountsOnce(s, s"$d/events.parquet")
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** E8 — JSON serialization (`to_json`): rows re-encoded as compact JSON
     * objects, the payload-envelope shape the reference keeps in its
     * raw_json column. Non-null fields only: Spark omits null fields where
@@ -716,6 +725,7 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),

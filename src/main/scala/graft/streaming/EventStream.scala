@@ -123,4 +123,56 @@ object EventStream {
     * nanosAsLong) back to a proper timestamp. */
   def batchEvents(raw: DataFrame): DataFrame =
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Schema for streaming reads of the driver events parquet: the
+    * TIMESTAMP(NANOS) column arrives as epoch-nanos LongType (the
+    * session-wide nanosAsLong contract). */
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run [[windowedCounts]] through the REAL streaming engine — file
+    * source → event-time window aggregation → memory sink, Trigger
+    * .AvailableNow, complete mode — and hand back the final result as a
+    * local batch frame. This is what puts the STREAMING operator (not
+    * just its unified-semantics batch twin) under the DuckDB correctness
+    * gate: bounded input + complete mode make the streaming answer
+    * deterministic and equal to the batch aggregation of the same files.
+    * The collected result is the windowed AGGREGATE (hours × types —
+    * tiny by construction); the aggregation itself ran distributed.
+    */
+  def runWindowedCountsOnce(spark: SparkSession, eventsPath: String): DataFrame = {
+    // The file source consumes a DIRECTORY (a landing zone, at scale the
+    // producers' append target). The driver testdata is one file inside a
+    // directory of other tables, so stage a copy into its own landing dir
+    // once (idempotent per input path).
+    val src = new java.io.File(eventsPath)
+    val landing = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_events_landing_" + java.lang.Integer.toHexString(src.getAbsolutePath.hashCode))
+    val staged = new java.io.File(landing, src.getName)
+    if (!staged.exists()) {
+      landing.mkdirs()
+      java.nio.file.Files.copy(src.toPath, staged.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+    val agg = windowedCounts(batchEvents(raw))
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
+    val name = "stream_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = spark.table(name)
+    val (rows, schema) = (sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
@@ -106,5 +107,21 @@ class EventStreamSpec extends SparkSpec {
     val df = EventStream.batchEvents(graft.Tables(spark, "/root/testdata/sf0.001", "events"))
     assert(df.schema("ts").dataType.typeName == "timestamp")
     assert(df.count() == 1000)
+  }
+
+  test("runWindowedCountsOnce (real streaming run) equals the batch aggregation") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val streamed = EventStream.runWindowedCountsOnce(spark, path)
+      .orderBy("window_start_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val batch = EventStream.windowedCounts(
+      EventStream.batchEvents(spark.read.parquet(path)))
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"value_cents")
+      .orderBy("window_start_us", "event_type")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 }
