@@ -159,6 +159,15 @@ object EventStream {
       java.nio.file.Files.copy(src.toPath, staged.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // Streaming aggregation state is partitioned by the shuffle width AT
+    // FIRST RUN and every micro-batch pays per-state-partition store
+    // setup; the window×type state here is tiny, so size it like any
+    // other small shuffle (graft.Par's floor) instead of the session
+    // default. A real deployment sizes this to state volume; it is
+    // pinned into the checkpoint either way.
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
     val agg = windowedCounts(batchEvents(raw))
       .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -174,5 +183,6 @@ object EventStream {
     val (rows, schema) = (sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 }
