@@ -650,6 +650,41 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // same cluster CTEs as q_dedup_clusters; apply = keep docs that are
+    // not a non-minimum member of any cluster
+    "q_dedup_apply" -> {
+      val chunks = Seq((0, 1, 8), (1, 9, 8))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 1),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM cl
+         |                  WHERE cl.id = d.doc_id AND cl.cluster_id <> d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |       CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS INTEGER) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,

@@ -623,6 +623,33 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** End-to-end dedup APPLY — the write-the-clean-corpus step: drop every
+    * doc that belongs to a near-dup cluster but is not its minimum (the
+    * survivor), keep everything else. Composes the cluster resolution
+    * with one left-anti join against the (tiny) drop list; at scale this
+    * is the final pass that materializes the deduplicated training
+    * corpus. */
+  private def qDedupApply(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    t(s, d, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Text normalization — the cleanup pass upstream of tokenization /
+    * dedup: control chars → spaces, lowercase, collapse space runs, trim
+    * (TextOps.normalizeText, pure codegen expressions, scan-linear). */
+  private def qNormalize(s: SparkSession, d: String): DataFrame = {
+    val norm = TextOps.normalizeText(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"), norm.as("norm_text"),
+        TextOps.tokenCount(norm).as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Eval-set decontamination: corpus docs (doc_id % 50 ≠ 0) sharing any
     * word trigram with the "benchmark" slice (doc_id % 50 = 0), with the
     * distinct shared-gram count. Benchmark grams broadcast — the corpus
@@ -747,6 +774,8 @@ object SparkEntry {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_contamination" -> (qContamination _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_apply" -> (qDedupApply _),
+    "q_normalize" -> (qNormalize _),
     "q_chunks" -> (qChunks _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_lsh" -> (qMinhashLsh _),

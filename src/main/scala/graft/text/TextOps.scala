@@ -46,6 +46,15 @@ object TextOps {
       })
   }
 
+  /** Normalization pass upstream of tokenization/dedup: control chars
+    * become spaces, everything lowercases, space runs collapse, ends
+    * trim. Control chars are mapped to spaces FIRST so the collapse step
+    * only ever sees literal spaces — that keeps the regex engine-portable
+    * (no \s class differences across engines). Pure codegen expressions,
+    * scan-linear. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "\\p{Cntrl}", " "), " +", " "))
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,

@@ -64,4 +64,15 @@ class TextOpsSpec extends SparkSpec {
       .as[Double].collect()
     assert(out.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("normalizeText: control chars to spaces, lowercase, collapsed runs, trimmed") {
+    val rows = Seq(
+      "  Hello\tWORLD  ",
+      "a\u0000b",          // NUL becomes a space
+      "multi   space\r\n runs",
+      ""
+    ).toDF("text")
+    val out = rows.select(TextOps.normalizeText($"text").as("t")).as[String].collect().toSeq
+    assert(out == Seq("hello world", "a b", "multi space runs", ""))
+  }
 }
