@@ -784,6 +784,36 @@ object OracleSql {
          |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // multi-probe: the query's own bucket plus each Hamming-1 neighbor
+    // (one bit flipped); the corpus keeps one bucket per vector
+    "q_ann_lsh_mp" -> {
+      val flips = (1 to 4).map { i =>
+        val flipped = s"CASE substring(bucket, $i, 1) WHEN '1' THEN '0' ELSE '1' END"
+        s"SELECT vec_id, concat(substring(bucket, 1, ${i - 1}), $flipped, substring(bucket, ${i + 1})) AS bucket FROM b WHERE vec_id < 5"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id, bucket FROM b WHERE vec_id < 5
+         |  UNION ALL
+         |  $flips),
+         |$fpVecCte,
+         |q AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN probes ON nv.vec_id = probes.vec_id),
+         |c AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.nn > 0 AND c.nn > 0),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_ann_ivf" -> {
       val cosQC =
         "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +

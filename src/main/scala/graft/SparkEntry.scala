@@ -698,6 +698,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Multi-probe variant (query bucket + Hamming-1 neighbors) of the
+    * sign-LSH top-k — higher recall at a bounded (bits+1)x candidate
+    * cost; same index layout. */
+  private def qAnnLshMp(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.lshTopKMultiProbe(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5, bits = 4)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Vectors.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
@@ -782,6 +792,7 @@ object SparkEntry {
     "q_posexplode" -> (qPosexplode _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_mp" -> (qAnnLshMp _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_embed_neardup" -> (qEmbedNearDup _))
 
