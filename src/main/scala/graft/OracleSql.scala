@@ -265,6 +265,21 @@ object OracleSql {
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY custkey""".stripMargin,
 
+    // the salted join must be result-transparent: oracle = the plain join
+    "q_salted_join" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,

@@ -247,6 +247,35 @@ object SparkEntry {
       .orderBy(col("custkey"))
   }
 
+  /** Salted join under the correctness gate: the skew remedy must be
+    * RESULT-TRANSPARENT — the oracle is the plain join, so any salt
+    * routing error (missed bucket, duplicated replica) shows up as a
+    * hash mismatch. orders is the "skewed" big side, nation-sized
+    * customer slice the replicated small side. */
+  private def qSaltedJoin(s: SparkSession, d: String): DataFrame =
+    Relational.saltedJoin(
+      t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+      t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      Seq("o_custkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("revenue_cents"))
+      .orderBy(col("c_mktsegment"))
+
+  /** RANGE-frame window: running revenue per customer over a DATE range
+    * frame (all earlier-or-same-date orders, ties summed TOGETHER —
+    * the semantic difference from a ROWS frame that makes this a
+    * distinct operator). */
+  private def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("date"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(Relational.cents(col("o_totalprice"))).over(w).as("running_cents"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   private def qTopK(s: SparkSession, d: String): DataFrame =
     Relational.topK(
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -749,6 +778,8 @@ object SparkEntry {
     "q_join_fact_dim" -> (qJoinFactDim _),
     "q_semi_join" -> (qSemiJoin _),
     "q_outer_join" -> (qOuterJoin _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_window_range" -> (qWindowRange _),
     "q_topk" -> (qTopK _),
     "q_window_rank" -> (qWindowRank _),
     "q_topk_per_key" -> (qTopkPerKey _),
