@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.dedup.Dedup
+import graft.ops.Relational
+
+/** Randomized properties for the hand-written kernels, each checked
+  * against an obviously-correct reference formulation (builtin Spark
+  * expressions or plain Scala). Targeted adversarial cases live in the
+  * per-module specs; these sweep the input space.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Run a ScalaCheck property inside a funsuite test (the scalatestplus
+    * bridge is not on the classpath; scalacheck itself is). */
+  private def checkProp(min: Int)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(min).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+  import spark.implicits._
+
+  private val MIN = 25
+
+  private val word = Gen.oneOf("the", "a", "fox", "dog", "über", "", "x y", "42")
+  private val doc = Gen.listOf(word).map(_.mkString(" "))
+
+  test("SimHashFp equals the builtin formulation on random docs") {
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(20, doc)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = Dedup.simhash(df, "doc_id", "text")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      val builtin = Dedup.simhashBuiltins(df, "doc_id", "text")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      native == builtin
+    })
+  }
+
+  test("ShingleArray equals the builtin formulation on random docs") {
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(15, doc), Gen.choose(1, 4)) { (docs, n) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val native = df.select(Dedup.shingleArray($"text", n)).as[Seq[String]].collect().toSeq
+      val builtin = df.select(Dedup.shingleArrayBuiltins($"text", n)).as[Seq[String]].collect().toSeq
+      native == builtin
+    })
+  }
+
+  test("SortedIntersectCount equals size(array_intersect) on random sorted-distinct arrays") {
+    // the kernel's contract is sorted-distinct in STRING (UTF8) order —
+    // sort after stringifying, exactly like ShingleArray's output
+    val arr = Gen.listOf(Gen.choose(-50L, 50L)).map(_.map(_.toString).distinct.sorted)
+    checkProp(MIN)(Prop.forAll(arr, arr) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(col("a").cast("array<string>").as("a"), col("b").cast("array<string>").as("b"))
+      val native = df.select(graft.functions.SortedIntersectCount($"a", $"b"))
+        .as[Long].collect().head
+      native == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("sessionize matches a straightforward per-key scan on random event sets") {
+    val eventsGen = Gen.listOf(for {
+      k <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 300L)
+    } yield (k, ts)).map(_.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) })
+    checkProp(MIN)(Prop.forAll(eventsGen, Gen.choose(1L, 60L)) { (events, gap) =>
+      val df = events.toDF("event_id", "k", "ts")
+      val got = Relational.sessionize(df, "k", "ts", gap, $"event_id")
+        .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+      // reference: sort each key's events by (ts, event_id), walk once
+      val expect = events.groupBy(_._2).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        var idx = -1L; var prev = Long.MinValue
+        sorted.map { case (id, _, ts) =>
+          if (prev == Long.MinValue || ts - prev > gap) idx += 1
+          prev = ts
+          id -> idx
+        }
+      }.toMap
+      got == expect
+    })
+  }
+
+  test("CappedCollect: overflow iff group exceeds cap, under any partitioning") {
+    checkProp(MIN)(Prop.forAll(Gen.choose(0, 30), Gen.choose(1, 12), Gen.choose(1, 6)) { (n, cap, parts) =>
+      n == 0 || {
+        val df = (1 to n).map(i => (1L, i.toLong, i.toLong, i)).toDF("g", "id", "n_sh", "pos")
+        val out = df.repartition(parts)
+          .groupBy($"g")
+          .agg(graft.functions.CappedCollect($"id", $"n_sh", $"pos", cap).as("cc"))
+          .select($"cc.overflow", size($"cc.xs")).as[(Boolean, Int)].collect().head
+        if (n > cap) out == ((true, 0)) else out == ((false, n))
+      }
+    })
+  }
+}
