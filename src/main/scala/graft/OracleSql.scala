@@ -273,11 +273,14 @@ object OracleSql {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
+    // DuckDB sum(BIGINT) yields HUGEINT (→ float64 in the driver's frame,
+    // "123.0" vs "123" hash mismatch) — CAST the windowed sum back to BIGINT.
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |         OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
-        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS running_cents
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q_topk" ->
