@@ -878,5 +878,106 @@ object OracleSql {
          |FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE x.nn > 0 AND y.nn > 0
          |  AND ${cosineExpr("x", "y")} >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- corpus-mixing / serving tier (round 7) -------------------------
+
+    // Mean quality is an exact integer sum of per-doc fixed-point (1e6)
+    // scores divided once at the end — partition-order-independent on the
+    // Spark side, so it hash-matches any engine that mirrors the per-doc
+    // expression (which q_text_quality already proves bit-equal).
+    "q_domain_stats" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT source, lang,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, n_tokens,
+         |         CAST(round(((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |           + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |           + (1.0 - punct_ratio) * 0.2) * 1000000.0) AS BIGINT) AS q_fp6
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       count(DISTINCT lang) AS n_langs,
+         |       CAST(sum(q_fp6) AS DOUBLE) / count(*) / 1000000.0 AS avg_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // Temperature weights use sqrt (IEEE-correctly-rounded in every
+    // engine) rather than pow(x, alpha); the md5 percentile is the same
+    // portable hash as q_train_test_split. Keep probability = baseFrac ·
+    // w/share capped at 1 — the mix-flattening form.
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+        |p AS (SELECT source, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+        |             sqrt(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS p FROM c, tot),
+        |z AS (SELECT sum(p) AS z FROM p),
+        |w AS (SELECT source, share, p.p / z.z AS w FROM p, z)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN w ON d.source = w.source
+        |WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS DOUBLE)
+        |      < least(0.5 * w.w / w.share, 1.0) * 10000.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH x AS (
+        |  SELECT source, doc_id,
+        |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS INTEGER) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, shard, doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM x)
+        |SELECT source, shard, doc_id, n_tok, cum_tok,
+        |       (cum_tok - 1) // 2048 AS bin
+        |FROM c ORDER BY source, shard, doc_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, price_cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01')
+        |  WHERE rn = 1),
+        |u AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, price_cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM o WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |  WHERE rn = 1)
+        |SELECT o_custkey, o_orderkey, o_orderdate, price_cents FROM u
+        |UNION ALL
+        |SELECT o_custkey, o_orderkey, o_orderdate, price_cents FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_custkey = b.o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    // Every arithmetic step mirrors Vectors.quantizeInt8 op-for-op
+    // (float→double promotion, one multiply, one divide, round); both
+    // engines round positive halves away from zero.
+    "q_quantize_embed" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |         CAST(list_max(embedding) AS DOUBLE) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS pos,
+        |       CAST(CASE WHEN mx = mn THEN 0
+        |                 ELSE round((CAST(embedding[u.i] AS DOUBLE) - mn) * 255.0 / (mx - mn))
+        |            END AS INTEGER) AS code,
+        |       mn AS q_min, mx AS q_max
+        |FROM q, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |ORDER BY vec_id, pos""".stripMargin)
 }

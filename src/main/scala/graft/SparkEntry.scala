@@ -750,6 +750,57 @@ object SparkEntry {
       threshold = 0.4, bits = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ------------------------- corpus-mixing / serving tier (round 7)
+
+  /** Per-domain corpus report (counts, token volume, languages, exact
+    * fixed-point mean quality) — one hash-aggregate over the scan. */
+  private def qDomainStats(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.domainStats(t(s, d, "documents"),
+        "source", "text", "lang", TextOps.Stopwords.toMap.apply("en"))
+      .orderBy(col("source"))
+
+  /** Sqrt-temperature domain re-weighting (the LLM data-mixing sampler):
+    * deterministic md5-percentile keep decision against a broadcast
+    * per-domain weight table — the corpus never shuffles. */
+  private def qTemperatureSample(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.temperatureSample(t(s, d, "documents"),
+        "source", "doc_id", baseFrac = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Token-budget sequence packing per (domain, shard): contiguous bins
+    * from a running window sum — the batch-assembly step before training
+    * shard writes. */
+  private def qPackSequences(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.packSequences(t(s, d, "documents"),
+        "source", "doc_id", "text", budget = 2048, nShards = 4)
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
+        col("cum_tok"), col("bin"))
+      .orderBy(col("source"), col("shard"), col("doc_id"))
+
+  /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted
+    * with the 1997+ orders, updates winning per customer. */
+  private def qUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate"), Relational.cents(col("o_totalprice")).as("price_cents"))
+    val cut = to_timestamp(lit("1997-01-01"))
+    val keyOrder = Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+    val base = Relational.latestPerKey(
+      o.filter(col("o_orderdate") < cut), Seq("o_custkey"), keyOrder)
+    Relational.upsert(base, o.filter(col("o_orderdate") >= cut),
+        Seq("o_custkey"), keyOrder)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Int8 scalar quantization of the embedding store, exploded to
+    * (vec_id, pos, code) for the exact compare. */
+  private def qQuantizeEmbed(s: SparkSession, d: String): DataFrame =
+    Vectors.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), posexplode(col("codes")),
+        col("q_min"), col("q_max"))
+      .withColumnRenamed("col", "code")
+      .orderBy(col("vec_id"), col("pos"))
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -825,7 +876,12 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_mp" -> (qAnnLshMp _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_embed_neardup" -> (qEmbedNearDup _))
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_domain_stats" -> (qDomainStats _),
+    "q_temperature_sample" -> (qTemperatureSample _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_upsert" -> (qUpsert _),
+    "q_quantize_embed" -> (qQuantizeEmbed _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

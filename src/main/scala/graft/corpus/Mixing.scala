@@ -1,0 +1,116 @@
+package graft.corpus
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Corpus-composition operators for assembling a pretraining mix:
+  * per-domain reporting, temperature-based domain re-weighting (the
+  * sampling scheme used to flatten source-size skew in LLM training
+  * mixes), and token-budget sequence packing.
+  *
+  * Shapes are chosen for the 100 TB case:
+  *   - stats and weights are hash-aggregates with map-side partials whose
+  *     output is O(#domains) — tiny — so the re-weighting join back onto
+  *     the corpus broadcasts under AQE and the corpus itself never
+  *     shuffles;
+  *   - packing is the one genuinely order-dependent operator, so it runs
+  *     as a window per (domain, shard) — the deterministic md5 shard key
+  *     bounds any single partition's sequential work regardless of how
+  *     skewed the domain sizes are.
+  *
+  * Floating-point discipline (oracle hash-exactness): averages are
+  * computed as exact integer sums of per-row fixed-point values (1e6)
+  * and divided once at the end — a parallel double sum would be
+  * partition-order-dependent. The temperature exponent is fixed at 0.5
+  * because IEEE 754 requires sqrt to be correctly rounded (bit-identical
+  * across engines), unlike pow(x, alpha).
+  */
+object Mixing {
+
+  /** Per-row fixed-point quality used by both stats and its oracle. */
+  private def qualityFp6(text: Column, stopwords: Seq[String]): Column =
+    round(TextOps.qualityScore(text, stopwords) * 1e6).cast("long")
+
+  /** Per-domain corpus report: doc count, token volume, distinct
+    * languages, and mean quality (exact fixed-point mean — deterministic
+    * under any partitioning). One hash-aggregate over the scan. */
+  def domainStats(docs: DataFrame, sourceCol: String, textCol: String,
+                  langCol: String, stopwords: Seq[String]): DataFrame = {
+    val txt = col(textCol)
+    docs
+      .select(col(sourceCol), col(langCol),
+        TextOps.tokenCount(txt).cast("long").as("n_tok"),
+        qualityFp6(txt, stopwords).as("q_fp6"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (sum(col("q_fp6")).cast("double") / count(lit(1)) / 1e6).as("avg_quality"))
+  }
+
+  /** Square-root temperature weights per domain: the TARGET output mix
+    * w_s ∝ sqrt(c_s / N) (normalized to sum to 1), alongside each
+    * domain's input share c_s / N. Output is O(#domains) rows; both
+    * normalizing aggregates are 1-row broadcast crosses (the TF-IDF
+    * corpus-stats pattern) — no second pass over the corpus. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    val p = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        (col("c").cast("double") / col("n").cast("double")).as("share"),
+        sqrt(col("c").cast("double") / col("n").cast("double")).as("p"))
+    val z = p.agg(sum(col("p")).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("share"), (col("p") / col("z")).as("w"))
+  }
+
+  /** Deterministic temperature-sampled corpus. The per-doc keep
+    * probability is baseFrac · w_s / share_s (capped at 1): dividing the
+    * target mix weight by the input share is what actually FLATTENS the
+    * corpus — small domains keep a larger fraction of themselves, and the
+    * sampled output's composition converges to w_s. Expected overall
+    * keep rate is exactly baseFrac (Σ share·(w/share) = Σ w = 1) until
+    * the cap binds for very small domains. The keep decision is an
+    * md5-derived percentile (0..9999) against the broadcast per-domain
+    * threshold — the corpus is filtered in place, no shuffle. */
+  def temperatureSample(docs: DataFrame, sourceCol: String, idCol: String,
+                        baseFrac: Double): DataFrame = {
+    val w = temperatureWeights(docs, sourceCol)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val pct = pmod(h, lit(10000L)).cast("double")
+    docs.join(broadcast(w), Seq(sourceCol))
+      .filter(pct < least(lit(baseFrac) * col("w") / col("share"), lit(1.0)) * 10000d)
+      .drop("w", "share")
+  }
+
+  /** Token-budget sequence packing: within each (domain, shard), walk
+    * documents in id order accumulating token counts and assign each doc
+    * to the bin where its cumulative count ends: bin = (cumsum − 1) ÷
+    * budget. Contract: bins are contiguous id-ranges per shard and every
+    * bin except the last holds ≥ budget − maxDocTokens tokens. The md5
+    * shard key (`nShards`) bounds the sequential window per partition, so
+    * a single giant domain cannot serialize onto one task. Integer
+    * arithmetic end to end — deterministic and oracle-exact. */
+  def packSequences(docs: DataFrame, sourceCol: String, idCol: String,
+                    textCol: String, budget: Int, nShards: Int): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val shard = pmod(h, lit(nShards.toLong)).cast("int")
+    val win = Window.partitionBy(col(sourceCol), col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(sourceCol), col(idCol), shard.as("shard"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(win))
+      .withColumn("bin", ((col("cum_tok") - 1) / budget).cast("long"))
+  }
+}

@@ -183,4 +183,22 @@ object Relational {
     events.withColumn("session_idx",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }
+
+  /** SCD-type-1 UPSERT (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    * INSERT): apply a batch of updates onto a base snapshot, updates
+    * winning on key collision. The update batch is first collapsed to
+    * one row per key by `order` (so a batch carrying several versions of
+    * a key applies its latest), then the surviving base rows are found
+    * with a LEFT ANTI join. Two key-partitioned exchanges at most — the
+    * dedup window and the anti join share the key, so at scale they
+    * coalesce onto one partitioning, and when the update batch is small
+    * (the usual incremental-load case) AQE broadcasts the anti side and
+    * the base never shuffles at all. Schemas must match by name.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             order: Seq[Column]): DataFrame = {
+    val latestUpdates = latestPerKey(updates, keys, order)
+    base.join(latestUpdates, keys, "left_anti")
+      .unionByName(latestUpdates)
+  }
 }

@@ -357,4 +357,26 @@ object Vectors {
         cosineFromNorms(col("x.fv"), col("y.fv"), col("x.nn"), col("y.nn")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-vector int8 SCALAR QUANTIZATION — the standard 4× compression
+    * applied to embedding stores before ANN serving (each component maps
+    * to round((v − min) · 255 / (max − min)) ∈ [0, 255], with (min, max)
+    * kept per vector for dequantization). A pure in-row expression chain:
+    * quantization parallelizes with the scan, no shuffle, no UDF. Every
+    * arithmetic step is float→double promotion followed by one multiply
+    * and one divide in a fixed order, so the codes are bit-deterministic
+    * and oracle-reproducible. Constant vectors (max = min) map to code 0.
+    * Returns (id, codes array<int>, q_min double, q_max double).
+    */
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mn = array_min(col(vecCol)).cast("double")
+    val mx = array_max(col(vecCol)).cast("double")
+    vectors.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), v =>
+        when(mx === mn, lit(0))
+          .otherwise(round((v.cast("double") - mn) * 255d / (mx - mn)).cast("int")))
+        .as("codes"),
+      mn.as("q_min"), mx.as("q_max"))
+  }
 }

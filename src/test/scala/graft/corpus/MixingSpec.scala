@@ -1,0 +1,68 @@
+package graft.corpus
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.text.TextOps
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val en = TextOps.Stopwords.toMap.apply("en")
+
+  private def corpus(nA: Int, nB: Int) = {
+    val rows = (0 until nA).map(i => (i.toLong, s"the quick fox $i jumps", "en", "web")) ++
+      (0 until nB).map(i => ((1000 + i).toLong, s"und der hund $i", "de", "books"))
+    rows.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("domainStats: counts, token volume, langs, and exact fixed-point mean quality") {
+    val docs = corpus(3, 2)
+    val out = Mixing.domainStats(docs, "source", "text", "lang", en)
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("books", "web"))
+    val web = out(1)
+    assert(web.getLong(1) == 3)           // n_docs
+    assert(web.getLong(2) == 15)          // 5 tokens x 3 docs
+    assert(web.getLong(3) == 1)           // one lang
+    // mean quality must equal the exact mean of per-doc fixed-point scores
+    val perDoc = docs.filter($"source" === "web")
+      .select(round(TextOps.qualityScore($"text", en) * 1e6).cast("long"))
+      .as[Long].collect()
+    assert(web.getDouble(4) == perDoc.sum.toDouble / perDoc.length / 1e6)
+  }
+
+  test("temperatureSample is deterministic, a subset, and flattens domain skew") {
+    val docs = corpus(400, 50)
+    val s1 = Mixing.temperatureSample(docs, "source", "doc_id", baseFrac = 0.5)
+    val s2 = Mixing.temperatureSample(docs, "source", "doc_id", baseFrac = 0.5)
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(ids1.toSet.subsetOf(docs.select("doc_id").as[Long].collect().toSet))
+    // sqrt temperature: the small domain keeps a larger FRACTION of itself
+    val kept = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    val fracSmall = kept.getOrElse("books", 0L).toDouble / 50
+    val fracBig = kept.getOrElse("web", 0L).toDouble / 400
+    assert(fracSmall > fracBig)
+  }
+
+  test("packSequences: contiguous non-decreasing bins that respect the budget arithmetic") {
+    val docs = corpus(40, 10)
+    val out = Mixing.packSequences(docs, "source", "doc_id", "text",
+        budget = 17, nShards = 2)
+      .orderBy("source", "shard", "doc_id")
+      .select("source", "shard", "doc_id", "n_tok", "cum_tok", "bin")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._3).foreach { case (_, _, _, nTok, cumTok, bin) =>
+        cum += nTok
+        assert(cumTok == cum, "running sum mismatch")
+        assert(bin == (cum - 1) / 17, "bin id mismatch")
+      }
+      // bins are contiguous and non-decreasing in id order
+      val bins = grp.sortBy(_._3).map(_._6)
+      assert(bins.zip(bins.tail).forall { case (a, b) => b == a || b == a + 1 },
+        "bins must advance by at most one per doc")
+    }
+  }
+}

@@ -133,4 +133,20 @@ class RelationalSpec extends SparkSpec {
       .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
     assert(out2 == out)
   }
+
+  test("upsert: updates win on collision, inserts land, multi-version batches apply latest") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "v", "ver")
+    val updates = Seq(
+      (2L, "b2", 21L), (2L, "b3", 25L), // two versions of key 2 — latest wins
+      (4L, "d", 40L)                    // brand-new key
+    ).toDF("k", "v", "ver")
+    val out = Relational.upsert(base, updates, Seq("k"), Seq($"ver".desc))
+      .select($"k", $"v", $"ver").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L),  // untouched base row survives
+      (2L, "b3", 25L), // updated, and by the LATEST version in the batch
+      (3L, "c", 30L),
+      (4L, "d", 40L))) // inserted
+  }
 }

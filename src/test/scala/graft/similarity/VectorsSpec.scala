@@ -213,4 +213,27 @@ class VectorsSpec extends SparkSpec {
     assert(rMulti >= rSingle)
     assert(rMulti > 0.5, f"multi-probe recall implausibly low: $rMulti%.3f")
   }
+
+  test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
+    val v = Seq(
+      (1L, Seq(0f, 1f, 2f)),
+      (2L, Seq(3f, 3f, 3f)),          // constant vector → all-zero codes
+      (3L, Seq(-1f, 0.5f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.quantizeInt8(v, "vec_id", "embedding")
+      .select($"id", $"codes", $"q_min", $"q_max")
+      .as[(Long, Seq[Int], Double, Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == Seq(0, 128, 255)) // round(1*255/2) = round(127.5) = 128
+    assert(out(0)._3 == 0.0 && out(0)._4 == 2.0)
+    assert(out(1)._2 == Seq(0, 0, 0))
+    // dequantization error is at most half a quantization step
+    out.filter(t => t._4 > t._3).foreach { case (id, codes, mn, mx) =>
+      val orig = Map(1L -> Seq(0f, 1f, 2f), 3L -> Seq(-1f, 0.5f, 1f))(id)
+      val step = (mx - mn) / 255.0
+      codes.zip(orig).foreach { case (c, o) =>
+        assert(math.abs(mn + c * step - o) <= step / 2 + 1e-9,
+          s"vec $id component $o decoded ${mn + c * step}")
+      }
+    }
+  }
 }
