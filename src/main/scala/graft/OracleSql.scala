@@ -979,5 +979,49 @@ object OracleSql {
         |            END AS INTEGER) AS code,
         |       mn AS q_min, mx AS q_max
         |FROM q, unnest(range(1, len(embedding) + 1)) AS u(i)
-        |ORDER BY vec_id, pos""".stripMargin)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    // Hour totals are exact integer cents, so the forward-fill carries a
+    // partition-order-independent value; leading empty hours stay NULL in
+    // both engines.
+    "q_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |hv AS (SELECT user_id, h, CAST(sum(cents) AS BIGINT) AS v, count(*) AS n
+        |       FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM span),
+        |j AS (SELECT s.user_id, s.h, hv.v, coalesce(hv.n, 0) AS n
+        |      FROM spine s LEFT JOIN hv ON s.user_id = hv.user_id AND s.h = hv.h)
+        |SELECT user_id, h, n, v,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    // percentile ↔ quantile_cont interpolation parity is already proven by
+    // q_percentiles; the clip keeps exact-integer cents except at the
+    // interpolated bounds.
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |st AS (SELECT quantile_cont(price_cents, 0.01) AS p_lo,
+        |              quantile_cont(price_cents, 0.99) AS p_hi FROM b)
+        |SELECT l_orderkey, l_linenumber, price_cents,
+        |       CASE WHEN price_cents < p_lo THEN p_lo
+        |            WHEN price_cents > p_hi THEN p_hi
+        |            ELSE CAST(price_cents AS DOUBLE) END AS clipped
+        |FROM b, st ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -801,6 +801,43 @@ object SparkEntry {
       .withColumnRenamed("col", "code")
       .orderBy(col("vec_id"), col("pos"))
 
+  /** SCD2 historization of the order log: per customer, each order is
+    * valid until the next one (valid_to NULL = current). */
+  private def qScd2(s: SparkSession, d: String): DataFrame =
+    Relational.historize(
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        Relational.cents(col("o_totalprice")).as("price_cents")),
+      Seq("o_custkey"), "valid_from", col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+
+  /** Hourly resample of the event stream per user with forward-filled
+    * hour totals across gaps. */
+  private def qResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    Relational.resampleHourlyFfill(e, "user_id", "us", col("cents"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** Percentile winsorization (clip at p1/p99) of the price column —
+    * two-pass: 1-row exact-percentile stats broadcast back over the
+    * scan. */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      Relational.cents(col("l_extendedprice")).as("price_cents"))
+    val stats = base.agg(
+      expr("percentile(price_cents, 0.01)").as("p_lo"),
+      expr("percentile(price_cents, 0.99)").as("p_hi"))
+    base.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price_cents"),
+        when(col("price_cents") < col("p_lo"), col("p_lo"))
+          .when(col("price_cents") > col("p_hi"), col("p_hi"))
+          .otherwise(col("price_cents").cast("double")).as("clipped"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -881,7 +918,10 @@ object SparkEntry {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
-    "q_quantize_embed" -> (qQuantizeEmbed _))
+    "q_quantize_embed" -> (qQuantizeEmbed _),
+    "q_scd2" -> (qScd2 _),
+    "q_resample_ffill" -> (qResampleFfill _),
+    "q_winsorize" -> (qWinsorize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

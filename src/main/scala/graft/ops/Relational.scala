@@ -201,4 +201,44 @@ object Relational {
     base.join(latestUpdates, keys, "left_anti")
       .unionByName(latestUpdates)
   }
+
+  /** SCD-type-2 HISTORIZATION: turn a change log into validity intervals —
+    * each row becomes valid from its own timestamp until the key's next
+    * change (`valid_to` NULL ⇒ still current). One key-partitioned window
+    * (lead), no self-join; the standard dimension-history builder.
+    * `tieBreak` must make (tsCol, tieBreak) a total order per key.
+    */
+  def historize(df: DataFrame, keys: Seq[String], tsCol: String,
+                tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), tieBreak)
+    df.withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Hourly RESAMPLE + FORWARD-FILL: aggregate a (key, µs-timestamp,
+    * measure) stream to per-hour totals, densify each key onto its full
+    * hourly calendar spine, and carry the last observed total across
+    * empty hours (`v_ffill`; leading empty hours stay NULL). The gap-
+    * filling shape every time-series feature pipeline needs. Scale: the
+    * spine explode is O(key's hour span) rows per key — bounded by the
+    * retention window, not the event volume — and the aggregate, spine
+    * join, and fill window all partition on the key, so AQE coalesces
+    * them onto one exchange.
+    * Output: (key, h, n, v, v_ffill); h = hours since epoch, v = exact
+    * integer hour total (`measureCents` must be integer-typed).
+    */
+  def resampleHourlyFfill(df: DataFrame, keyCol: String, usCol: String,
+                          measureCents: Column): DataFrame = {
+    val e = df.select(col(keyCol), expr(s"$usCol div 3600000000").as("h"),
+      measureCents.as("cents"))
+    val hv = e.groupBy(col(keyCol), col("h"))
+      .agg(sum(col("cents")).as("v"), count(lit(1)).as("n"))
+    val span = e.groupBy(col(keyCol)).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = span.select(col(keyCol), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hv, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h"), coalesce(col("n"), lit(0L)).as("n"), col("v"))
+      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+  }
 }

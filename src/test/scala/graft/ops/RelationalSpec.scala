@@ -149,4 +149,42 @@ class RelationalSpec extends SparkSpec {
       (3L, "c", 30L),
       (4L, "d", 40L))) // inserted
   }
+
+  test("historize: validity intervals chain per key, last row is current") {
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "x"))
+      .toDF("k", "ts", "v")
+    val out = Relational.historize(log, Seq("k"), "ts", $"v")
+      .select($"k", $"ts", $"v", $"valid_to", $"is_current")
+      .as[(Long, Long, String, Option[Long], Boolean)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "a", Some(20L), false),
+      (1L, 20L, "b", Some(30L), false),
+      (1L, 30L, "c", None, true),   // open interval = current version
+      (2L, 5L, "x", None, true)))   // single-version key is current
+    // intervals tile the timeline: valid_to(i) == valid_from(i+1)
+    val k1 = out.filter(_._1 == 1L)
+    k1.sliding(2).foreach { case Array(a, b) => assert(a._4.contains(b._2)) }
+  }
+
+  test("resampleHourlyFfill: dense spine, zero-count gap hours, carried totals") {
+    val hourUs = 3600000000L
+    // key 1: events in hours 100 and 103 — 102 must appear with n=0 and
+    // the hour-100 total carried through; key 2: single hour
+    val e = Seq(
+      (1L, 100 * hourUs + 5L, 7L), (1L, 100 * hourUs + 6L, 3L),
+      (1L, 103 * hourUs + 1L, 20L),
+      (2L, 50 * hourUs, 4L)
+    ).toDF("user_id", "us", "cents")
+    val out = Relational.resampleHourlyFfill(e, "user_id", "us", $"cents")
+      .select($"user_id", $"h", $"n", $"v", $"v_ffill")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 2L, Some(10L), Some(10L)),
+      (1L, 101L, 0L, None, Some(10L)),  // gap hour, forward-filled
+      (1L, 102L, 0L, None, Some(10L)),
+      (1L, 103L, 1L, Some(20L), Some(20L)),
+      (2L, 50L, 1L, Some(4L), Some(4L))))
+  }
 }
