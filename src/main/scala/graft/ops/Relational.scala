@@ -233,7 +233,10 @@ object Relational {
       measureCents.as("cents"))
     val hv = e.groupBy(col(keyCol), col("h"))
       .agg(sum(col("cents")).as("v"), count(lit(1)).as("n"))
-    val span = e.groupBy(col(keyCol)).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    // span re-aggregates the (tiny) hourly table, not the raw events —
+    // one pass over the input, and the rollup rides the exchange hv
+    // already paid.
+    val span = hv.groupBy(col(keyCol)).agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = span.select(col(keyCol), explode(sequence(col("h0"), col("h1"))).as("h"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -361,14 +361,27 @@ object Vectors {
   /** Per-vector int8 SCALAR QUANTIZATION — the standard 4× compression
     * applied to embedding stores before ANN serving (each component maps
     * to round((v − min) · 255 / (max − min)) ∈ [0, 255], with (min, max)
-    * kept per vector for dequantization). A pure in-row expression chain:
-    * quantization parallelizes with the scan, no shuffle, no UDF. Every
-    * arithmetic step is float→double promotion followed by one multiply
-    * and one divide in a fixed order, so the codes are bit-deterministic
-    * and oracle-reproducible. Constant vectors (max = min) map to code 0.
+    * kept per vector for dequantization). In-row and shuffle-free; the
+    * kernel is the native one-pass expression
+    * [[graft.functions.QuantizeInt8Fp]] (the builtin Column form below
+    * re-scans the array per element once Catalyst inlines the min/max
+    * subtrees into the transform lambda — O(d²) reads per vector).
+    * Arithmetic is float→double promotion with a fixed op order, so the
+    * codes are bit-deterministic and oracle-reproducible; constant
+    * vectors (max = min) map to code 0.
     * Returns (id, codes array<int>, q_min double, q_max double).
     */
-  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def quantizeInt8(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(idCol).as("id"),
+        graft.functions.QuantizeInt8Fp(col(vecCol)).as("q"))
+      .select(col("id"), col("q.codes").as("codes"),
+        col("q.q_min").as("q_min"), col("q.q_max").as("q_max"))
+
+  /** The portable Column formulation QuantizeInt8Fp is spec-checked
+    * bit-identical to (and the form the DuckDB oracle mirrors). */
+  private[graft] def quantizeInt8Builtin(vectors: DataFrame, idCol: String,
+                                         vecCol: String): DataFrame = {
     val mn = array_min(col(vecCol)).cast("double")
     val mx = array_max(col(vecCol)).cast("double")
     vectors.select(

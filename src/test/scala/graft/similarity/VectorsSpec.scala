@@ -214,6 +214,24 @@ class VectorsSpec extends SparkSpec {
     assert(rMulti > 0.5, f"multi-probe recall implausibly low: $rMulti%.3f")
   }
 
+  test("QuantizeInt8Fp is bit-identical to the builtin Column formulation") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map { i =>
+      val d = 1 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(d)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100)))
+    } ++ Seq(
+      (1000L, Seq.empty[Float]),          // empty → (empty, NULL, NULL)
+      (1001L, Seq(5f, 5f, 5f)),           // constant → zero codes
+      (1002L, Seq(-0.0f, 0.0f, 1f)),      // signed-zero ordering
+      (1003L, Seq(Float.MinPositiveValue, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val native = Vectors.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    val builtin = Vectors.quantizeInt8Builtin(df, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    assert(native.map(_.toSeq) == builtin.map(_.toSeq))
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
