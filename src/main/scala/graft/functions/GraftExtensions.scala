@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shingle_array n must be an integer literal, got $other")
         }
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8Fp].getName, "quantize_int8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "quantize_int8 expects exactly 1 argument")
+        QuantizeInt8Fp(children.head)
+      }))
     ext.injectOptimizerRule(_ => RewriteSortedIntersectCount)
   }
 }

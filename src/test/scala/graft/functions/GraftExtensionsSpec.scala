@@ -46,6 +46,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantize_int8 is callable from SQL when the extension is installed") {
+    withExtendedSession { spark =>
+      val r = spark.sql(
+        """SELECT q.codes, q.q_min, q.q_max
+          |FROM (SELECT quantize_int8(array(CAST(0 AS FLOAT), CAST(1 AS FLOAT),
+          |                                 CAST(2 AS FLOAT))) AS q)""".stripMargin)
+        .collect().head
+      assert(r.getSeq[Int](0) == Seq(0, 128, 255))
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 2.0)
+    }
+  }
+
   test("optimizer rewrites size(array_intersect) over provably sorted-distinct arrays") {
     withExtendedSession { spark =>
       // RDD-backed input — a local Seq relation would be folded away
