@@ -46,6 +46,41 @@ class IOSpec extends SparkSpec {
     assert(q.count() == 10)
   }
 
+  test("dynamic partition pruning: a broadcast dim filter prunes the fact scan at runtime") {
+    val root = java.nio.file.Files.createTempDirectory("io-dpp").toString
+    val fact = (1 to 40).map(i => (i.toLong, 1990 + i % 4)).toDF("id", "y")
+    IO.writePartitioned(fact, Seq("y"), s"$root/fact")
+    // the dim must be FILE-backed: a local Seq folds the filter into the
+    // LocalRelation before the PartitionPruning rule looks for a
+    // selective predicate on the build side
+    Seq((1991, "keep"), (1905, "dead")).toDF("yy", "tag")
+      .write.parquet(s"$root/dim")
+    // AQE off just for the plan inspection — DPP is independent of it,
+    // and the adaptive wrapper hides the scan behind leaf query stages
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.parquet(s"$root/fact")
+        .join(spark.read.parquet(s"$root/dim").filter($"tag" === "keep"),
+          $"y" === $"yy")
+      // execute THIS QueryExecution (count() would plan a separate one)
+      // so the scan metrics fill in
+      assert(q.collect().length == 10)
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata("Location").contains("fact") => s
+      }.getOrElse(fail(s"no fact FileSourceScanExec:\n${q.queryExecution.executedPlan}"))
+      // the fact scan must carry a DPP subquery filter on the partition
+      // column (pruned at runtime from the broadcast dim), and the
+      // post-execution metrics must show only 1 of 4 partitions read
+      assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
+        s"no DPP filter on the fact scan: ${scan.partitionFilters}")
+      val pruned = scan.metrics.get("numPartitions").map(_.value)
+      assert(pruned.contains(1L), s"expected 1 partition scanned, metrics: ${
+        scan.metrics.view.mapValues(_.value).toMap}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("writeBucketed produces a bucketed table whose join needs no exchange on the key") {
     spark.sql("DROP TABLE IF EXISTS bucketed_orders")
     // the managed location may survive a previous JVM whose in-memory
