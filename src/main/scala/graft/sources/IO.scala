@@ -64,4 +64,33 @@ object IO {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Morton (Z-curve) value of two non-negative int columns: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. Pure integer Column
+    * arithmetic (codegen, engine-portable). */
+  def mortonZ(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDER clustered write: range-partition + sort the rows by the
+    * Morton interleave of two dimension columns before writing, so every
+    * output file covers a small RECTANGLE of the (a, b) space and its
+    * parquet min/max footer stats are tight on BOTH columns — a filter on
+    * either dimension then row-group-skips most files (the multi-dim
+    * data-skipping layout a single-column sort can only give one
+    * dimension). The spec measures the effect: a narrow second-dimension
+    * filter reads an order of magnitude fewer rows from the z-ordered
+    * layout than from a first-dimension-sorted one. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, bits: Int,
+                    nFiles: Int, path: String): Unit =
+    df.withColumn("__z", mortonZ(col(a), col(b), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -106,6 +106,42 @@ class IOSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mortonZ interleaves bits (known values) and is monotone on quadrants") {
+    val out = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5))
+      .toDF("a", "b")
+      .select(IO.mortonZ($"a", $"b", 4).as("z")).as[Int].collect()
+    // (3,5) = a bits 011 -> positions 0,2 ; b bits 101 -> positions 1,5
+    assert(out.toSeq == Seq(0, 1, 2, 3, 1 + 4 + 2 + 32))
+  }
+
+  test("writeZOrdered: a second-dimension filter row-group-skips most of the layout") {
+    val root = java.nio.file.Files.createTempDirectory("io-zorder").toString
+    val n = 1 << 14 // 128 x 128 grid
+    val df = spark.range(n).select(
+      (col("id") % 128).cast("int").as("x"),
+      (col("id") / 128).cast("int").as("y"),
+      col("id"))
+    df.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$root/linear")
+    IO.writeZOrdered(df, "x", "y", bits = 7, nFiles = 16, s"$root/z")
+    def rowsScanned(path: String): Long = {
+      val q = spark.read.parquet(path).filter($"y" === 5)
+      assert(q.count() == 128) // both layouts return the same result
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no scan"))
+      scan.metrics("numOutputRows").value
+    }
+    val linear = rowsScanned(s"$root/linear")
+    val z = rowsScanned(s"$root/z")
+    // x-sorted files all span the full y range -> no row group skips; the
+    // z-ordered files cover y-rectangles, so most skip via footer stats
+    info(s"rows out of scan: linear=$linear z=$z")
+    assert(linear == n.toLong, "x-sorted layout should skip nothing for a y filter")
+    assert(z * 3 <= linear, s"z-order should skip at least 2/3 of the rows (got $z of $linear)")
+  }
+
   test("readParquet pins the schema and prunes columns") {
     val df = IO.readParquet(spark,
       StructType(Seq(StructField("l_orderkey", LongType))),
