@@ -1012,6 +1012,35 @@ object OracleSql {
     // percentile ↔ quantile_cont interpolation parity is already proven by
     // q_percentiles; the clip keeps exact-integer cents except at the
     // interpolated bounds.
+    // Streaming sessionize contract: ms-domain gap sessionization (the
+    // state kernel works on Timestamp.getTime), every non-final session
+    // (closed in-batch by its successor) plus final sessions whose
+    // timeout end_ms + gap falls strictly under the final watermark
+    // max_ms − delay. Cents are integral so the state's sequential sums
+    // are exact.
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT max(ms) AS mx FROM e),
+        |f AS (SELECT user_id, ms, cents, event_id,
+        |        CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |                  OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |g AS (SELECT user_id, ms, cents,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f),
+        |s AS (SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+        |             count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+        |      FROM g GROUP BY 1, 2),
+        |t AS (SELECT user_id, sid, start_ms, end_ms, n_events, total_cents,
+        |             max(sid) OVER (PARTITION BY user_id) AS last_sid FROM s)
+        |SELECT user_id, start_ms, end_ms, n_events, total_cents
+        |FROM t, mx
+        |WHERE sid < last_sid OR end_ms + 1800000 < mx - 600000
+        |ORDER BY user_id, start_ms""".stripMargin,
+
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -415,6 +415,16 @@ object SparkEntry {
     graft.streaming.EventStream.runWindowedCountsOnce(s, s"$d/events.parquet")
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** STREAMING sessionization (flatMapGroupsWithState + event-time
+    * timeout) through an actual bounded streaming run — the emitted set
+    * is deterministic (see EventStream.runSessionizeOnce) and the oracle
+    * replays the same contract in SQL: every non-final session plus
+    * finals that time out under the final watermark. */
+  private def qStreamSessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.runSessionizeOnce(s, s"$d/events.parquet",
+        gapMs = 30L * 60 * 1000, delayMs = 10L * 60 * 1000)
+      .orderBy(col("user_id"), col("start_ms"))
+
   /** E8 — JSON serialization (`to_json`): rows re-encoded as compact JSON
     * objects, the payload-envelope shape the reference keeps in its
     * raw_json column. Non-null fields only: Spark omits null fields where
@@ -921,7 +931,8 @@ object SparkEntry {
     "q_quantize_embed" -> (qQuantizeEmbed _),
     "q_scd2" -> (qScd2 _),
     "q_resample_ffill" -> (qResampleFfill _),
-    "q_winsorize" -> (qWinsorize _))
+    "q_winsorize" -> (qWinsorize _),
+    "q_stream_sessionize" -> (qStreamSessionize _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -145,11 +145,10 @@ object EventStream {
     * The collected result is the windowed AGGREGATE (hours × types —
     * tiny by construction); the aggregation itself ran distributed.
     */
-  def runWindowedCountsOnce(spark: SparkSession, eventsPath: String): DataFrame = {
-    // The file source consumes a DIRECTORY (a landing zone, at scale the
-    // producers' append target). The driver testdata is one file inside a
-    // directory of other tables, so stage a copy into its own landing dir
-    // once (idempotent per input path).
+  /** Stage a single driver file into its own landing DIRECTORY (the file
+    * source consumes directories; at scale this is the producers' append
+    * target). Idempotent per input path. */
+  private def stageLanding(eventsPath: String): java.io.File = {
     val src = new java.io.File(eventsPath)
     val landing = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_events_landing_" + java.lang.Integer.toHexString(src.getAbsolutePath.hashCode))
@@ -159,6 +158,11 @@ object EventStream {
       java.nio.file.Files.copy(src.toPath, staged.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    landing
+  }
+
+  def runWindowedCountsOnce(spark: SparkSession, eventsPath: String): DataFrame = {
+    val landing = stageLanding(eventsPath)
     // Streaming aggregation state is partitioned by the shuffle width AT
     // FIRST RUN and every micro-batch pays per-state-partition store
     // setup; the window×type state here is tiny, so size it like any
@@ -183,6 +187,50 @@ object EventStream {
     val (rows, schema) = (sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
+  /** Run [[sessionize]] (flatMapGroupsWithState + event-time timeout)
+    * through the REAL streaming engine over the bounded events file and
+    * hand back the emitted sessions as a local batch frame. Determinism
+    * contract (oracle-checkable): one data batch carries every event, so
+    * each user's non-final sessions close IN batch (emitted regardless of
+    * the watermark); the engine then appends the extra batch stateful
+    * queries require, firing event-time timeouts against the final
+    * watermark W = floor(max event ms) − delay — a user's FINAL session
+    * emits iff session_end_ms + gap < W, and later sessions stay in
+    * state. Values are pre-scaled to integral cents so the sequential
+    * state additions are exact and arrival-order-independent.
+    */
+  def runSessionizeOnce(spark: SparkSession, eventsPath: String,
+                        gapMs: Long, delayMs: Long): DataFrame = {
+    import spark.implicits._
+    val landing = stageLanding(eventsPath)
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val ev = batchEvents(raw)
+        .withColumn("value", round(col("value") * 100))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event]
+      val sessions = sessionize(ev, gapMs, s"$delayMs milliseconds")
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"),
+          col("total_value").cast("long").as("total_cents"))
+      val name = "stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val (rows, schema) = (sink.collect(), sink.schema)
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 }

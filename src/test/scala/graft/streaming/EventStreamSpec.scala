@@ -124,4 +124,34 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("runSessionizeOnce: non-final sessions emit, finals gate on the watermark") {
+    // user 1: two sessions (gap 10s, events 60s apart force a close); its
+    // FINAL session ends early enough that end + gap < maxTs − delay,
+    // so the timeout batch emits it. user 2: one session ending at the
+    // global max ts — must stay in state (never emitted).
+    val dir = java.nio.file.Files.createTempDirectory("sess-stream").toString
+    val s = 1000L // ms per second
+    val rows = Seq(
+      (1L, 10 * s, 1L, "c", 100.0), (2L, 12 * s, 1L, "c", 50.0), // session A: 10-12s
+      (3L, 60 * s, 1L, "c", 25.0),                               // session B: 60s
+      (4L, 500 * s, 2L, "c", 10.0)                               // user 2 @ max ts
+    ).toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+      .select($"event_id", ($"ts_ms" * 1000000).as("ts"), $"user_id", $"event_type", $"value")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // stage dir trick: runSessionizeOnce stages the FILE at eventsPath;
+    // parquet write made a directory — point at one part file inside it
+    val part = new java.io.File(s"$dir/events.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val out = EventStream.runSessionizeOnce(spark, part.getAbsolutePath,
+        gapMs = 10 * s, delayMs = 100 * s)
+      .orderBy("user_id", "start_ms")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // watermark = 500s − 100s = 400s. Session A closed in-batch; session
+    // B final but 60s + 10s < 400s → timed out and emitted; user 2's
+    // session ends at 500s → 510s > 400s → held in state.
+    assert(out == Seq(
+      (1L, 10 * s, 12 * s, 2L, 15000L), // 150.00 in cents
+      (1L, 60 * s, 60 * s, 1L, 2500L)))
+  }
 }
