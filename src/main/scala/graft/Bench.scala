@@ -68,13 +68,22 @@ object Bench {
     // nothing a reader should trust. Full precision goes to bench_full.json.
     def fmt(v: Double, decimals: Int): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-    def line(decimals: Int): String = {
-      val qs = results.map { case (k, v) =>
+    def render(entries: Seq[(String, Double)], decimals: Int): String = {
+      val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    // Last resort if the registry outgrows even 1-decimal rendering:
+    // keep the slowest 40 entries (the ones anyone tunes against) and
+    // fold the rest into one bucket, so the headline total still parses.
+    def folded: String = {
+      val sorted = results.sortBy(-_._2)
+      val (top, rest) = sorted.splitAt(40)
+      render(top :+ (s"__others_${rest.size}" -> rest.map(_._2).sum), 1)
+    }
+    val out = Seq(3, 2, 1).map(render(results, _)).find(_.length <= 1800)
+      .getOrElse(folded)
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")

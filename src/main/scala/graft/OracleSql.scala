@@ -1041,6 +1041,17 @@ object OracleSql {
         |WHERE sid < last_sid OR end_ms + 1800000 < mx - 600000
         |ORDER BY user_id, start_ms""".stripMargin,
 
+    // q_zorder_scan reads the Morton-clustered copy of lineitem (same
+    // rows, different layout) — the oracle is the equivalent predicate
+    // over the base table (result transparency).
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_partkey % 1024 AS INTEGER) AS zx,
+        |       CAST(l_suppkey % 1024 AS INTEGER) AS zy,
+        |       l_quantity
+        |FROM lineitem WHERE l_suppkey % 1024 < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -350,6 +350,37 @@ object SparkEntry {
       dir
     })
 
+  // Z-ordered lineitem layout, written once per (session, sfDir): rows
+  // clustered by the Morton interleave of two derived dimensions so
+  // either-dimension filters row-group-skip (IOSpec measures the skip;
+  // this registry query proves result transparency under the gate).
+  private val zorderDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def zorderedLineitemDir(s: SparkSession, d: String): String =
+    zorderDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lineitem_zorder_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        graft.sources.IO.writeZOrdered(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(1024L)).cast("int").as("zx"),
+            pmod(col("l_suppkey"), lit(1024L)).cast("int").as("zy"),
+            col("l_quantity")),
+          "zx", "zy", bits = 10, nFiles = 16, dir)
+      dir
+    })
+
+  /** Scan of the z-ordered layout with a second-dimension filter — the
+    * oracle is the same predicate over the base table, so any clustering
+    * or write error breaks the hash compare (result transparency, like
+    * the salted join). */
+  private def qZorderScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderedLineitemDir(s, d))
+      .filter(col("zy") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Partition-pruned scan: monthly revenue for ONE year read from the
     * year-partitioned layout. The o_year predicate is a partition filter —
     * the scan lists and reads only that year's directory (PartitionFilters
@@ -932,7 +963,8 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_resample_ffill" -> (qResampleFfill _),
     "q_winsorize" -> (qWinsorize _),
-    "q_stream_sessionize" -> (qStreamSessionize _))
+    "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_zorder_scan" -> (qZorderScan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
