@@ -1041,6 +1041,24 @@ object OracleSql {
         |WHERE sid < last_sid OR end_ms + 1800000 < mx - 600000
         |ORDER BY user_id, start_ms""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+        |FROM s a JOIN s b ON a.source < b.source
+        |WHERE levenshtein(a.source, b.source) <= 2
+        |ORDER BY src_a, src_b""".stripMargin,
+
     // q_zorder_scan reads the Morton-clustered copy of lineitem (same
     // rows, different layout) — the oracle is the equivalent predicate
     // over the base table (result transparency).

@@ -370,6 +370,37 @@ object SparkEntry {
       dir
     })
 
+  /** GROUPING SETS with grouping() markers — the one grouping construct
+    * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
+    * point over a temp view; the plan is a single Expand + hash
+    * aggregate, same as rollup/cube. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       count(1) AS n_rows,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Edit-distance fuzzy matching over the (small by construction)
+    * distinct domain values — the catalog-cleaning join that catches
+    * near-identical source labels. The distinct set is tiny relative to
+    * the corpus, so the pairwise comparison is bounded by #domains², not
+    * rows². */
+  private def qFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "documents").select(col("source")).distinct()
+    src.as("a").join(src.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        levenshtein(col("a.source"), col("b.source")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Scan of the z-ordered layout with a second-dimension filter — the
     * oracle is the same predicate over the base table, so any clustering
     * or write error breaks the hash compare (result transparency, like
@@ -964,7 +995,9 @@ object SparkEntry {
     "q_resample_ffill" -> (qResampleFfill _),
     "q_winsorize" -> (qWinsorize _),
     "q_stream_sessionize" -> (qStreamSessionize _),
-    "q_zorder_scan" -> (qZorderScan _))
+    "q_zorder_scan" -> (qZorderScan _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_fuzzy_match" -> (qFuzzyMatch _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
