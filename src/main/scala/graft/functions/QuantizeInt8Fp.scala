@@ -59,39 +59,52 @@ case class QuantizeInt8Fp(child: Expression) extends UnaryExpression {
 object QuantizeInt8Fp {
 
   private[functions] val OutType: StructType = StructType(Seq(
-    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = false),
     StructField("q_min", DoubleType, nullable = true),
     StructField("q_max", DoubleType, nullable = true)))
 
   /** Row kernel — also the codegen target (one static call per row keeps
     * the surrounding operator in whole-stage codegen with no interpreted
-    * lambda per element). */
+    * lambda per element). Null-element semantics mirror the builtin
+    * exactly: array_min/array_max SKIP nulls; a null element's code is
+    * null — except in the constant-vector branch, whose `when(mx = mn, 0)`
+    * does not look at the element, so every slot gets 0 there. */
   def quantize(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    if (n == 0)
-      return new GenericInternalRow(Array[Any](new GenericArrayData(Array.empty[Int]), null, null))
-    var mn = arr.getFloat(0).toDouble
-    var mx = mn
-    var i = 1
+    var mn = 0.0
+    var mx = 0.0
+    var found = false
+    var i = 0
     while (i < n) {
-      val v = arr.getFloat(i).toDouble
-      if (java.lang.Double.compare(v, mn) < 0) mn = v
-      if (java.lang.Double.compare(v, mx) > 0) mx = v
+      if (!arr.isNullAt(i)) {
+        val v = arr.getFloat(i).toDouble
+        if (!found) { mn = v; mx = v; found = true }
+        else {
+          if (java.lang.Double.compare(v, mn) < 0) mn = v
+          if (java.lang.Double.compare(v, mx) > 0) mx = v
+        }
+      }
       i += 1
     }
-    val codes = new Array[Int](n)
-    if (mx != mn) {
+    val codes = new Array[Any](n)
+    if (found && mx == mn) {
+      i = 0
+      while (i < n) { codes(i) = 0; i += 1 }
+    } else if (found) {
       i = 0
       while (i < n) {
-        // (v - mn) * 255.0 / (mx - mn) in the builtin's exact op order —
-        // no hoisted reciprocal, so every double matches the Column form
-        val x = (arr.getFloat(i).toDouble - mn) * 255.0 / (mx - mn)
-        val f = math.floor(x)
-        codes(i) = (if (x - f >= 0.5) f + 1.0 else f).toInt
+        if (!arr.isNullAt(i)) {
+          // (v - mn) * 255.0 / (mx - mn) in the builtin's exact op order —
+          // no hoisted reciprocal, so every double matches the Column form
+          val x = (arr.getFloat(i).toDouble - mn) * 255.0 / (mx - mn)
+          val f = math.floor(x)
+          codes(i) = (if (x - f >= 0.5) f + 1.0 else f).toInt
+        }
         i += 1
       }
-    }
-    new GenericInternalRow(Array[Any](new GenericArrayData(codes), mn, mx))
+    } // !found: every element is null (or the array is empty) → null codes
+    new GenericInternalRow(Array[Any](new GenericArrayData(codes),
+      if (found) Double.box(mn) else null, if (found) Double.box(mx) else null))
   }
 
   def apply(vec: Column): Column =

@@ -230,6 +230,28 @@ class VectorsSpec extends SparkSpec {
     val builtin = Vectors.quantizeInt8Builtin(df, "vec_id", "embedding")
       .orderBy("id").collect().toSeq
     assert(native.map(_.toSeq) == builtin.map(_.toSeq))
+
+    // null ELEMENTS (Row-based frame — Seq[Float] can't hold nulls):
+    // min/max skip nulls; null slots code to null, except the constant-
+    // vector branch whose when(mx = mn, 0) never looks at the element
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val nullRows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq[Any](1f, null, 3f)),
+        Row(2L, Seq[Any](5f, null, 5f)),
+        Row(3L, Seq[Any](null, null))),
+      schema)
+    val nNative = Vectors.quantizeInt8(nullRows, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    val nBuiltin = Vectors.quantizeInt8Builtin(nullRows, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    assert(nNative.map(_.toSeq) == nBuiltin.map(_.toSeq))
+    assert(nNative(0).getSeq[Any](1) == Seq(0, null, 255))
+    assert(nNative(1).getSeq[Any](1) == Seq(0, 0, 0))
+    assert(nNative(2).getSeq[Any](1) == Seq(null, null) && nNative(2).isNullAt(2))
   }
 
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
