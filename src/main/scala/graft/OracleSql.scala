@@ -1041,6 +1041,27 @@ object OracleSql {
         |WHERE sid < last_sid OR end_ms + 1800000 < mx - 600000
         |ORDER BY user_id, start_ms""".stripMargin,
 
+    // PQ codes: same fixed-point scale as every vector oracle; exact
+    // integer squared-L2 argmin per (vector, subspace), tie → lowest cid.
+    "q_pq_codes" ->
+      """WITH fp AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, fv AS cfv FROM fp WHERE vec_id < 16),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |pairs AS (
+        |  SELECT v.vec_id, js.j, cb.cid,
+        |         list_sum(list_transform(range(1, 17), i ->
+        |           (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i])
+        |           * (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i]))) AS dist
+        |  FROM fp v, js, cb),
+        |r AS (SELECT vec_id, j, cid,
+        |        row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+        |      FROM pairs)
+        |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
+        |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,

@@ -370,6 +370,14 @@ object SparkEntry {
       dir
     })
 
+  /** Product-quantization codes over the embedding store: 4 subspaces of
+    * 16 dims, 16-entry seeded codebooks — exact integer argmin, exploded
+    * to (vec_id, subspace, code) for the compare. */
+  private def qPqCodes(s: SparkSession, d: String): DataFrame =
+    Vectors.pqCodes(t(s, d, "embeddings"), "vec_id", "embedding", m = 4, k = 16)
+      .orderBy(col("id"), col("subspace"))
+      .withColumnRenamed("id", "vec_id")
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -997,7 +1005,8 @@ object SparkEntry {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_zorder_scan" -> (qZorderScan _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "q_fuzzy_match" -> (qFuzzyMatch _))
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_pq_codes" -> (qPqCodes _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

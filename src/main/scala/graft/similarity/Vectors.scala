@@ -378,6 +378,46 @@ object Vectors {
       .select(col("id"), col("q.codes").as("codes"),
         col("q.q_min").as("q_min"), col("q.q_max").as("q_max"))
 
+  /** PRODUCT QUANTIZATION code assignment: split each fixed-point vector
+    * into `m` contiguous subvectors and assign each to its nearest
+    * codebook entry by EXACT integer squared-L2 (ties → lowest code id) —
+    * the m·log2(k)-bit compression behind large-scale ANN stores.
+    * Codebooks are seeded from the first `k` vectors (the deterministic
+    * contract the oracle mirrors — swap per-subspace trainCentroids in
+    * for trained codebooks, as with the IVF quantizer). The k·dim
+    * codebook matrix is bounded and rides as literal arrays (the IVF
+    * broadcast reasoning); assignment is one in-row expression per
+    * subspace — argmin via array_min over an array of (dist, code)
+    * structs, so each distance subtree appears exactly ONCE in the plan
+    * (chained when()/least() would duplicate subtrees quadratically).
+    * A narrow map over the scan, no shuffle. Returns (id, subspace,
+    * code).
+    */
+  def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int): DataFrame = {
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val cbRows = fvAll.filter(col("id") < k).orderBy(col("id")).collect()
+    require(cbRows.nonEmpty, "codebook seed set is empty")
+    val cb: Seq[Seq[Long]] = cbRows.map(_.getSeq[Long](1).toSeq).toSeq
+    val dim = cb.head.size
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    require(cb.forall(_.size == dim), "codebook vectors must share the dimension")
+    val sub = dim / m
+    def distExpr(j: Int, c: Int): Column = {
+      val cbArr = array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)
+      aggregate(
+        zip_with(slice(col("fv"), j * sub + 1, sub), cbArr, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    def bestCode(j: Int): Column =
+      array_min(array(cb.indices.map(c =>
+        struct(distExpr(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+    fvAll
+      .select(col("id"), posexplode(array((0 until m).map(bestCode): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "code")
+  }
+
   /** The portable Column formulation QuantizeInt8Fp is spec-checked
     * bit-identical to (and the form the DuckDB oracle mirrors). */
   private[graft] def quantizeInt8Builtin(vectors: DataFrame, idCol: String,

@@ -254,6 +254,24 @@ class VectorsSpec extends SparkSpec {
     assert(nNative(2).getSeq[Any](1) == Seq(null, null) && nNative(2).isNullAt(2))
   }
 
+  test("pqCodes: exact argmin per subspace, lowest-id tie-break") {
+    // 4-dim vectors, m=2 subspaces, k=2 seeded codebook entries:
+    // c0 = [0,0 | 0,0], c1 = [10,10 | 10,10]
+    val v = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(10f, 10f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 9f, 9f)),  // sub0 nearest c0, sub1 nearest c1
+      (3L, Seq(5f, 5f, 5f, 5f))   // equidistant in both -> tie -> c0
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.pqCodes(v, "vec_id", "embedding", m = 2, k = 2)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(out == Seq(
+      (0L, 0, 0), (0L, 1, 0),
+      (1L, 0, 1), (1L, 1, 1),
+      (2L, 0, 0), (2L, 1, 1),
+      (3L, 0, 0), (3L, 1, 0)))
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
