@@ -1062,6 +1062,39 @@ object OracleSql {
         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
+    // PQ ADC serving: codes as in q_pq_codes; LUT = exact integer sq-L2
+    // between the query (vec_id 42) subvectors and each codebook entry;
+    // score = sum of per-subspace LUT hits; total order (dist, id).
+    "q_pq_topk" ->
+      """WITH fp AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, fv AS cfv FROM fp WHERE vec_id < 16),
+        |js AS (SELECT unnest(range(0, 4)) AS j),
+        |pairs AS (
+        |  SELECT v.vec_id, js.j, cb.cid,
+        |         list_sum(list_transform(range(1, 17), i ->
+        |           (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i])
+        |           * (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i]))) AS dist
+        |  FROM fp v, js, cb),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT vec_id, j, cid,
+        |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+        |    FROM pairs) WHERE rn = 1),
+        |q AS (SELECT fv AS qfv FROM fp WHERE vec_id = 42),
+        |lut AS (
+        |  SELECT js.j, cb.cid,
+        |         list_sum(list_transform(range(1, 17), i ->
+        |           (q.qfv[js.j*16 + i] - cb.cfv[js.j*16 + i])
+        |           * (q.qfv[js.j*16 + i] - cb.cfv[js.j*16 + i]))) AS d
+        |  FROM q, js, cb)
+        |SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+        |FROM codes c JOIN lut l ON c.j = l.j AND c.cid = l.cid
+        |GROUP BY c.vec_id
+        |ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
+
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,

@@ -378,6 +378,14 @@ object SparkEntry {
       .orderBy(col("id"), col("subspace"))
       .withColumnRenamed("id", "vec_id")
 
+  /** PQ asymmetric-distance top-10 around corpus vector 42: the serving
+    * query over the PQ-compressed store — driver-side LUT, in-row ADC sum,
+    * TakeOrderedAndProject. */
+  private def qPqTopK(s: SparkSession, d: String): DataFrame =
+    Vectors.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 42L, m = 4, k = 16, topK = 10)
+      .withColumnRenamed("id", "vec_id")
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1006,7 +1014,8 @@ object SparkEntry {
     "q_zorder_scan" -> (qZorderScan _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
-    "q_pq_codes" -> (qPqCodes _))
+    "q_pq_codes" -> (qPqCodes _),
+    "q_pq_topk" -> (qPqTopK _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

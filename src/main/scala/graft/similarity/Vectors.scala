@@ -396,26 +396,77 @@ object Vectors {
   def pqCodes(vectors: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int): DataFrame = {
     val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val (cb, sub) = pqCodebook(fvAll, m, k)
+    fvAll
+      .select(col("id"), posexplode(array((0 until m).map(pqBestCode(cb, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "code")
+  }
+
+  /** Seeded codebook (first `k` vectors) collected to the driver — bounded
+    * at k rows by construction, the same reasoning as broadcasting IVF
+    * centroids. Returns (codebook, subvector length). */
+  private def pqCodebook(fvAll: DataFrame, m: Int, k: Int): (Seq[Seq[Long]], Int) = {
     val cbRows = fvAll.filter(col("id") < k).orderBy(col("id")).collect()
     require(cbRows.nonEmpty, "codebook seed set is empty")
     val cb: Seq[Seq[Long]] = cbRows.map(_.getSeq[Long](1).toSeq).toSeq
     val dim = cb.head.size
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     require(cb.forall(_.size == dim), "codebook vectors must share the dimension")
-    val sub = dim / m
-    def distExpr(j: Int, c: Int): Column = {
-      val cbArr = array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)
-      aggregate(
-        zip_with(slice(col("fv"), j * sub + 1, sub), cbArr, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+    (cb, dim / m)
+  }
+
+  /** Exact integer squared-L2 between subvector `j` of the row's fv and
+    * codebook entry `c` — the subtree appears exactly once per (j, c) in
+    * the argmin array below. */
+  private def pqDist(cb: Seq[Seq[Long]], sub: Int)(j: Int, c: Int): Column = {
+    val cbArr = array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)
+    aggregate(
+      zip_with(slice(col("fv"), j * sub + 1, sub), cbArr, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  private def pqBestCode(cb: Seq[Seq[Long]], sub: Int)(j: Int): Column =
+    array_min(array(cb.indices.map(c =>
+      struct(pqDist(cb, sub)(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+
+  /** PQ ASYMMETRIC-DISTANCE top-k (ADC, Jegou et al., TPAMI'11): the
+    * serving path the PQ compression exists for. The query (a corpus
+    * vector named by `queryId`) is NOT quantized; instead a per-subspace
+    * lookup table LUT[j][c] = exact integer squared-L2 between the query
+    * subvector and codebook entry c is computed once on the driver (m·k
+    * entries — bounded like the codebook itself) and rides as literal
+    * arrays. Each corpus vector's approximate distance is then the sum of
+    * m LUT lookups at its assigned codes — in-row, no shuffle; the global
+    * top-k is a TakeOrderedAndProject. At 100 TB the scan-side work per
+    * vector is m code assignments + m array indexings, and only k rows
+    * (the codebook) plus 1 row (the query) ever reach the driver.
+    * Returns (id, adc_dist) ordered by (adc_dist, id), `topK` rows.
+    */
+  def pqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, m: Int, k: Int, topK: Int): DataFrame = {
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val (cb, sub) = pqCodebook(fvAll, m, k)
+    val qRows = fvAll.filter(col("id") === queryId).collect()
+    require(qRows.length == 1, s"queryId=$queryId must match exactly one vector")
+    val qfv = qRows.head.getSeq[Long](1)
+    require(qfv.size == cb.head.size, "query must share the corpus dimension")
+    def lutEntry(j: Int, c: Int): Long = {
+      var acc = 0L
+      var i = j * sub
+      while (i < (j + 1) * sub) {
+        val d = qfv(i) - cb(c)(i); acc += d * d; i += 1
+      }
+      acc
     }
-    def bestCode(j: Int): Column =
-      array_min(array(cb.indices.map(c =>
-        struct(distExpr(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+    def adcTerm(j: Int): Column = {
+      val lutArr = array(cb.indices.map(c => lit(lutEntry(j, c))): _*)
+      element_at(lutArr, pqBestCode(cb, sub)(j) + 1)
+    }
     fvAll
-      .select(col("id"), posexplode(array((0 until m).map(bestCode): _*)))
-      .withColumnRenamed("pos", "subspace")
-      .withColumnRenamed("col", "code")
+      .select(col("id"), (0 until m).map(adcTerm).reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(topK)
   }
 
   /** The portable Column formulation QuantizeInt8Fp is spec-checked

@@ -272,6 +272,23 @@ class VectorsSpec extends SparkSpec {
       (3L, 0, 0), (3L, 1, 0)))
   }
 
+  test("pqTopK: ADC distances from the LUT, (dist, id) total order") {
+    // Same corpus/codebook as the pqCodes test; query = v2 [1,1 | 9,9].
+    // Unit-scale LUT: sub0 {c0: 2, c1: 162}, sub1 {c0: 162, c1: 2}.
+    // ADC by assigned codes: v2 (0,1) -> 4; v0 (0,0), v1 (1,1), v3 (0,0)
+    // all -> 164; fixed-point multiplies every entry by 1e12.
+    val v = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(10f, 10f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 9f, 9f)),
+      (3L, Seq(5f, 5f, 5f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.pqTopK(v, "vec_id", "embedding",
+      queryId = 2L, m = 2, k = 2, topK = 4).as[(Long, Long)].collect().toSeq
+    val u = 1000000000000L
+    assert(out == Seq((2L, 4L * u), (0L, 164L * u), (1L, 164L * u), (3L, 164L * u)))
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
