@@ -1062,6 +1062,33 @@ object OracleSql {
         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
+    // PII scrub: synthesized payloads (closed-form from doc_id), RE2-side
+    // of the alternation-free patterns; counts over raw text, md5 over the
+    // redacted string; DuckDB regexp_replace needs the 'g' flag.
+    "q_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |         text || ' Contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |           || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.org' ELSE '' END
+        |           || ' or +1-555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+        |           || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.3.' || CAST(doc_id % 250 AS VARCHAR) AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |         CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+        |         CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r
+        |  FROM pii)
+        |SELECT doc_id, n_email, n_phone, n_ip,
+        |       CAST(length(r) AS INTEGER) AS red_len, md5(r) AS red_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
+
     // PQ ADC serving: codes as in q_pq_codes; LUT = exact integer sq-L2
     // between the query (vec_id 42) subvectors and each codebook entry;
     // score = sum of per-subspace LUT hits; total order (dist, id).

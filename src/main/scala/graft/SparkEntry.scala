@@ -767,6 +767,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub: the corpus has no natural PII, so deterministic
+    * email/phone/IPv4 payloads are synthesized from doc_id (the
+    * SynthImages pattern — closed-form, oracle-reproducible) and the REAL
+    * detection + redaction runs over them. Counts audit the raw text;
+    * red_md5 pins the full redacted string. Narrow codegen regexp over
+    * the scan; the only exchange is the output ordering. */
+  private def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" Contact u"), col("doc_id").cast("string"),
+      lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@corp.org")).otherwise(lit("")),
+      lit(" or +1-555-867-"), (lit(1000) + col("doc_id") % 9000).cast("string"),
+      lit(" node 10."), (col("doc_id") % 256).cast("string"),
+      lit(".3."), (col("doc_id") % 250).cast("string"))
+    val (ne, np, ni) = TextOps.piiCounts(col("t"))
+    t(s, d, "documents")
+      .select(col("doc_id"), pii.as("t"))
+      .select(col("doc_id"), ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
+        length(TextOps.redactPii(col("t"))).as("red_len"),
+        md5(TextOps.redactPii(col("t"))).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Eval-set decontamination: corpus docs (doc_id % 50 ≠ 0) sharing any
     * word trigram with the "benchmark" slice (doc_id % 50 = 0), with the
     * distinct shared-gram count. Benchmark grams broadcast — the corpus
@@ -1015,7 +1038,8 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_pq_codes" -> (qPqCodes _),
-    "q_pq_topk" -> (qPqTopK _))
+    "q_pq_topk" -> (qPqTopK _),
+    "q_pii_redact" -> (qPiiRedact _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

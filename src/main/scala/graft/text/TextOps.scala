@@ -161,4 +161,31 @@ object TextOps {
         i => md5(concat_ws(" ", slice(toks, i, lit(w)))))))
       .otherwise(md5(text))
   }
+
+  /** PII scrub patterns. Deliberately alternation-free so Java (Spark)
+    * and RE2 (DuckDB, and most scrubbing fleets) agree on every match:
+    * RE2 is leftmost-LONGEST across alternatives while Java backtracking
+    * is leftmost-FIRST, so a portable scrubber avoids `|` inside a
+    * pattern; plain greedy quantifiers agree between the engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-document PII hit counts (email, phone, IPv4) over the raw text —
+    * the audit side of the scrub, counted before redaction. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    regexp_count(text, lit(EmailRe)),
+    regexp_count(text, lit(PhoneRe)),
+    regexp_count(text, lit(Ipv4Re)))
+
+  /** Redact PII in place: emails, then phones, then IPv4 literals (the
+    * order is part of the contract — earlier passes cannot manufacture
+    * later patterns because the replacement tokens contain no digits).
+    * Pure codegen regexp over the scan; linear, never shuffles. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

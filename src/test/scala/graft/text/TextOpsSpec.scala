@@ -75,4 +75,25 @@ class TextOpsSpec extends SparkSpec {
     val out = rows.select(TextOps.normalizeText($"text").as("t")).as[String].collect().toSeq
     assert(out == Seq("hello world", "a b", "multi space runs", ""))
   }
+
+  test("piiCounts/redactPii: emails, phones, IPv4 found and replaced; near-misses left alone") {
+    val rows = Seq(
+      "mail a.b+c@sub.ex.com and x@y.io now",       // two emails
+      "call +1-555-867-5309 or +44-207-946-0958",   // two phones
+      "host 10.0.3.250 gw 192.168.1.1",             // two IPs
+      "not pii: a@b (no tld), 1-555-867-5309 (no +), 1.2.3 (three octets), v1.2.3.4beta",
+      ""
+    ).toDF("text")
+    val (ne, np, ni) = TextOps.piiCounts($"text")
+    val out = rows.select(ne, np, ni, TextOps.redactPii($"text"))
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(out(0) == ((2, 0, 0, "mail <EMAIL> and <EMAIL> now")))
+    assert(out(1) == ((0, 2, 0, "call <PHONE> or <PHONE>")))
+    assert(out(2) == ((0, 0, 2, "host <IP> gw <IP>")))
+    // v1.2.3.4beta: \b holds between 'v' and '1' (letter|digit are both word
+    // chars — no boundary), so the version string is NOT an IP hit.
+    assert(out(3) == ((0, 0, 0,
+      "not pii: a@b (no tld), 1-555-867-5309 (no +), 1.2.3 (three octets), v1.2.3.4beta")))
+    assert(out(4) == ((0, 0, 0, "")))
+  }
 }
