@@ -376,6 +376,17 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
+    // stream-static join + windowed agg: every user_id (0..149) has a
+    // customer row, so the inner join is total; windows are epoch-aligned
+    "q_stream_enrich" ->
+      """SELECT (epoch_us(e.ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       c.c_mktsegment AS segment,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY window_start_us, segment""".stripMargin,
+
     // same flag-and-running-sum formulation as Relational.sessionize;
     // epoch_us(ts) matches Spark's `ts div 1000` on the nanos-as-long read
     "q_sessionize" ->

@@ -493,6 +493,15 @@ object SparkEntry {
     graft.streaming.EventStream.runWindowedCountsOnce(s, s"$d/events.parquet")
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** STREAMING stream-static enrichment: event stream × broadcast
+    * customer dimension → per-(hour, market segment) counts and exact
+    * cent totals, through the real engine (AvailableNow + complete —
+    * deterministic over bounded input, see EventStream). */
+  private def qStreamEnrich(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.runEnrichedCountsOnce(s, s"$d/events.parquet",
+        t(s, d, "customer"), "c_custkey", "c_mktsegment")
+      .orderBy(col("window_start_us"), col("segment"))
+
   /** STREAMING sessionization (flatMapGroupsWithState + event-time
     * timeout) through an actual bounded streaming run — the emitted set
     * is deterministic (see EventStream.runSessionizeOnce) and the oracle
@@ -1039,7 +1048,8 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_topk" -> (qPqTopK _),
-    "q_pii_redact" -> (qPiiRedact _))
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_stream_enrich" -> (qStreamEnrich _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -62,6 +62,28 @@ object EventStream {
       org.apache.spark.sql.functions.window(c, d)
   }
 
+  /** Stream-static enrichment: join the event stream to a bounded
+    * dimension table (broadcast — STATELESS, the static side never enters
+    * the state store and the stream side never shuffles for the join),
+    * then aggregate per (event-time window, dimension attribute). Only
+    * the windowed aggregate is stateful, so the watermark bound carries
+    * over unchanged; at scale the dimension refresh is a re-broadcast,
+    * not a state migration. */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+                             dimKey: String, dimAttr: String,
+                             watermark: String = "10 minutes",
+                             window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey).as("_dim_key"), col(dimAttr).as("segment"))),
+        col("user_id") === col("_dim_key"))
+      .groupBy(functions.window(col("ts"), window).as("w"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("segment"),
+        col("n_events"), col("value_cents"))
+
   /** In-stream exact dedup by event_id, state bounded by the watermark
     * (duplicates arriving later than the watermark are already impossible
     * to admit). */
@@ -187,6 +209,37 @@ object EventStream {
     val (rows, schema) = (sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
+  /** Run [[enrichedWindowedCounts]] through the real streaming engine —
+    * file source → broadcast stream-static join → event-time windowed
+    * aggregate → memory sink, AvailableNow + complete mode. Same
+    * determinism contract as [[runWindowedCountsOnce]]: bounded input +
+    * complete mode make the answer equal to the batch join-aggregate of
+    * the same files. */
+  def runEnrichedCountsOnce(spark: SparkSession, eventsPath: String,
+                            dim: DataFrame, dimKey: String,
+                            dimAttr: String): DataFrame = {
+    val landing = stageLanding(eventsPath)
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val agg = enrichedWindowedCounts(batchEvents(raw), dim, dimKey, dimAttr)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("segment"), col("n_events"), col("value_cents"))
+      val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val (rows, schema) = (sink.collect(), sink.schema)
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 

@@ -125,6 +125,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("runEnrichedCountsOnce (stream-static join) equals the batch join-aggregate") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val dim = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+    val streamed = EventStream.runEnrichedCountsOnce(
+        spark, path, dim, "c_custkey", "c_mktsegment")
+      .orderBy("window_start_us", "segment")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val batch = EventStream.enrichedWindowedCounts(
+        EventStream.batchEvents(spark.read.parquet(path)), dim,
+        "c_custkey", "c_mktsegment")
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"segment", $"n_events", $"value_cents")
+      .orderBy("window_start_us", "segment")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every segment is enriched from the dimension, none lost to the join
+    assert(streamed.map(_._3).sum == spark.read.parquet(path).count())
+  }
+
   test("runSessionizeOnce: non-final sessions emit, finals gate on the watermark") {
     // user 1: two sessions (gap 10s, events 60s apart force a close); its
     // FINAL session ends early enough that end + gap < maxTs − delay,
