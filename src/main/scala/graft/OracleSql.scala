@@ -1073,6 +1073,29 @@ object OracleSql {
         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
+    // Audio decode: the WAV payload is synthesized closed-form from
+    // (doc_id, text) — the oracle recomputes every decoded feature from
+    // the text column (ASCII ⇒ byte = code point), no binary parsing
+    "q_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |         CAST(800 + doc_id % 400 AS INTEGER) AS n_samples,
+        |         length(text) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT d.doc_id,
+        |         CAST(sum(abs((ord(substr(d.text, CAST(u.i % d.len AS INTEGER) + 1, 1)) - 128) * 256)) AS BIGINT) AS sum_abs
+        |  FROM d, unnest(range(0, d.n_samples)) AS u(i)
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(44 + 2 * d.n_samples AS INTEGER) AS byte_len,
+        |       d.sample_rate, d.n_samples,
+        |       CAST((CAST(d.n_samples AS BIGINT) * 1000) // d.sample_rate AS INTEGER) AS duration_ms,
+        |       CAST(s.sum_abs // d.n_samples AS BIGINT) AS mean_abs
+        |FROM d JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // PII scrub: synthesized payloads (closed-form from doc_id), RE2-side
     // of the alternation-free patterns; counts over raw text, md5 over the
     // redacted string; DuckDB regexp_replace needs the 'g' flag.

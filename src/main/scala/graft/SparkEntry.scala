@@ -698,6 +698,17 @@ object SparkEntry {
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
       .orderBy(col("doc_id"))
 
+  /** REAL audio decode under the gate: synthetic WAV payloads (closed-form
+    * from doc_id + text, SynthAudio) through the byte-level RIFF/PCM
+    * parser; every feature — rate, count, duration, integer mean |amp| —
+    * is recomputed by the oracle from the text column alone. */
+  private def qAudioDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractAudioFeatures(
+        graft.multimodal.SynthAudio.packSynth(t(s, d, "documents"), "doc_id", "text"))
+      .toDF()
+      .orderBy(col("doc_id"))
+
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
@@ -1049,7 +1060,8 @@ object SparkEntry {
     "q_pq_codes" -> (qPqCodes _),
     "q_pq_topk" -> (qPqTopK _),
     "q_pii_redact" -> (qPiiRedact _),
-    "q_stream_enrich" -> (qStreamEnrich _))
+    "q_stream_enrich" -> (qStreamEnrich _),
+    "q_audio_decode" -> (qAudioDecode _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

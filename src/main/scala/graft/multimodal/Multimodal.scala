@@ -72,6 +72,24 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(doc_id: Long, byte_len: Int, sample_rate: Int,
+                           n_samples: Int, duration_ms: Int, mean_abs: Long)
+
+  /** Batch audio feature extraction through the REAL [[AudioDecoder]] —
+    * the same one-decoder-per-partition, no-shuffle shape as
+    * [[extractFeatures]]. duration_ms is integer floor (exact, so the
+    * oracle can mirror it). */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = AudioDecoder.decode(r.bytes)
+        AudioFeatures(r.doc_id, r.bytes.length, m.sampleRate, m.nSamples,
+          ((m.nSamples.toLong * 1000L) / m.sampleRate).toInt, m.meanAbs)
+      }
+    }
+  }
+
   /** Deterministic frame sampling for video-ish payloads: fixed-size
     * frames with ceil(len/frameBytes) frames per doc, exploded via
     * flatMap — a narrow transform, so frame extraction parallelizes with
