@@ -81,6 +81,41 @@ class IOSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain on the fact side") {
+    val root = java.nio.file.Files.createTempDirectory("io-bloom").toString
+    (1 to 5000).map(i => (i.toLong, s"p${i % 97}")).toDF("k", "payload")
+      .write.parquet(s"$root/fact")
+    (1 to 500).map(i => (i.toLong, i % 5)).toDF("dk", "grp")
+      .write.parquet(s"$root/dim")
+    // At 100 TB this is the shuffle-volume killer for selective shuffled
+    // joins: the small side's filtered keys compress into a bloom filter
+    // evaluated INSIDE the fact scan stage, so non-candidate fact rows
+    // never enter the exchange. Thresholds here only shrink the
+    // qualifying sizes to test scale; broadcast is disabled because a
+    // broadcast join already prunes at the hash table and needs no filter.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$root/fact")
+      val dim = spark.read.parquet(s"$root/dim").filter($"grp" === 0)
+      val q = fact.join(dim, $"k" === $"dk")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no bloom runtime filter in the executed plan:\n$plan")
+      // result transparency: the filter is advisory, the join is exact
+      assert(q.count() == 100) // dim keeps 5,10,...,500 — all present in fact
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("writeBucketed produces a bucketed table whose join needs no exchange on the key") {
     spark.sql("DROP TABLE IF EXISTS bucketed_orders")
     // the managed location may survive a previous JVM whose in-memory
