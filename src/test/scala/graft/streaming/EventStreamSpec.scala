@@ -146,6 +146,41 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum == spark.read.parquet(path).count())
   }
 
+  test("checkpointed AvailableNow runs resume incrementally and stay exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("stream-ckpt")
+    val (landing, out, ckpt) =
+      (s"$root/landing", s"$root/out", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, v LONG")
+        .parquet(landing)
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: ids 0..9; the run drains it and checkpoints the file log
+    (0L until 10L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 10)
+    // batch 2: ids 10..14 land later; the resumed run must process ONLY
+    // the new file — replaying batch 1 would double its ids in the sink
+    (10L until 15L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(landing)
+    runOnce()
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(ids == (0L until 15L))
+    // a third run with nothing new is a no-op
+    runOnce()
+    assert(spark.read.parquet(out).count() == 15)
+  }
+
   test("runSessionizeOnce: non-final sessions emit, finals gate on the watermark") {
     // user 1: two sessions (gap 10s, events 60s apart force a close); its
     // FINAL session ends early enough that end + gap < maxTs − delay,
