@@ -430,6 +430,88 @@ object Vectors {
     array_min(array(cb.indices.map(c =>
       struct(pqDist(cb, sub)(j, c).as("d"), lit(c).as("c"))): _*)).getField("c")
 
+  /** [[pqCodes]] against an explicit (e.g. trained) codebook of stitched
+    * full-dimension entries — the seam that mirrors [[ivfListsWith]]:
+    * swapping codebooks changes no plan shape. */
+  def pqCodesWith(vectors: DataFrame, idCol: String, vecCol: String,
+                  m: Int, cb: Seq[Seq[Long]]): DataFrame = {
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val dim = cb.head.size
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val sub = dim / m
+    fvAll
+      .select(col("id"), posexplode(array((0 until m).map(pqBestCode(cb, sub)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "code")
+  }
+
+  /** Trained per-subspace PQ codebooks: plain-L2 Lloyd iterations (the PQ
+    * objective — unlike the spherical/cosine trainer behind the IVF coarse
+    * quantizer) for ALL m subspaces in ONE aggregation per round: explode
+    * (subspace, subvector), argmin in-row against the round's codebook
+    * literal, then component-wise INTEGER mean per (subspace, code,
+    * position) — exact, order-independent, so training is deterministic.
+    * Per round only k·dim aggregate rows reach the driver (the
+    * trainCentroids bound); empty codes keep their previous entry. Seeded
+    * from the first k vectors (identical start to [[pqCodes]]' contract).
+    * Returns stitched full-dim entries consumable by [[pqCodesWith]] /
+    * [[pqDistortion]]. */
+  def trainPqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int): Seq[Seq[Long]] = {
+    require(iters >= 0, s"iters=$iters out of range")
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    var (cb, sub) = pqCodebook(fvAll, m, k)
+    val exploded = fvAll.select(
+      posexplode(array((0 until m).map(j => slice(col("fv"), j * sub + 1, sub)): _*))
+        .as(Seq("j", "sv")))
+    var it = 0
+    while (it < iters) {
+      val cbLit = array((0 until m).map(j =>
+        array(cb.indices.map(c =>
+          array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)): _*)): _*)
+      def entry(c: Int): Column = element_at(element_at(cbLit, col("j") + 1), c + 1)
+      // argmin without struct-field names (aliases inside struct() are
+      // unreliable under lambda-bearing children here): first position of
+      // the min IS the lowest-code tie-break
+      val dists = array(cb.indices.map(c =>
+        aggregate(zip_with(col("sv"), entry(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)): _*)
+      val bestCode = (array_position(dists, array_min(dists)) - 1).cast("int")
+      val sums = exploded
+        .select(col("j"), bestCode.as("code"), posexplode(col("sv")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byJc = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = cb.indices.map { c =>
+        (0 until m).flatMap { j =>
+          byJc.get((j, c)) match {
+            case Some(rows) =>
+              val next = new Array[Long](sub)
+              rows.foreach(r => next(r.getInt(2)) = r.getLong(3) / r.getLong(4))
+              next.toSeq
+            case None => cb(c).slice(j * sub, (j + 1) * sub) // empty code
+          }
+        }
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** Total quantization distortion Σ_vec Σ_j min_c ‖x_j − cb_j(c)‖² (the
+    * objective PQ training minimizes) — exact integer arithmetic, used by
+    * specs to compare codebooks. */
+  def pqDistortion(vectors: DataFrame, idCol: String, vecCol: String,
+                   m: Int, cb: Seq[Seq[Long]]): Long = {
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val sub = cb.head.size / m
+    def minD(j: Int): Column = array_min(array(cb.indices.map(c =>
+      struct(pqDist(cb, sub)(j, c).as("d"), lit(c).as("c"))): _*)).getField("d")
+    fvAll.select((0 until m).map(minD).reduce(_ + _).as("d"))
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+  }
+
   /** PQ ASYMMETRIC-DISTANCE top-k (ADC, Jegou et al., TPAMI'11): the
     * serving path the PQ compression exists for. The query (a corpus
     * vector named by `queryId`) is NOT quantized; instead a per-subspace

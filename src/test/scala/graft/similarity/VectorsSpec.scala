@@ -289,6 +289,37 @@ class VectorsSpec extends SparkSpec {
     assert(out == Seq((2L, 4L * u), (0L, 164L * u), (1L, 164L * u), (3L, 164L * u)))
   }
 
+  test("trainPqCodebooks: L2 training lowers distortion vs seeded, deterministically") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (m, k) = (4, 8)
+    val fvAll = emb.select($"vec_id".as("id"),
+      Vectors.fixedPoint($"embedding").as("fv"))
+    val seeded = fvAll.filter($"id" < k).orderBy($"id")
+      .select($"fv").as[Seq[Long]].collect().toSeq
+    val trained = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m, k, iters = 2)
+    val trained2 = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m, k, iters = 2)
+    assert(trained == trained2) // integer means -> deterministic training
+    val dSeeded = Vectors.pqDistortion(emb, "vec_id", "embedding", m, seeded)
+    val dTrained = Vectors.pqDistortion(emb, "vec_id", "embedding", m, trained)
+    assert(dTrained <= dSeeded,
+      s"training must not raise the Lloyd objective: $dTrained > $dSeeded")
+    assert(dTrained < dSeeded) // and on real embeddings it strictly improves
+  }
+
+  test("pqCodesWith(seeded codebook) reproduces pqCodes exactly") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val (m, k) = (4, 16)
+    val fvAll = emb.select($"vec_id".as("id"),
+      Vectors.fixedPoint($"embedding").as("fv"))
+    val seeded = fvAll.filter($"id" < k).orderBy($"id")
+      .select($"fv").as[Seq[Long]].collect().toSeq
+    val a = Vectors.pqCodes(emb, "vec_id", "embedding", m, k)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    val b = Vectors.pqCodesWith(emb, "vec_id", "embedding", m, seeded)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
