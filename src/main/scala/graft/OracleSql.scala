@@ -1123,6 +1123,20 @@ object OracleSql {
         |       CAST(length(r) AS INTEGER) AS red_len, md5(r) AS red_md5
         |FROM red ORDER BY doc_id""".stripMargin,
 
+    // Correlated scalar subqueries — portable SQL, run VERBATIM by both
+    // engines (SparkEntry registers the view and executes this string):
+    // 1.5x-average predicate as exact integers so no float drift exists
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, cents
+        |FROM (SELECT o_orderkey, o_custkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders) o
+        |WHERE 2 * cents * (SELECT count(*) FROM orders o2
+        |                   WHERE o2.o_custkey = o.o_custkey)
+        |    > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // PQ ADC serving: codes as in q_pq_codes; LUT = exact integer sq-L2
     // between the query (vec_id 42) subvectors and each codebook entry;
     // score = sum of per-subspace LUT hits; total order (dist, id).

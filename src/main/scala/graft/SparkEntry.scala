@@ -386,6 +386,16 @@ object SparkEntry {
         queryId = 42L, m = 4, k = 16, topK = 10)
       .withColumnRenamed("id", "vec_id")
 
+  /** Correlated scalar subqueries through the SQL entry point — Catalyst
+    * rewrites each into a left-outer aggregate join
+    * (RewriteCorrelatedScalarSubquery); the 1.5×-average predicate is
+    * exact integer arithmetic (2·cents·count > 3·sum_cents), so both
+    * engines agree bit-for-bit. The SAME SQL text is the oracle. */
+  private def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(OracleSql.all("q_scalar_subquery"))
+  }
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1061,7 +1071,8 @@ object SparkEntry {
     "q_pq_topk" -> (qPqTopK _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_stream_enrich" -> (qStreamEnrich _),
-    "q_audio_decode" -> (qAudioDecode _))
+    "q_audio_decode" -> (qAudioDecode _),
+    "q_scalar_subquery" -> (qScalarSubquery _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
