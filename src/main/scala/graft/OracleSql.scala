@@ -1123,6 +1123,45 @@ object OracleSql {
         |       CAST(length(r) AS INTEGER) AS red_len, md5(r) AS red_md5
         |FROM red ORDER BY doc_id""".stripMargin,
 
+    "q_window_stats" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS nt,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       first_value(o_orderkey) OVER wf AS fv,
+        |       last_value(o_orderkey) OVER wf AS lv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r.r_name, n.n_name
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    // NULL key matches exactly the NULL key under IS NOT DISTINCT FROM
+    "q_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |              ELSE o_orderpriority END AS k,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT a.k, a.n AS n_a, b.n AS n_b
+        |FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INTEGER) AS dd,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Correlated scalar subqueries — portable SQL, run VERBATIM by both
     // engines (SparkEntry registers the view and executes this string):
     // 1.5x-average predicate as exact integers so no float drift exists

@@ -396,6 +396,57 @@ object SparkEntry {
     s.sql(OracleSql.all("q_scalar_subquery"))
   }
 
+  /** Ranking-window breadth: ntile, percent_rank, cume_dist, and the
+    * unbounded-frame first/last. percent_rank/cume_dist divide small
+    * exact integers — IEEE division is correctly rounded, so the doubles
+    * match the oracle bit-for-bit. */
+  private def qWindowStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(full).as("fv"),
+        last(col("o_orderkey")).over(full).as("lv"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Cartesian product (explicit crossJoin — the one join type with no
+    * key): bounded to dimension tables, where it is legitimate. */
+  private def qCrossJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").select(col("r_name"))
+      .crossJoin(t(s, d, "nation").select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): a NULL key
+    * matches exactly the NULL key, unlike `=` which drops it. */
+  private def qNullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders")
+      .groupBy(when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_orderpriority")).as("k"))
+      .agg(count(lit(1)).as("n"))
+    val b = a.select(col("k").as("kb"), col("n").as("n_b"))
+    a.join(b, col("k") <=> col("kb"))
+      .select(col("k"), col("n").as("n_a"), col("n_b"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  /** Date arithmetic breadth: day offset, end-of-month, day difference,
+    * quarter, day-of-year. */
+  private def qDateArith(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        date_add(od, 30).as("plus30"),
+        last_day(od).as("eom"),
+        datediff(lit(java.sql.Date.valueOf("1995-01-01")), od).as("dd"),
+        quarter(od).as("qtr"),
+        dayofyear(od).as("doy"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1072,7 +1123,11 @@ object SparkEntry {
     "q_pii_redact" -> (qPiiRedact _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_audio_decode" -> (qAudioDecode _),
-    "q_scalar_subquery" -> (qScalarSubquery _))
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_window_stats" -> (qWindowStats _),
+    "q_cross_join" -> (qCrossJoin _),
+    "q_nullsafe_join" -> (qNullsafeJoin _),
+    "q_date_arith" -> (qDateArith _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
