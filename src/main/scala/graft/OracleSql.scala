@@ -376,6 +376,17 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
+    // stream-stream join: inner matches over bounded input equal the
+    // batch self-join; µs arithmetic matches Spark's timestamp + interval
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     // stream-static join + windowed agg: every user_id (0..149) has a
     // customer row, so the inner join is total; windows are epoch-aligned
     "q_stream_enrich" ->
@@ -1122,6 +1133,28 @@ object OracleSql {
         |SELECT doc_id, n_email, n_phone, n_ip,
         |       CAST(length(r) AS INTEGER) AS red_len, md5(r) AS red_md5
         |FROM red ORDER BY doc_id""".stripMargin,
+
+    // own-sketch/own-rank-check: DuckDB's t-digest vs Spark's GK sketch,
+    // each asserted within rank tolerance of the true median
+    "q_approx_percentile" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS rf,
+        |         approx_quantile(l_extendedprice, 0.5) AS ap,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.rf, CAST(p.n AS BIGINT) AS n,
+        |       abs(sum(CASE WHEN l.l_extendedprice <= p.ap THEN 1 ELSE 0 END)
+        |           - p.n / 2.0) <= p.n / 100.0 + 1 AS within_tolerance
+        |FROM lineitem l JOIN p ON l.l_returnflag = p.rf
+        |GROUP BY p.rf, p.n
+        |ORDER BY p.rf""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT event_id,
+        |       json_keys(props) AS ks,
+        |       CAST(json_extract(props, '$.k') AS INTEGER) AS kv
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_stats" ->
       """SELECT o_orderkey, o_custkey,

@@ -447,6 +447,39 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Approximate median under the own-sketch/own-check contract (the
+    * q_approx_count_distinct pattern): each engine runs ITS OWN sketch
+    * (Spark: Greenwald-Khanna percentile_approx; DuckDB: t-digest) and
+    * asserts the result's RANK lands within tolerance of n/2 — both
+    * inside ⇒ identical boolean rows, hash-matchable. */
+  private def qApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val p = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(p), col("l_returnflag") === col("rf"))
+      .groupBy(col("rf"))
+      .agg(first(col("n")).as("n"),
+        sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("below"))
+      .select(col("rf"), col("n"),
+        (abs(col("below") - col("n").cast("double") / 2)
+          <= col("n").cast("double") / 100 + 1).as("within_tolerance"))
+      .orderBy(col("rf"))
+  }
+
+  /** MapType surface: parse the JSON props column into map<string,int>,
+    * expose keys and a value lookup — scan-linear, no shuffle beyond the
+    * output ordering. */
+  private def qMapOps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"), map_keys(col("m")).as("ks"),
+        col("m").getItem("k").as("kv"))
+      .orderBy(col("event_id"))
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -562,6 +595,13 @@ object SparkEntry {
     graft.streaming.EventStream.runEnrichedCountsOnce(s, s"$d/events.parquet",
         t(s, d, "customer"), "c_custkey", "c_mktsegment")
       .orderBy(col("window_start_us"), col("segment"))
+
+  /** STREAMING stream-stream self-join: purchases attributed to the same
+    * user's clicks within the preceding hour, through the real engine
+    * (watermark-bounded state on BOTH sides, append mode). */
+  private def qStreamJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.runAttributionOnce(s, s"$d/events.parquet")
+      .orderBy(col("click_id"), col("purchase_id"))
 
   /** STREAMING sessionization (flatMapGroupsWithState + event-time
     * timeout) through an actual bounded streaming run — the emitted set
@@ -1127,7 +1167,10 @@ object SparkEntry {
     "q_window_stats" -> (qWindowStats _),
     "q_cross_join" -> (qCrossJoin _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
-    "q_date_arith" -> (qDateArith _))
+    "q_date_arith" -> (qDateArith _),
+    "q_approx_percentile" -> (qApproxPercentile _),
+    "q_map_ops" -> (qMapOps _),
+    "q_stream_join" -> (qStreamJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

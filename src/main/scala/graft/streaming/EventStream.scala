@@ -212,6 +212,56 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 
+  /** STREAM-STREAM inner join with an event-time range condition: each
+    * purchase attributes to the same user's clicks in the preceding hour.
+    * BOTH sides hold watermark-bounded state; the range condition is what
+    * lets the engine evict — a click older than (watermark − 1 h) can
+    * never match a future purchase, so state stays bounded at any scale.
+    * Inner-join matches emit as soon as both rows arrive (append mode),
+    * so over bounded input the emitted set is deterministic and equal to
+    * the batch join. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+  }
+
+  /** Run [[attributedPurchases]] as a real stream-stream SELF-join over
+    * the bounded events file (clicks and purchases are two filtered reads
+    * of the same stream) — append mode + AvailableNow. */
+  def runAttributionOnce(spark: SparkSession, eventsPath: String): DataFrame = {
+    val landing = stageLanding(eventsPath)
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val ev = batchEvents(raw)
+      val joined = attributedPurchases(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      val name = "stream_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val (rows, schema) = (sink.collect(), sink.schema)
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
   /** Run [[enrichedWindowedCounts]] through the real streaming engine —
     * file source → broadcast stream-static join → event-time windowed
     * aggregate → memory sink, AvailableNow + complete mode. Same

@@ -146,6 +146,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum == spark.read.parquet(path).count())
   }
 
+  test("runAttributionOnce (stream-stream join) equals the batch range self-join") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val streamed = EventStream.runAttributionOnce(spark, path)
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSeq
+    val ev = EventStream.batchEvents(spark.read.parquet(path))
+    val batch = EventStream.attributedPurchases(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"))
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("checkpointed AvailableNow runs resume incrementally and stay exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("stream-ckpt")
