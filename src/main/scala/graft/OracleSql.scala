@@ -376,6 +376,34 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
+    // CSV round-trip: the oracle reads the parquet BASE table — any
+    // text-serialization drift (doubles, dates) breaks the hash
+    "q_csv_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // native session_window: an event at EXACTLY gap distance starts a
+    // new session (brk on >=), end = last event + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // in-stream dedup over a doubled landing: emitted set = distinct ids
+    "q_stream_dedup" ->
+      """SELECT event_id FROM events ORDER BY event_id""".stripMargin,
+
     // stream-stream join: inner matches over bounded input equal the
     // batch self-join; µs arithmetic matches Spark's timestamp + interval
     "q_stream_join" ->

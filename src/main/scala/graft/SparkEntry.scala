@@ -370,6 +370,45 @@ object SparkEntry {
       dir
     })
 
+  // CSV landing copy of orders (one-time per session+sf): the text-source
+  // read must round-trip schema-exactly against the parquet base table.
+  private val csvDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def csvOrdersDir(s: SparkSession, d: String): String =
+    csvDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orders_csv_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+      dir
+    })
+
+  /** CSV source round-trip (schema-pinned read of the text landing copy;
+    * doubles survive because Java's shortest-repr formatting parses back
+    * bit-exact) — the oracle reads the parquet base table, so any
+    * serialization drift breaks the hash. */
+  private def qCsvScan(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, o_totalprice DOUBLE, o_date DATE")
+      .option("header", "true").csv(csvOrdersDir(s, d))
+      .orderBy(col("o_orderkey"))
+
+  /** Native session_window sessionization (the built-in merging session
+    * operator — one exchange; an event at exactly gap distance starts a
+    * NEW session, the strictness the oracle mirrors). */
+  private def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"))
+      .groupBy(col("user_id"), session_window(col("tsc"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** Product-quantization codes over the embedding store: 4 subspaces of
     * 16 dims, 16-entry seeded codebooks — exact integer argmin, exploded
     * to (vec_id, subspace, code) for the compare. */
@@ -602,6 +641,14 @@ object SparkEntry {
   private def qStreamJoin(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStream.runAttributionOnce(s, s"$d/events.parquet")
       .orderBy(col("click_id"), col("purchase_id"))
+
+  /** STREAMING in-stream dedup under the gate: the landing directory
+    * holds the events file TWICE, so dropDuplicatesWithinWatermark has
+    * real duplicates to drop; the emitted set is the distinct event ids
+    * (= the oracle's plain scan). */
+  private def qStreamDedup(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.runStreamDedupOnce(s, s"$d/events.parquet")
+      .orderBy(col("event_id"))
 
   /** STREAMING sessionization (flatMapGroupsWithState + event-time
     * timeout) through an actual bounded streaming run — the emitted set
@@ -1170,7 +1217,10 @@ object SparkEntry {
     "q_date_arith" -> (qDateArith _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_map_ops" -> (qMapOps _),
-    "q_stream_join" -> (qStreamJoin _))
+    "q_stream_join" -> (qStreamJoin _),
+    "q_csv_scan" -> (qCsvScan _),
+    "q_session_window" -> (qSessionWindow _),
+    "q_stream_dedup" -> (qStreamDedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -212,6 +212,49 @@ object EventStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 
+  /** Stage the driver file TWICE (two names) so in-stream dedup has real
+    * duplicates to drop. Idempotent per input path. */
+  private def stageDupLanding(eventsPath: String): java.io.File = {
+    val src = new java.io.File(eventsPath)
+    val landing = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_events_dup_" + java.lang.Integer.toHexString(src.getAbsolutePath.hashCode))
+    landing.mkdirs()
+    Seq("a_" + src.getName, "b_" + src.getName).foreach { n =>
+      val staged = new java.io.File(landing, n)
+      if (!staged.exists())
+        java.nio.file.Files.copy(src.toPath, staged.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    landing
+  }
+
+  /** Run [[dedupedEvents]] (dropDuplicatesWithinWatermark) through the
+    * real engine over a landing directory that contains every event
+    * twice — the emitted set must be the distinct event ids. State is
+    * bounded by the watermark: an id older than the watermark cannot be
+    * re-admitted, so its key is evictable, which is the whole point at
+    * unbounded-retention scale. */
+  def runStreamDedupOnce(spark: SparkSession, eventsPath: String): DataFrame = {
+    val landing = stageDupLanding(eventsPath)
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val dd = dedupedEvents(batchEvents(raw)).select(col("event_id"))
+      val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dd.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val (rows, schema) = (sink.collect(), sink.schema)
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
   /** STREAM-STREAM inner join with an event-time range condition: each
     * purchase attributes to the same user's clicks in the preceding hour.
     * BOTH sides hold watermark-bounded state; the range condition is what
