@@ -376,6 +376,41 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
+    // deterministic array agg: the list is sorted INSIDE the aggregate
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        |       list_sort(list(o_orderpriority)) AS prios,
+        |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_csv,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    // melt: the oracle mirrors semantics with a UNION ALL (same rows)
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'price_cents' AS measure,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_cents' AS measure,
+        |       CAST(round(l_discount * 100) AS BIGINT) AS cents
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(toks, t -> length(t) > 4)) AS INTEGER) AS n_long,
+        |       len(list_filter(toks, t -> t = 'data')) > 0 AS has_data,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS chars_sum,
+        |       CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // JSON-lines round-trip: same base-table transparency as q_csv_scan
+    "q_json_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // CSV round-trip: the oracle reads the parquet BASE table — any
     // text-serialization drift (doubles, dates) breaks the hash
     "q_csv_scan" ->

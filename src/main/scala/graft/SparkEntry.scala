@@ -519,6 +519,68 @@ object SparkEntry {
         col("m").getItem("k").as("kv"))
       .orderBy(col("event_id"))
 
+  /** Array + string aggregation with a deterministic contract: the
+    * collected list is SORTED before it ever leaves the aggregate, so the
+    * result is partition-order-independent (bare collect_list is not). */
+  private def qArrayAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"),
+        count(lit(1)).as("n"))
+      .select(col("o_custkey"), col("prios"),
+        concat_ws(",", col("prios")).as("prio_csv"), col("n"))
+      .orderBy(col("o_custkey"))
+
+  /** Unpivot (melt): wide measures → (measure, value) rows — the inverse
+    * of q_pivot; a pure in-row Expand, no shuffle beyond the ordering. */
+  private def qUnpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Relational.cents(col("l_extendedprice")).as("price_cents"),
+        Relational.cents(col("l_discount")).as("disc_cents"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("price_cents"), col("disc_cents")),
+        "measure", "cents")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** Higher-order array functions over the token arrays: filter, exists,
+    * aggregate (fold), transform+max — all codegen-friendly in-row work. */
+  private def qArrayHof(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(filter(toks, t => length(t) > 4)).as("n_long"),
+        exists(toks, t => t === "data").as("has_data"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("chars_sum"),
+        array_max(transform(toks, t => length(t))).as("max_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // JSON-lines landing copy of orders (one-time per session+sf), the
+  // text-source sibling of csvOrdersDir.
+  private val jsonDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def jsonOrdersDir(s: SparkSession, d: String): String =
+    jsonDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orders_json_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").json(dir)
+      dir
+    })
+
+  /** JSON-lines source round-trip against the parquet base table. */
+  private def qJsonScan(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderpriority STRING, o_totalprice DOUBLE, o_date DATE")
+      .json(jsonOrdersDir(s, d))
+      .orderBy(col("o_orderkey"))
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1220,7 +1282,11 @@ object SparkEntry {
     "q_stream_join" -> (qStreamJoin _),
     "q_csv_scan" -> (qCsvScan _),
     "q_session_window" -> (qSessionWindow _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_array_agg" -> (qArrayAgg _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_array_hof" -> (qArrayHof _),
+    "q_json_scan" -> (qJsonScan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
