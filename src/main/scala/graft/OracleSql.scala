@@ -411,6 +411,24 @@ object OracleSql {
         |       CAST(o_orderdate AS DATE) AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // ORC round-trip: same base-table transparency as q_csv_scan
+    "q_orc_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // binaryFile source: payload length vs the closed-form synthesis
+    // contract (SynthImages: BMP for even ids, PPM P6 for odd)
+    "q_binary_scan" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |         THEN 54 + ((3 * (8 + doc_id % 25) + 3) // 4) * 4 * (8 + doc_id % 17)
+        |         ELSE 9 + length(CAST(8 + doc_id % 25 AS VARCHAR))
+        |                + length(CAST(8 + doc_id % 17 AS VARCHAR))
+        |                + 3 * (8 + doc_id % 25) * (8 + doc_id % 17)
+        |       END AS INTEGER) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // CSV round-trip: the oracle reads the parquet BASE table — any
     // text-serialization drift (doubles, dates) breaks the hash
     "q_csv_scan" ->

@@ -581,6 +581,65 @@ object SparkEntry {
       .json(jsonOrdersDir(s, d))
       .orderBy(col("o_orderkey"))
 
+  // ORC landing copy (one-time per session+sf) — the columnar sibling.
+  private val orcDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def orcOrdersDir(s: SparkSession, d: String): String =
+    orcDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orders_orc_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").orc(dir)
+      dir
+    })
+
+  /** ORC source round-trip against the parquet base table. */
+  private def qOrcScan(s: SparkSession, d: String): DataFrame =
+    s.read.orc(orcOrdersDir(s, d)).orderBy(col("o_orderkey"))
+
+  // One binary FILE per document (doc-id-named synthetic image payloads),
+  // written once per (session, sf) by the executors — the landing shape
+  // of a real media corpus.
+  private val binDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def binaryMediaDir(s: SparkSession, d: String): String =
+    binDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_media_bin_${java.lang.Integer.toHexString(d.hashCode)}")
+      val done = new java.io.File(dir, "_DONE")
+      if (!done.exists()) {
+        dir.mkdirs()
+        val p = dir.getAbsolutePath
+        graft.multimodal.SynthImages.packSynth(t(s, d, "documents"), "doc_id", "text")
+          .foreachPartition {
+            (rows: Iterator[graft.multimodal.Multimodal.MediaRow]) =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(p, s"doc_${r.doc_id}.bin"), r.bytes)
+              }
+          }
+        java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      }
+      dir.getAbsolutePath
+    })
+
+  /** binaryFile source over the per-document media files — the ingest
+    * path of an image/audio corpus: doc identity parsed from the file
+    * name, payload length verified against the closed-form synthesis
+    * contract (any write or read corruption breaks the hash). */
+  private def qBinaryScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(binaryMediaDir(s, d))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        length(col("content")).as("byte_len"))
+      .orderBy(col("doc_id"))
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1286,7 +1345,9 @@ object SparkEntry {
     "q_array_agg" -> (qArrayAgg _),
     "q_unpivot" -> (qUnpivot _),
     "q_array_hof" -> (qArrayHof _),
-    "q_json_scan" -> (qJsonScan _))
+    "q_json_scan" -> (qJsonScan _),
+    "q_orc_scan" -> (qOrcScan _),
+    "q_binary_scan" -> (qBinaryScan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
