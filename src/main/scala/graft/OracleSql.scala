@@ -411,6 +411,37 @@ object OracleSql {
         |       CAST(o_orderdate AS DATE) AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_pagination" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH i AS (
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice <= 200000)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_except_all" ->
+      """WITH e AS (
+        |  SELECT o_orderpriority FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_try_cast" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'junk'
+        |              ELSE CAST(doc_id AS VARCHAR) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw,
+        |       TRY_CAST(raw AS BIGINT) AS parsed,
+        |       TRY_CAST(raw AS BIGINT) IS NULL AS malformed
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // ORC round-trip: same base-table transparency as q_csv_scan
     "q_orc_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,

@@ -640,6 +640,49 @@ object SparkEntry {
         length(col("content")).as("byte_len"))
       .orderBy(col("doc_id"))
 
+  /** Keyset-free pagination: total order + LIMIT/OFFSET. (At 100 TB the
+    * right pagination is keyset — WHERE key > last — but OFFSET is the
+    * API surface users reach for first; a total order makes it exact.) */
+  private def qPagination(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+      .offset(40).limit(20)
+
+  /** Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicities (the bag semantics DISTINCT-based set ops destroy). */
+  private def qIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val hi = t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderpriority"))
+    val lo = t(s, d, "orders").filter(col("o_totalprice") <= 200000.0)
+      .select(col("o_orderpriority"))
+    hi.intersectAll(lo)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def qExceptAll(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "orders").select(col("o_orderpriority"))
+    val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderpriority"))
+    all.exceptAll(urgent)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Error-tolerant parsing (try_cast): malformed numerics become NULL
+    * instead of failing the job — the ingest posture for dirty text
+    * feeds; the malformed slice is synthesized deterministically. */
+  private def qTryCast(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("junk"))
+          .otherwise(col("doc_id").cast("string")).as("raw"))
+      .select(col("doc_id"), col("raw"),
+        expr("try_cast(raw AS BIGINT)").as("parsed"),
+        expr("try_cast(raw AS BIGINT)").isNull.as("malformed"))
+      .orderBy(col("doc_id"))
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1347,7 +1390,11 @@ object SparkEntry {
     "q_array_hof" -> (qArrayHof _),
     "q_json_scan" -> (qJsonScan _),
     "q_orc_scan" -> (qOrcScan _),
-    "q_binary_scan" -> (qBinaryScan _))
+    "q_binary_scan" -> (qBinaryScan _),
+    "q_pagination" -> (qPagination _),
+    "q_intersect_all" -> (qIntersectAll _),
+    "q_except_all" -> (qExceptAll _),
+    "q_try_cast" -> (qTryCast _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
