@@ -411,6 +411,19 @@ object OracleSql {
         |       CAST(o_orderdate AS DATE) AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // deterministic hash shuffle + sharding for training resume
+    "q_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, h,
+        |         CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin,

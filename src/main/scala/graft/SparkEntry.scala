@@ -640,6 +640,23 @@ object SparkEntry {
         length(col("content")).as("byte_len"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic training shuffle + sharding: a pseudo-random global
+    * order from md5(doc_id), hash-sharded so each shard assigns its
+    * positions in an INDEPENDENT window — at 100 TB this parallelizes
+    * per shard instead of funneling the corpus through one global sort,
+    * and the (shard, pos) assignment is reproducible run-over-run (the
+    * property a training job needs to resume mid-epoch). */
+  private def qShardShuffle(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), h.as("h"),
+        pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(8)).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keyset-free pagination: total order + LIMIT/OFFSET. (At 100 TB the
     * right pagination is keyset — WHERE key > last — but OFFSET is the
     * API surface users reach for first; a total order makes it exact.) */
@@ -1394,7 +1411,8 @@ object SparkEntry {
     "q_pagination" -> (qPagination _),
     "q_intersect_all" -> (qIntersectAll _),
     "q_except_all" -> (qExceptAll _),
-    "q_try_cast" -> (qTryCast _))
+    "q_try_cast" -> (qTryCast _),
+    "q_shard_shuffle" -> (qShardShuffle _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
