@@ -82,6 +82,59 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("AudioDecoder round-trips arbitrary PCM through SynthAudio.wav exactly") {
+    val pcmGen = Gen.listOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    val rateGen = Gen.chooseNum(1, 192000)
+    checkProp(MIN)(Prop.forAll(pcmGen, rateGen) { (pcm, rate) =>
+      val arr = pcm.map(_.toShort).toArray
+      val m = graft.multimodal.AudioDecoder.decode(
+        graft.multimodal.SynthAudio.wav(rate, arr))
+      val expMean =
+        if (arr.isEmpty) 0L
+        else arr.map(s => math.abs(s.toLong)).sum / arr.length
+      m.sampleRate == rate && m.nSamples == arr.length && m.meanAbs == expMean
+    })
+  }
+
+  test("AudioDecoder never mis-decodes corrupted payloads (throws or truthful)") {
+    // Flip one byte anywhere in a valid WAV: the decoder must either
+    // reject loudly or still report a meta consistent with SOME parse —
+    // never crash with an unexpected error type.
+    val pcm = Array[Short](5, -5, 100, -100, 32767, -32768)
+    val base = graft.multimodal.SynthAudio.wav(8000, pcm)
+    val idxGen = Gen.chooseNum(0, base.length - 1)
+    val byteGen = Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)
+    checkProp(50)(Prop.forAll(idxGen, byteGen) { (i, b) =>
+      val mut = base.clone(); mut(i) = b.toByte
+      try { graft.multimodal.AudioDecoder.decode(mut); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    })
+  }
+
+  test("pqTopK with one codebook entry per vector equals exact L2 ranking") {
+    // k = n: every vector IS a codebook entry, so quantization is lossless
+    // and the ADC distance equals the exact squared-L2 distance.
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    checkProp(10)(Prop.forAll(Gen.listOfN(6, vecGen), Gen.chooseNum(0, 5)) { (vs, qi) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.similarity.Vectors
+        .pqTopK(df, "vec_id", "embedding", queryId = qi.toLong, m = 2, k = 6, topK = 6)
+        .as[(Long, Long)].collect().toSeq
+      def fp(x: Float): Long = BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val exact = vs.zipWithIndex.map { case (v, i) =>
+        val d = v.zip(vs(qi)).map { case (a, b) =>
+          val diff = fp(a) - fp(b); diff * diff }.sum
+        (i.toLong, d)
+      }.sortBy { case (i, d) => (d, i) }
+      got == exact
+    })
+  }
+
   test("CappedCollect: overflow iff group exceeds cap, under any partitioning") {
     checkProp(MIN)(Prop.forAll(Gen.choose(0, 30), Gen.choose(1, 12), Gen.choose(1, 6)) { (n, cap, parts) =>
       n == 0 || {
