@@ -1334,6 +1334,57 @@ object OracleSql {
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // IVF-PQ two-stage serving: probe lists by the double-cosine rule
+    // (exact integer inputs + correctly-rounded IEEE ops = engine-equal),
+    // PQ-ADC re-rank within the probed lists only
+    "q_ivfpq_topk" ->
+      s"""WITH $fpVecCte,
+         |cb AS (SELECT vec_id AS cid, fv AS cfv FROM fp WHERE vec_id < 16),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |q AS (SELECT fv AS qfv, nn AS qn FROM nv WHERE vec_id = 42),
+         |cents AS (SELECT vec_id AS cent_id, fv AS cent_v, nn AS cent_n
+         |          FROM nv WHERE vec_id < 16 AND nn > 0),
+         |probe AS (
+         |  SELECT cent_id FROM (
+         |    SELECT cents.cent_id,
+         |           row_number() OVER (ORDER BY
+         |             CAST(list_sum(list_transform(range(1, len(q.qfv) + 1), i -> q.qfv[i] * cents.cent_v[i])) AS DOUBLE)
+         |             / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(cents.cent_n AS DOUBLE))) DESC,
+         |             cents.cent_id ASC) AS r
+         |    FROM q, cents)
+         |  WHERE r <= 2),
+         |casgn AS (
+         |  SELECT c_id, cent_id FROM (
+         |    SELECT v.vec_id AS c_id, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, len(v.fv) + 1), i -> v.fv[i] * cents.cent_v[i])) AS DOUBLE)
+         |             / (sqrt(CAST(v.nn AS DOUBLE)) * sqrt(CAST(cents.cent_n AS DOUBLE))) DESC,
+         |             cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0)
+         |  WHERE r = 1),
+         |cand AS (SELECT c_id FROM casgn JOIN probe USING (cent_id)),
+         |pairs AS (
+         |  SELECT v.vec_id, js.j, cb.cid,
+         |         list_sum(list_transform(range(1, 17), i ->
+         |           (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i])
+         |           * (v.fv[js.j*16 + i] - cb.cfv[js.j*16 + i]))) AS dist
+         |  FROM fp v, js, cb WHERE v.vec_id IN (SELECT c_id FROM cand)),
+         |codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vec_id, j, cid,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+         |    FROM pairs) WHERE rn = 1),
+         |lut AS (
+         |  SELECT js.j, cb.cid,
+         |         list_sum(list_transform(range(1, 17), i ->
+         |           (q.qfv[js.j*16 + i] - cb.cfv[js.j*16 + i])
+         |           * (q.qfv[js.j*16 + i] - cb.cfv[js.j*16 + i]))) AS d
+         |  FROM q, js, cb)
+         |SELECT c.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+         |FROM codes c JOIN lut l ON c.j = l.j AND c.cid = l.cid
+         |GROUP BY c.vec_id
+         |ORDER BY adc_dist, c.vec_id LIMIT 10""".stripMargin,
+
     // PQ ADC serving: codes as in q_pq_codes; LUT = exact integer sq-L2
     // between the query (vec_id 42) subvectors and each codebook entry;
     // score = sum of per-subspace LUT hits; total order (dist, id).

@@ -700,6 +700,13 @@ object SparkEntry {
         expr("try_cast(raw AS BIGINT)").isNull.as("malformed"))
       .orderBy(col("doc_id"))
 
+  /** IVF-PQ two-stage ANN serving around corpus vector 42: coarse lists
+    * prune the corpus to 2 of 16 probe lists, PQ-ADC re-ranks within. */
+  private def qIvfPqTopK(s: SparkSession, d: String): DataFrame =
+    Vectors.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 42L, nCentroids = 16, probes = 2, m = 4, k = 16, topK = 10)
+      .withColumnRenamed("id", "vec_id")
+
   /** GROUPING SETS with grouping() markers — the one grouping construct
     * `.rollup`/`.cube` can't express (arbitrary mixed sets). SQL entry
     * point over a temp view; the plan is a single Expand + hash
@@ -1412,7 +1419,8 @@ object SparkEntry {
     "q_intersect_all" -> (qIntersectAll _),
     "q_except_all" -> (qExceptAll _),
     "q_try_cast" -> (qTryCast _),
-    "q_shard_shuffle" -> (qShardShuffle _))
+    "q_shard_shuffle" -> (qShardShuffle _),
+    "q_ivfpq_topk" -> (qIvfPqTopK _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

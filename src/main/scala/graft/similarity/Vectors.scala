@@ -529,10 +529,27 @@ object Vectors {
              queryId: Long, m: Int, k: Int, topK: Int): DataFrame = {
     val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
     val (cb, sub) = pqCodebook(fvAll, m, k)
+    val qfv = collectQuery(fvAll, queryId, cb.head.size)
+    fvAll
+      .select(col("id"), adcDistExpr(cb, sub, m, qfv).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(topK)
+  }
+
+  private def collectQuery(fvAll: DataFrame, queryId: Long, dim: Int): Seq[Long] = {
     val qRows = fvAll.filter(col("id") === queryId).collect()
     require(qRows.length == 1, s"queryId=$queryId must match exactly one vector")
     val qfv = qRows.head.getSeq[Long](1)
-    require(qfv.size == cb.head.size, "query must share the corpus dimension")
+    require(qfv.size == dim, "query must share the corpus dimension")
+    qfv
+  }
+
+  /** The in-row ADC score: Σ_j LUT_j[bestCode_j], with the m·k LUT of
+    * exact query↔codebook subspace distances precomputed on the driver
+    * and riding as literal arrays. Expects the fixed-point vector in
+    * column `fv`. */
+  private def adcDistExpr(cb: Seq[Seq[Long]], sub: Int, m: Int,
+                          qfv: Seq[Long]): Column = {
     def lutEntry(j: Int, c: Int): Long = {
       var acc = 0L
       var i = j * sub
@@ -545,8 +562,44 @@ object Vectors {
       val lutArr = array(cb.indices.map(c => lit(lutEntry(j, c))): _*)
       element_at(lutArr, pqBestCode(cb, sub)(j) + 1)
     }
-    fvAll
-      .select(col("id"), (0 until m).map(adcTerm).reduce(_ + _).as("adc_dist"))
+    (0 until m).map(adcTerm).reduce(_ + _)
+  }
+
+  /** IVF-PQ two-stage ANN serving (the FAISS-style composition): the IVF
+    * coarse quantizer prunes the corpus to the query's `probes` nearest
+    * centroid lists — per-query work |corpus|·probes/nCentroids — and
+    * PQ-ADC scores only those candidates in-row. The probe-list choice
+    * uses the SAME (cosine DESC, cent_id ASC) rule as list assignment,
+    * decided on the driver over the bounded centroid set with exact
+    * integer cross-multiplication (no float ranking drift). Returns
+    * (id, adc_dist) ordered by (adc_dist, id), `topK` rows from the
+    * probed lists only.
+    */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, nCentroids: Int, probes: Int,
+                m: Int, k: Int, topK: Int): DataFrame = {
+    require(probes >= 1 && probes <= nCentroids, s"probes=$probes out of range")
+    val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+    val (cb, sub) = pqCodebook(fvAll, m, k)
+    val qfv = collectQuery(fvAll, queryId, cb.head.size)
+    // rank centroids by the SAME double-cosine formulation the in-row
+    // assignment and the oracle use: the integer dot and norms are exact
+    // (≤ 6.4e13 < 2^53), sqrt and division are correctly-rounded IEEE
+    // ops, so this ranking is bit-reproducible across engines
+    val cents = fvAll.filter(col("id") < nCentroids).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .filter { case (_, v) => v.exists(_ != 0L) }
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qn = math.sqrt(dot(qfv, qfv).toDouble)
+    val ranked = cents.map { case (cid, cv) =>
+      (cid, dot(qfv, cv).toDouble / (qn * math.sqrt(dot(cv, cv).toDouble)))
+    }.sortBy { case (cid, cos) => (-cos, cid) }
+    val probeIds = ranked.take(probes).map(_._1)
+    val lists = ivfLists(vectors, idCol, vecCol, nCentroids)
+    lists.filter(col("cent_id").isin(probeIds: _*))
+      .select(col("c_id").as("id"), col("c_v").as("fv"))
+      .select(col("id"), adcDistExpr(cb, sub, m, qfv).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
       .limit(topK)
   }

@@ -289,6 +289,35 @@ class VectorsSpec extends SparkSpec {
     assert(out == Seq((2L, 4L * u), (0L, 164L * u), (1L, 164L * u), (3L, 164L * u)))
   }
 
+  test("ivfPqTopK: full probe equals plain ADC; pruning probes only the nearest lists") {
+    val v = Seq(
+      (0L, Seq(0f, 0f, 1f, 1f)),
+      (1L, Seq(10f, 10f, 9f, 9f)),
+      (2L, Seq(1f, 1f, 2f, 2f)),
+      (3L, Seq(9f, 9f, 8f, 8f)),
+      (4L, Seq(0f, 1f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    // probes = nCentroids: no pruning -> identical to plain ADC top-k
+    val full = Vectors.ivfPqTopK(v, "vec_id", "embedding",
+      queryId = 2L, nCentroids = 2, probes = 2, m = 2, k = 2, topK = 5)
+      .as[(Long, Long)].collect().toSeq
+    val adc = Vectors.pqTopK(v, "vec_id", "embedding",
+      queryId = 2L, m = 2, k = 2, topK = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == adc)
+    // probes = 1: only the query's own list survives; results are a
+    // prefix-consistent subset of the full ranking
+    val pruned = Vectors.ivfPqTopK(v, "vec_id", "embedding",
+      queryId = 2L, nCentroids = 2, probes = 1, m = 2, k = 2, topK = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(pruned.nonEmpty && pruned.size < full.size)
+    assert(pruned.toSet.subsetOf(full.toSet))
+    // cosine ranks centroid 1 nearest for q=[1,1,2,2] (0.930 vs 0.894 —
+    // cosine is direction, not magnitude), and v2/v4 also assign there,
+    // so the probed list is exactly {1,2,3,4} and v0 (list 0) is pruned
+    assert(pruned.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("trainPqCodebooks: L2 training lowers distortion vs seeded, deterministically") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val (m, k) = (4, 8)
