@@ -424,6 +424,29 @@ object OracleSql {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // incremental merge must equal the full-table aggregate
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |a AS (SELECT * FROM o WHERE k % 11 <> 0),
+        |b AS (SELECT k AS kb,
+        |             cents + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS cents_b
+        |      FROM o WHERE k % 13 <> 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN a.k IS NULL THEN 'added'
+        |              WHEN b.kb IS NULL THEN 'removed'
+        |              WHEN a.cents <> b.cents_b THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.k = b.kb)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
     "q_pagination" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin,

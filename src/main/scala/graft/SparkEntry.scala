@@ -657,6 +657,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental aggregate maintenance (the dbt incremental-model
+    * pattern): the base table holds PARTIAL aggregate states (count,
+    * sum), a delta batch arrives, and the merge is a union + re-aggregate
+    * over the states — O(|delta| + |affected keys|), never a rescan of
+    * the full history. Verified against the full-table aggregate, which
+    * is exactly the mergeability contract of algebraic aggregates. */
+  private def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Relational.cents(col("o_totalprice"))).as("cents"))
+    val cut = lit(java.sql.Date.valueOf("1996-01-01"))
+    val base = partial(t(s, d, "orders").filter(col("o_orderdate") < cut))
+    val delta = partial(t(s, d, "orders").filter(col("o_orderdate") >= cut))
+    base.unionAll(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Snapshot diff (CDC-style drift report): two keyed snapshots FULL
+    * OUTER joined, each key classified added / removed / changed /
+    * unchanged by comparing exact cent values. Both snapshots derive
+    * deterministically from the base table. */
+  private def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey").as("k"), Relational.cents(col("o_totalprice")).as("cents"))
+    val snapA = o.filter(col("k") % 11 =!= 0)
+    val snapB = o.filter(col("k") % 13 =!= 0)
+      .select(col("k").as("kb"),
+        (col("cents") + when(col("k") % 7 === 0, 1L).otherwise(0L)).as("cents_b"))
+    snapA.join(snapB, col("k") === col("kb"), "full_outer")
+      .select(
+        when(col("k").isNull, lit("added"))
+          .when(col("kb").isNull, lit("removed"))
+          .when(col("cents") =!= col("cents_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   /** Keyset-free pagination: total order + LIMIT/OFFSET. (At 100 TB the
     * right pagination is keyset — WHERE key > last — but OFFSET is the
     * API surface users reach for first; a total order makes it exact.) */
@@ -1420,7 +1461,9 @@ object SparkEntry {
     "q_except_all" -> (qExceptAll _),
     "q_try_cast" -> (qTryCast _),
     "q_shard_shuffle" -> (qShardShuffle _),
-    "q_ivfpq_topk" -> (qIvfPqTopK _))
+    "q_ivfpq_topk" -> (qIvfPqTopK _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_snapshot_diff" -> (qSnapshotDiff _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
