@@ -424,6 +424,11 @@ object OracleSql {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS INTEGER) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // compaction preserves rows exactly (base-table transparency)
+    "q_compact_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // incremental merge must equal the full-table aggregate
     "q_incremental_agg" ->
       """SELECT o_orderpriority,

@@ -409,6 +409,32 @@ object SparkEntry {
         unix_micros(col("w.end")).as("end_us"), col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
 
+  // Fragmented-then-compacted lineitem copy (one-time per session+sf):
+  // 32 shard files rewritten by IO.compact into size-targeted files.
+  private val compactDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def compactedLineitemDir(s: SparkSession, d: String): String =
+    compactDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val frag = new java.io.File(tmp, s"graft_li_frag_$tag").getAbsolutePath
+      val out = new java.io.File(tmp, s"graft_li_compact_$tag").getAbsolutePath
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(frag)
+        graft.sources.IO.compact(s, frag, out, targetBytes = 64L << 20)
+      }
+      out
+    })
+
+  /** Read of the compacted layout against the base-table oracle (result
+    * transparency: compaction must preserve every row exactly). */
+  private def qCompactScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactedLineitemDir(s, d))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Product-quantization codes over the embedding store: 4 subspaces of
     * 16 dims, 16-entry seeded codebooks — exact integer argmin, exploded
     * to (vec_id, subspace, code) for the compare. */
@@ -1463,7 +1489,8 @@ object SparkEntry {
     "q_shard_shuffle" -> (qShardShuffle _),
     "q_ivfpq_topk" -> (qIvfPqTopK _),
     "q_incremental_agg" -> (qIncrementalAgg _),
-    "q_snapshot_diff" -> (qSnapshotDiff _))
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_compact_scan" -> (qCompactScan _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -116,6 +116,25 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites a fragmented directory into size-targeted files, rows intact") {
+    val root = java.nio.file.Files.createTempDirectory("io-compact").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"payload_$i")).toDF("k", "v")
+    df.repartition(32).write.parquet(s"$root/frag")
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$root/frag") == 32)
+    val fragBytes = new java.io.File(s"$root/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target = half the data -> exactly 2 output files
+    val n = IO.compact(spark, s"$root/frag", s"$root/out", (fragBytes + 1) / 2)
+    assert(n == 2 && parquetFiles(s"$root/out") == 2)
+    val back = spark.read.parquet(s"$root/out").as[(Long, String)].collect().toSeq.sorted
+    assert(back == (1 to 10000).map(i => (i.toLong, s"payload_$i")))
+    // a target larger than the directory -> a single file
+    assert(IO.compact(spark, s"$root/frag", s"$root/out1", fragBytes * 10) == 1)
+    assert(parquetFiles(s"$root/out1") == 1)
+  }
+
   test("writeBucketed produces a bucketed table whose join needs no exchange on the key") {
     spark.sql("DROP TABLE IF EXISTS bucketed_orders")
     // the managed location may survive a previous JVM whose in-memory
