@@ -1486,5 +1486,56 @@ object OracleSql {
         |       CASE WHEN price_cents < p_lo THEN p_lo
         |            WHEN price_cents > p_hi THEN p_hi
         |            ELSE CAST(price_cents AS DOUBLE) END AS clipped
-        |FROM b, st ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM b, st ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The oracle groups duplicated 5-grams by their STRING content where
+    // the engine groups by xxhash64 of the same string — identical
+    // equivalence classes modulo 64-bit collisions (none on this corpus,
+    // vanishing at 2^-64/pair in general).
+    "q_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(toks) - 5 + 2)) AS p, toks
+        |      FROM t WHERE len(toks) >= 5),
+        |gr AS (SELECT doc_id, p,
+        |              array_to_string(list_slice(toks, p, p + 4), ' ') AS gram
+        |       FROM g),
+        |d AS (SELECT doc_id, p, count(*) OVER (PARTITION BY gram) AS n_occ FROM gr),
+        |m AS (SELECT doc_id, p,
+        |             lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt,
+        |             lag(p)  OVER (PARTITION BY doc_id ORDER BY p) AS prv
+        |      FROM d WHERE n_occ > 1),
+        |a AS (SELECT doc_id,
+        |             count(*) AS n_dup_grams,
+        |             sum(CASE WHEN prv IS NULL OR p - prv > 5 THEN 1 ELSE 0 END) AS n_spans,
+        |             sum(CASE WHEN nxt IS NULL THEN 5 ELSE least(5, nxt - p) END) AS dup_tokens
+        |      FROM m GROUP BY doc_id)
+        |SELECT a.doc_id,
+        |       CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+        |       CAST(n_spans AS BIGINT) AS n_spans,
+        |       CAST(dup_tokens AS BIGINT) AS dup_tokens,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(dup_tokens AS DOUBLE) / len(t.toks) AS dup_frac
+        |FROM a JOIN t ON a.doc_id = t.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_unigram_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |hist AS (SELECT term, count(*) AS freq FROM tok GROUP BY term)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(freq) AS BIGINT) AS sum_freq,
+        |       CAST((1000 * sum(freq)) // count(*) AS BIGINT) AS mean_freq_milli
+        |FROM tok JOIN hist USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Sketch estimates verified EXACTLY: per-nation segment cardinality
+    // (≤ 5) is deep inside the HLL coupon-list regime where the
+    // DataSketches estimator is exact — so the unioned-sketch estimate
+    // equals DuckDB's exact DISTINCT count (contract documented at the
+    // query; at real cardinalities this row becomes an estimate).
+    "q_hll_distinct" ->
+      """SELECT c_nationkey,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 }

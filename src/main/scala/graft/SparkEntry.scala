@@ -180,6 +180,26 @@ object SparkEntry {
           <= lit(0.05) * col("n_part_exact")).as("within_tolerance"))
       .orderBy(col("l_returnflag"))
 
+  /** Re-aggregatable cardinality sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg / hll_union_agg) — the 100 TB distinct-count
+    * pattern X21's one-shot sketch can't express: per-shard sketch
+    * PARTIALS are materialized (here: customers split by c_custkey
+    * parity), then UNIONED and estimated in a later, cheaper pass —
+    * exactly how a pre-aggregated sketch table rolls up across days or
+    * partitions without touching raw data again. Verified EXACTLY
+    * against DuckDB's count(DISTINCT): per-nation segment cardinalities
+    * (≤ 5) sit deep inside the sketch's coupon-list regime, where the
+    * DataSketches estimator is exact by construction — the contract is
+    * documented as cardinality ≪ 2^lgK; at real scale the same plan
+    * returns ±1.6% estimates. */
+  private def qHllDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"), (col("c_custkey") % 2).as("shard"))
+      .agg(expr("hll_sketch_agg(c_mktsegment)").as("sk"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_segments"))
+      .orderBy(col("c_nationkey"))
+
   private def qIntersect(s: SparkSession, d: String): DataFrame =
     t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
       .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
@@ -1042,6 +1062,24 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
       .orderBy(col("doc_id"))
 
+  /** Exact-substring duplication spans at 5-gram grain (Lee et al.
+    * substring dedup, shingle form — see dedup.Dedup.dupNgramSpans):
+    * per-doc duplicated-gram count, maximal merged spans, and exact
+    * union token coverage. k=5 on this corpus separates the inserted
+    * duplicate passages from chance trigram collisions. */
+  private def qDupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.dupNgramSpans(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Unigram-LM corpus-frequency scoring (CCNet-style quality signal —
+    * see text.Search.unigramScore): the vocabulary histogram aggregates
+    * to O(vocab) rows and BROADCASTS back over the token stream. */
+  private def qUnigramScore(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.unigramScore(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Deterministic hash-based train/validation/test split — the
     * reproducible corpus partitioning a training pipeline needs (stable
     * under re-runs, joins, and repartitioning, unlike randomSplit).
@@ -1490,7 +1528,10 @@ object SparkEntry {
     "q_ivfpq_topk" -> (qIvfPqTopK _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_compact_scan" -> (qCompactScan _))
+    "q_compact_scan" -> (qCompactScan _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_unigram_score" -> (qUnigramScore _),
+    "q_hll_distinct" -> (qHllDistinct _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

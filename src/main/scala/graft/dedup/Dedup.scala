@@ -553,6 +553,66 @@ object Dedup {
       graft.functions.SimHashFp(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** Exact-substring duplication report (the shingle-grain form of the
+    * suffix-array substring dedup of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * public method): every k-token n-gram occurring MORE THAN ONCE in the
+    * corpus (within- or cross-document) is a duplicated gram; per
+    * document, overlapping/adjacent duplicated grams merge into maximal
+    * spans. Output, one row per document that contains at least one
+    * duplicated gram:
+    * {{{ (id, n_dup_grams, n_spans, dup_tokens, n_tokens, dup_frac) }}}
+    * where `dup_tokens` is the exact union length of the covered token
+    * intervals and `dup_frac = dup_tokens / n_tokens` — the removal /
+    * inspection signal a substring-dedup pass thresholds on.
+    *
+    * Scale shape: gram expansion is an in-row sequence→slice transform
+    * (parallel with the scan, no shuffle); occurrence counting is ONE
+    * exchange — a count window partitioned by the 64-bit gram hash (a
+    * hash collision can only over-count a gram as duplicated, never drop
+    * one; at 2^-64 per pair this is the standard shingle-hash trade);
+    * span merging is one (id, position) window; the per-doc rollup and
+    * the token-count join are key-aligned on id. Nothing materializes a
+    * per-group array and no step is quadratic in corpus size — the same
+    * equi-key discipline as the rest of this module. At 100 TB the gram
+    * exchange carries ~tokens rows; that volume (not memory) is the cost,
+    * identical to the suffix-array build it replaces, and AQE skew
+    * splitting handles stop-gram buckets.
+    */
+  def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(
+          when(size(toks) >= k,
+            transform(sequence(lit(1), size(toks) - (k - 1)),
+              i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+            .otherwise(array().cast("array<bigint>"))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val perGram = Window.partitionBy(col("g"))
+    val dup = grams
+      .withColumn("n_occ", count(lit(1)).over(perGram))
+      .filter(col("n_occ") > 1)
+    val perDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val spans = dup
+      .withColumn("nxt", lead(col("p"), 1).over(perDoc))
+      .withColumn("prv", lag(col("p"), 1).over(perDoc))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_dup_grams"),
+        sum(when(col("prv").isNull.or(col("p") - col("prv") > k), 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("nxt").isNull, lit(k))
+          .otherwise(least(lit(k), col("nxt") - col("p"))).cast("long"))
+          .as("dup_tokens"))
+    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(spans, Seq("id"))
+      .select(col("id"), col("n_dup_grams"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
+  }
+
   /** The explode + md5 + 16-conditional-sum group-by formulation of
     * [[simhash]] — kept as the spec-parity reference for SimHashFp (and
     * the shape the oracle SQL mirrors). */

@@ -87,4 +87,37 @@ object Search {
         row_number().over(Window.orderBy(col("score_fp").desc, col("id").asc)))
       .select(col("id"), col("score_fp"), col("doc_rank"))
   }
+
+  /** Unigram language-model document scoring — the corpus-statistics
+    * quality signal (a fluency surrogate: documents dominated by rare
+    * tokens score low, the unigram form of the KenLM-perplexity filters
+    * of CCNet/Gopher — public method; Wenzek et al. arXiv:1911.00359).
+    * The "model" is the corpus's own unigram histogram; the score is the
+    * mean corpus frequency of the document's tokens, reported as exact
+    * integers:
+    * {{{ (id, n_tokens, sum_freq, mean_freq_milli) }}}
+    * with `mean_freq_milli = (1000·sum_freq) div n_tokens` — integer
+    * floor division so the value is partition-order-independent and
+    * engine-exact (a float mean would hash-drift; a log-prob would add a
+    * transcendental — rank order is identical, which is all a threshold
+    * filter consumes).
+    *
+    * Scale shape: the histogram is ONE map-side-combining aggregation to
+    * O(vocab) rows — Zipf bounds real vocabularies in the millions, so
+    * the frequency table BROADCASTS (set `broadcastStats = false` to
+    * shuffle-join instead if the vocabulary is adversarially unbounded);
+    * the corpus-side explode then joins without moving the corpus, and
+    * the per-doc rollup is the only exchange carrying doc rows.
+    */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+                   broadcastStats: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val hist = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    val joined = toks.join(if (broadcastStats) broadcast(hist) else hist, "term")
+    joined.groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
+      .select(col("id"), col("n_tokens"), col("sum_freq"),
+        expr("(1000 * sum_freq) div n_tokens").as("mean_freq_milli"))
+  }
 }

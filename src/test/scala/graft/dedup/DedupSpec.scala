@@ -180,4 +180,32 @@ class DedupSpec extends SparkSpec {
     assert(h(1L) == h(4L))
     assert(h(1L).length == 16 && h(1L).forall(c => c == '0' || c == '1'))
   }
+
+  test("dupNgramSpans merges overlapping duplicated grams into exact-coverage spans") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),                // shares "a b c","b c d" with 2 and 5
+      (2L, "x x a b c d y z"),                // the shared run sits mid-document
+      (3L, "p q r p q r p q r"),              // within-doc repetition: every 3-gram repeats
+      (4L, "u v w"),                          // unique → absent from the report
+      (5L, "a b c z1 z2 z3 z4 b c d")         // two DISJOINT duplicated spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramSpans(corpus, "doc_id", "text", k = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // (id, n_dup_grams, n_spans, dup_tokens, n_tokens, dup_frac)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 4L, 8L, 0.5),   // positions 1,2 overlap → one 4-token span
+      (2L, 2L, 1L, 4L, 8L, 0.5),   // positions 3,4 → same merged width
+      (3L, 7L, 1L, 9L, 9L, 1.0),   // all 7 grams duplicated → full coverage
+      (5L, 2L, 2L, 6L, 10L, 0.6))) // positions 1 and 8: gap > k → two spans
+    assert(!out.exists(_._1 == 4L))
+  }
+
+  test("dupNgramSpans within-doc repeats count without a second document") {
+    val solo = Seq((9L, "m n m n m n")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramSpans(solo, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // bigrams: mn nm mn nm mn — "m n"×3 + "n m"×2 → all 5 duplicated
+    assert(out.toSeq == Seq((9L, 5L, 1L, 6L, 6L, 1.0)))
+  }
 }

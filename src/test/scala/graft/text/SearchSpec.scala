@@ -66,4 +66,32 @@ class SearchSpec extends SparkSpec {
       .collect()
     assert(one.head.isNullAt(0))
   }
+
+  test("unigramScore: exact integer corpus-frequency means") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // hist: a→2, b→2, c→1
+    val out = Search.unigramScore(corpus, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 6L, 2000L),   // (2+2+2), floor(6000/3)
+      (2L, 2L, 3L, 1500L)))  // (2+1),   floor(3000/2)
+  }
+
+  test("unigramScore: shuffle-join fallback equals the broadcast plan") {
+    val a = Search.unigramScore(docs, "doc_id", "text", broadcastStats = true)
+      .orderBy("id").collect().toSeq
+    val b = Search.unigramScore(docs, "doc_id", "text", broadcastStats = false)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("unigramScore ranks rare-token docs below common-token docs") {
+    val corpus = Seq(
+      (1L, "the the the the"),          // all stop-tokens
+      (2L, "the zyx qwv jkl")           // mostly hapaxes
+    ).toDF("doc_id", "text")
+    val m = Search.unigramScore(corpus, "doc_id", "text")
+      .select($"id", $"mean_freq_milli").as[(Long, Long)].collect().toMap
+    assert(m(1L) > m(2L))
+  }
 }
