@@ -1537,5 +1537,27 @@ object OracleSql {
     "q_hll_distinct" ->
       """SELECT c_nationkey,
         |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
-        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH hist AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term)
+        |SELECT term, CAST(freq AS BIGINT) AS freq,
+        |       CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER)
+        |         AS token_id
+        |FROM hist ORDER BY freq DESC, term LIMIT 32""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT unnest(range(1, len(toks))) AS i, toks FROM t),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM p),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+        |ca AS (SELECT w1, sum(c_ab) AS c_a FROM cab GROUP BY w1)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+        |       CAST((1000 * c_ab) // c_a AS BIGINT) AS cond_milli
+        |FROM cab JOIN ca USING (w1)
+        |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin)
 }

@@ -1080,6 +1080,20 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Frequency-ranked vocabulary (tokenizer-training stage 1 — see
+    * text.Search.buildVocab): top-V types, deterministic tie-break,
+    * dense rank-order ids. */
+  private def qVocabBuild(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.buildVocab(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", 32)
+      .orderBy(col("token_id"))
+
+  /** Bigram LM counts with exact-integer MLE conditionals (KenLM count
+    * stage — see text.Search.bigramCondProbs); minCount=5 is the
+    * count-cutoff knob. */
+  private def qBigramLm(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bigramCondProbs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", 5L)
+      .orderBy(col("w1"), col("w2"))
+
   /** Deterministic hash-based train/validation/test split — the
     * reproducible corpus partitioning a training pipeline needs (stable
     * under re-runs, joins, and repartitioning, unlike randomSplit).
@@ -1531,7 +1545,9 @@ object SparkEntry {
     "q_compact_scan" -> (qCompactScan _),
     "q_dup_spans" -> (qDupSpans _),
     "q_unigram_score" -> (qUnigramScore _),
-    "q_hll_distinct" -> (qHllDistinct _))
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_vocab_build" -> (qVocabBuild _),
+    "q_bigram_lm" -> (qBigramLm _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -379,4 +379,69 @@ object EventStream {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
+
+  /** Apply one micro-batch to a keyed parquet table as a MERGE
+    * ([[graft.ops.Relational.upsert]] — latest-per-key within the batch,
+    * keyed replace against the base). The merged table is materialized to
+    * a STAGE directory before the live directory is touched, then swapped
+    * — a crash mid-write never leaves a half table, and the merge (which
+    * READS the live directory) is fully evaluated before its input
+    * disappears. The swap is the plain-parquet stand-in for a table
+    * format's transactional commit; the merge itself is the X51 plan
+    * (WindowGroupLimit dedup + anti join, AQE broadcasts small batches).
+    * Keyed merge ⇒ re-applying the same batch is a no-op (idempotent).
+    */
+  def upsertBatchIntoParquet(batch: DataFrame, target: String,
+                             keys: Seq[String],
+                             order: Seq[org.apache.spark.sql.Column]): Unit = {
+    val spark = batch.sparkSession
+    val live = new java.io.File(target)
+    val merged =
+      if (live.isDirectory)
+        graft.ops.Relational.upsert(spark.read.parquet(target), batch, keys, order)
+      else graft.ops.Relational.latestPerKey(batch, keys, order)
+    val stage = new java.io.File(target + ".stage")
+    merged.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (live.exists()) rm(live)
+    if (!stage.renameTo(live))
+      throw new IllegalStateException(s"swap failed: $stage -> $live")
+  }
+
+  /** Streaming MERGE sink — foreachBatch + [[upsertBatchIntoParquet]]:
+    * continuously maintain a latest-state-per-user table from the event
+    * landing zone. Exactly-once END TO END, twice over: the file-source
+    * checkpoint never replays a committed batch across restarts, and
+    * because the sink is a KEYED merge, a replayed batch would be
+    * idempotent anyway — the belt-and-suspenders that makes foreachBatch
+    * the operational sink for "streaming MERGE INTO" without a table
+    * format. `maxFilesPerTrigger=1` exercises one landing file per
+    * micro-batch (the rate-limiting knob).
+    */
+  def runForeachBatchUpsert(spark: SparkSession, landingDir: String,
+                            target: String, checkpoint: String,
+                            maxFilesPerTrigger: Int = 1): Unit = {
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val raw = spark.readStream.schema(rawEventSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(landingDir)
+      val events = batchEvents(raw)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      val q = events.writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          upsertBatchIntoParquet(b.toDF(), target, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
 }

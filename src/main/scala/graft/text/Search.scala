@@ -120,4 +120,54 @@ object Search {
       .select(col("id"), col("n_tokens"), col("sum_freq"),
         expr("(1000 * sum_freq) div n_tokens").as("mean_freq_milli"))
   }
+
+  /** Frequency-ranked vocabulary build — the first stage of tokenizer
+    * training (top-V types by corpus count, deterministic lexicographic
+    * tie-break, dense ids in rank order). One map-side-combining
+    * aggregation to O(types) rows, then top-V via sort+limit
+    * (TakeOrderedAndProject — no global sort of the type table); the id
+    * window runs over at most V rows. Returns (term, freq, token_id).
+    */
+  def buildVocab(docs: DataFrame, idCol: String, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    val hist = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val ord = Seq(col("freq").desc, col("term").asc)
+    hist.orderBy(ord: _*).limit(vocabSize)
+      .withColumn("token_id", row_number().over(Window.orderBy(ord: _*)))
+  }
+
+  /** Bigram conditional-probability counts — the KenLM-style count stage
+    * of an n-gram LM build (public method; Heafield ACL'11 describes the
+    * scaled pipeline): c(w1,w2) over adjacent token pairs, left-context
+    * totals c(w1) = Σ_w2 c(w1,w2), and the MLE conditional as exact
+    * integer permille `(1000·c_ab) div c_a` (floor division — order-free,
+    * engine-exact; a float ratio or log would hash-drift).
+    *
+    * Scale shape: pair expansion is in-row (sequence→element_at — no
+    * shuffle); ONE exchange aggregates pairs with map-side combine to
+    * O(observed bigrams) rows; the context totals re-aggregate THAT table
+    * (never the token stream) and join back on w1 — both sides
+    * vocabulary-bounded, orders of magnitude below corpus size.
+    * `minCount` prunes the hapax tail (the LM count-cutoff knob).
+    */
+  def bigramCondProbs(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val pairs = docs.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, (i + lit(1)).cast("int")).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    cab.join(ca, "w1")
+      .filter(col("c_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
+        expr("(1000 * c_ab) div c_a").as("cond_milli"))
+  }
 }

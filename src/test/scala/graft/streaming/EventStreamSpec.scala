@@ -197,6 +197,42 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 15)
   }
 
+  test("foreachBatch MERGE sink: latest-state table, incremental restart, idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("stream-merge")
+    val (landing, target, ckpt) = (s"$root/landing", s"$root/state", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    def nanos(sec: Long): Long = sec * 1000000000L
+    def land(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.map { case (id, tsSec, uid, et, v) => (id, nanos(tsSec), uid, et, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(landing)
+    def state(): Map[Long, Long] =
+      spark.read.parquet(target).select($"user_id", $"event_id")
+        .as[(Long, Long)].collect().toMap
+    // two landing files, maxFilesPerTrigger=1 → two micro-batches; user 1
+    // appears in both so the SECOND batch must replace the first's row
+    land(Seq((1L, 10L, 100L, "click", 1.0), (2L, 10L, 200L, "view", 2.0)))
+    land(Seq((3L, 20L, 100L, "click", 3.0)))
+    runForeachBatchUpsert(spark, landing, target, ckpt)
+    assert(state() == Map(100L -> 3L, 200L -> 2L))
+    // restart with one new file: only it is processed; a replay of the
+    // earlier batches would be invisible anyway (keyed merge, older ts)
+    land(Seq((4L, 30L, 200L, "view", 4.0), (5L, 5L, 300L, "click", 5.0)))
+    runForeachBatchUpsert(spark, landing, target, ckpt)
+    assert(state() == Map(100L -> 3L, 200L -> 4L, 300L -> 5L))
+    // no new data → no-op run
+    runForeachBatchUpsert(spark, landing, target, ckpt)
+    assert(state() == Map(100L -> 3L, 200L -> 4L, 300L -> 5L))
+    // direct replay of an already-applied batch is idempotent (the
+    // belt-and-suspenders half: keyed merge, not just checkpoint offsets)
+    val replay = Seq((3L, nanos(20L), 100L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventStream.upsertBatchIntoParquet(replay, target, Seq("user_id"),
+      Seq($"ts".desc, $"event_id".desc))
+    assert(state() == Map(100L -> 3L, 200L -> 4L, 300L -> 5L))
+  }
+
   test("runSessionizeOnce: non-final sessions emit, finals gate on the watermark") {
     // user 1: two sessions (gap 10s, events 60s apart force a close); its
     // FINAL session ends early enough that end + gap < maxTs − delay,

@@ -85,6 +85,32 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("buildVocab ranks by freq with lexicographic tie-break and dense ids") {
+    val out = Search.buildVocab(docs, "doc_id", "text", 3)
+      .select($"term", $"freq", $"token_id").as[(String, Long, Int)].collect()
+    // hash×4, scan×3, window×4 → window/hash tie broken lexicographically
+    assert(out.toSeq == Seq(("hash", 4L, 1), ("window", 4L, 2), ("scan", 3L, 3)))
+  }
+
+  test("bigramCondProbs: exact MLE permille over adjacent pairs") {
+    val corpus = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // bigrams: ab ba ab ba ac → c(a,b)=2 c(b,a)=2 c(a,c)=1; c_a: a→3, b→2
+    val out = Search.bigramCondProbs(corpus, "doc_id", "text", minCount = 1L)
+      .orderBy($"w1", $"w2")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 3L, 666L),
+      ("a", "c", 1L, 3L, 333L),
+      ("b", "a", 2L, 2L, 1000L)))
+  }
+
+  test("bigramCondProbs minCount prunes the hapax tail; single-token docs ignored") {
+    val corpus = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = Search.bigramCondProbs(corpus, "doc_id", "text", minCount = 2L)
+      .select($"w1", $"w2").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("a", "b")))   // "b a" ×1 pruned, "x" no pairs
+  }
+
   test("unigramScore ranks rare-token docs below common-token docs") {
     val corpus = Seq(
       (1L, "the the the the"),          // all stop-tokens
