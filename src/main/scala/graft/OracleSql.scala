@@ -1559,5 +1559,47 @@ object OracleSql {
         |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
         |       CAST((1000 * c_ab) // c_a AS BIGINT) AS cond_milli
         |FROM cab JOIN ca USING (w1)
-        |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin)
+        |WHERE c_ab >= 5 ORDER BY w1, w2""".stripMargin,
+
+    // Mirrors TextOps.gopherReason rule-for-rule (punct/bigram exprs are
+    // the q_text_quality / q_repetition mirrors already proven bit-equal).
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |m AS (SELECT doc_id, text, toks,
+         |             CAST(len(toks) AS INTEGER) AS n_tokens,
+         |             CASE WHEN length(text) > 0
+         |                  THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |                  ELSE 0.0 END AS punct,
+         |             CASE WHEN len(toks) >= 2
+         |                  THEN list_transform(range(1, len(toks)),
+         |                         i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |                  ELSE [] END AS bg,
+         |             ${vocabHits(stop("en"))} AS hits
+         |      FROM t),
+         |r AS (SELECT doc_id, n_tokens,
+         |             CASE WHEN n_tokens < 20 THEN 'too_short'
+         |                  WHEN n_tokens > 1000 THEN 'too_long'
+         |                  WHEN punct > 0.2 THEN 'punct_soup'
+         |                  WHEN len(bg) > 0 AND
+         |                       CAST(list_max(list_transform(list_distinct(bg),
+         |                         x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+         |                         / len(bg) > 0.08 THEN 'repetition'
+         |                  WHEN hits = 0 THEN 'no_stopwords'
+         |             END AS reason
+         |      FROM m)
+         |SELECT doc_id, n_tokens, reason, reason IS NULL AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, $fpExpr AS fp FROM documents),
+         |base AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0
+         |          UNION ALL
+         |          SELECT doc_id + 10000, fp FROM f WHERE doc_id % 7 = 0),
+         |novel AS (SELECT * FROM batch
+         |          WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = batch.fp))
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp,
+         |       CAST(count(*) AS BIGINT) AS batch_dups
+         |FROM novel GROUP BY fp ORDER BY doc_id""".stripMargin)
 }

@@ -1094,6 +1094,37 @@ object SparkEntry {
     graft.text.Search.bigramCondProbs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", 5L)
       .orderBy(col("w1"), col("w2"))
 
+  /** Composed Gopher-rules quality filter (see TextOps.gopherReason):
+    * keep/drop decision + first-failing-rule audit reason per document.
+    * Thresholds chosen so both branches of the length, repetition, and
+    * stopword rules execute on this corpus. */
+  private def qQualityFilter(s: SparkSession, d: String): DataFrame =
+    spread(t(s, d, "documents"), "doc_id")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.gopherReason(col("text"),
+          stopwords = TextOps.Stopwords.toMap.apply("en")).as("reason"))
+      .withColumn("keep", col("reason").isNull)
+      .orderBy(col("doc_id"))
+
+  /** Incremental ingest dedup (see Dedup.incrementalExact): a replayed
+    * batch — genuinely new docs (doc_id%10=0) plus re-keyed copies of
+    * every doc_id%7=0 doc — admitted against the base corpus's
+    * fingerprint store. Copies of BASE docs fall to the anti join;
+    * copies of BATCH docs fall to the within-batch dedup (survivor =
+    * min id, batch_dups = 2 — both paths execute under the gate). */
+  private def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val replay = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).unionByName(replay)
+    Dedup.incrementalExact(batch,
+        Dedup.fingerprintStore(base, "doc_id", "text"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash-based train/validation/test split — the
     * reproducible corpus partitioning a training pipeline needs (stable
     * under re-runs, joins, and repartitioning, unlike randomSplit).
@@ -1547,7 +1578,9 @@ object SparkEntry {
     "q_unigram_score" -> (qUnigramScore _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_vocab_build" -> (qVocabBuild _),
-    "q_bigram_lm" -> (qBigramLm _))
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_quality_filter" -> (qQualityFilter _),
+    "q_incremental_dedup" -> (qIncrementalDedup _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -613,6 +613,29 @@ object Dedup {
         (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"))
   }
 
+  /** The content-fingerprint store of a corpus — the persisted artifact
+    * incremental ingest dedups against (one distinct md5 per unique
+    * normalized text). Build once, append each admitted batch's prints. */
+  def fingerprintStore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Incremental (cross-batch) exact dedup — the daily-ingest posture:
+    * admit only new-batch docs whose fingerprint is absent from the base
+    * corpus's [[fingerprintStore]], keeping one survivor (min id, with
+    * the batch-duplicate count for audit) per fingerprint WITHIN the
+    * batch too. The base corpus is never re-read — only its store joins.
+    * Scale shape: one fingerprint anti equi-join (shuffle-partitionable;
+    * compose with a bloom pre-filter when the batch is tiny relative to
+    * the store) + one batch-local aggregate. Returns (id, fp, batch_dups).
+    */
+  def incrementalExact(batch: DataFrame, store: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    batch.select(col(idCol).as("id"), TextOps.fingerprint(col(textCol)).as("fp"))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("batch_dups"))
+      .select(col("id"), col("fp"), col("batch_dups"))
+
   /** The explode + md5 + 16-conditional-sum group-by formulation of
     * [[simhash]] — kept as the spec-parity reference for SimHashFp (and
     * the shape the oracle SQL mirrors). */

@@ -108,6 +108,26 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Composed quality FILTER decision (the Gopher-rules shape, Rae et al.
+    * arXiv:2112.11446 §A1.1 — public method): rules fire in a fixed order
+    * and the FIRST failure becomes the audit `reason`; NULL means keep.
+    * This is the decision step the per-signal metrics feed — length
+    * bounds, punctuation-soup bound, top-bigram repetition bound,
+    * stopword presence — as one codegen when-chain, scan-linear, no
+    * shuffle. Thresholds are knobs; a doc below `minTok` short-circuits
+    * before the n-gram rule, so the NULL topNgramFrac of tiny docs never
+    * reaches a comparison. */
+  def gopherReason(text: Column, stopwords: Seq[String],
+                   minTok: Int = 20, maxTok: Int = 1000,
+                   maxPunct: Double = 0.2, maxTop2: Double = 0.08): Column = {
+    val n = tokenCount(text)
+    when(n < minTok, lit("too_short"))
+      .when(n > maxTok, lit("too_long"))
+      .when(punctRatio(text) > maxPunct, lit("punct_soup"))
+      .when(topNgramFrac(text, 2) > maxTop2, lit("repetition"))
+      .when(vocabHits(text, stopwords) === 0, lit("no_stopwords"))
+  }
+
   /** BPE-ish regex tokenization: counts of maximal runs per character
     * class (letters / digits / other-non-space) — the pre-tokenizer split
     * most BPE vocabularies apply before merges. Pure regexp builtins,

@@ -201,6 +201,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("incrementalExact admits only novel fingerprints and dedups within the batch") {
+    val base = Seq((1L, "seen text"), (2L, "other text")).toDF("doc_id", "text")
+    val store = Dedup.fingerprintStore(base, "doc_id", "text")
+    val batch = Seq(
+      (10L, "seen  TEXT"),   // whitespace/case-normalizes to a base print → anti-joined away
+      (11L, "fresh text"),
+      (12L, "fresh text"),   // batch-internal duplicate of 11
+      (13L, "unique new")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, store, "doc_id", "text")
+      .orderBy("id").select($"id", $"batch_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
   test("dupNgramSpans within-doc repeats count without a second document") {
     val solo = Seq((9L, "m n m n m n")).toDF("doc_id", "text")
     val out = Dedup.dupNgramSpans(solo, "doc_id", "text", k = 2)

@@ -96,4 +96,22 @@ class TextOpsSpec extends SparkSpec {
       "not pii: a@b (no tld), 1-555-867-5309 (no +), 1.2.3 (three octets), v1.2.3.4beta")))
     assert(out(4) == ((0, 0, 0, "")))
   }
+
+  test("gopherReason fires the FIRST failing rule; clean docs keep (NULL)") {
+    val stop = Seq("the", "a")
+    val rows = Seq(
+      "tiny doc",                                               // too_short
+      ("w " * 1200).trim,                                       // too_long (and repetitive — length wins)
+      "the " + (1 to 19).map(i => s".,!?;: t$i").mkString(" "), // punct_soup
+      "the quick " + ("go go " * 15).trim,                      // repetition (top bigram)
+      (1 to 25).map(i => s"u$i").mkString(" "),                 // no_stopwords
+      "the " + (1 to 24).map(i => s"ok$i").mkString(" ")        // keep
+    ).toDF("text")
+    val out = rows.select(
+      TextOps.gopherReason($"text", stop, minTok = 10, maxTok = 1000,
+        maxPunct = 0.2, maxTop2 = 0.3).as("r")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq == Seq("too_short", "too_long", "punct_soup",
+      "repetition", "no_stopwords", null))
+  }
 }
