@@ -567,17 +567,20 @@ object Dedup {
     * inspection signal a substring-dedup pass thresholds on.
     *
     * Scale shape: gram expansion is an in-row sequence→slice transform
-    * (parallel with the scan, no shuffle); occurrence counting is ONE
-    * exchange — a count window partitioned by the 64-bit gram hash (a
-    * hash collision can only over-count a gram as duplicated, never drop
-    * one; at 2^-64 per pair this is the standard shingle-hash trade);
-    * span merging is one (id, position) window; the per-doc rollup and
-    * the token-count join are key-aligned on id. Nothing materializes a
-    * per-group array and no step is quadratic in corpus size — the same
-    * equi-key discipline as the rest of this module. At 100 TB the gram
-    * exchange carries ~tokens rows; that volume (not memory) is the cost,
-    * identical to the suffix-array build it replaces, and AQE skew
-    * splitting handles stop-gram buckets.
+    * (parallel with the scan, no shuffle); duplicated grams are found by
+    * a partial-combining count aggregate on the 64-bit gram hash (a
+    * collision can only over-count a gram as duplicated, never drop one;
+    * at 2^-64 per pair this is the standard shingle-hash trade) and
+    * joined back LEFT SEMI — deliberately a join, not a count window,
+    * because a stop-gram's window partition must buffer in one task while
+    * a skewed semi-join partition is streamed AND split by AQE skew
+    * handling; span merging is one (id, position) window (per-DOC groups
+    * — bounded by document length, not corpus frequency); the per-doc
+    * rollup and the token-count join are key-aligned on id. Nothing
+    * materializes a per-group array and no step is quadratic in corpus
+    * size. At 100 TB the gram exchange carries ~tokens rows; that volume
+    * (not memory) is the cost, identical to the suffix-array build it
+    * replaces.
     */
   def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
@@ -590,10 +593,11 @@ object Dedup {
               i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
             .otherwise(array().cast("array<bigint>"))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
-    val perGram = Window.partitionBy(col("g"))
-    val dup = grams
-      .withColumn("n_occ", count(lit(1)).over(perGram))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
+      .select(col("g"))
+    val dup = grams.join(dupGrams, Seq("g"), "left_semi")
     val perDoc = Window.partitionBy(col("id")).orderBy(col("p"))
     val spans = dup
       .withColumn("nxt", lead(col("p"), 1).over(perDoc))

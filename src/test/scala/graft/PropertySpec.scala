@@ -147,4 +147,32 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("dupNgramSpans equals a brute-force interval-union reference on random corpora") {
+    // tiny vocabulary forces heavy cross- and within-doc gram collisions
+    val tinyWord = Gen.oneOf("a", "b", "c")
+    val tinyDoc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, tinyWord)).map(_.mkString(" "))
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(6, tinyDoc), Gen.choose(1, 3)) { (docs, k) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.dupNgramSpans(df, "doc_id", "text", k)
+        .orderBy("id").as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      // reference: count every k-gram across the corpus, mark positions
+      // whose gram occurs >1 times, merge covered intervals per doc
+      val toks = docs.map(_.split(" ", -1).toSeq)
+      val gramCount = scala.collection.mutable.Map.empty[Seq[String], Int]
+      for (ts <- toks; i <- 0 to ts.length - k)
+        gramCount.updateWith(ts.slice(i, i + k))(c => Some(c.getOrElse(0) + 1))
+      val expected = toks.zipWithIndex.flatMap { case (ts, id) =>
+        val ps = (0 to ts.length - k).filter(i => gramCount(ts.slice(i, i + k)) > 1)
+        if (ps.isEmpty) None else {
+          val covered = ps.flatMap(p => p until p + k).toSet.size.toLong
+          val spans = ps.zip(-1L +: ps.map(_.toLong).dropRight(1))
+            .count { case (p, prv) => prv < 0 || p - prv > k }
+          Some((id.toLong, ps.size.toLong, spans.toLong, covered,
+            ts.length.toLong, covered.toDouble / ts.length))
+        }
+      }
+      got == expected
+    })
+  }
 }
