@@ -394,6 +394,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Match batch signatures against a persisted signature STORE — the
+    * serving/ingest-side near-dup check. The store holds the DISTINCT
+    * signatures ever admitted, which the 16-bit signature space bounds at
+    * 2^16 rows REGARDLESS of corpus size — so the store side (and its
+    * (maxDist+1)-chunk bucket expansion) always broadcasts, and the batch
+    * side never shuffles. Returns the distinct batch `id`s having at
+    * least one store signature within Hamming `maxDist`.
+    */
+  def simhashStoreMatches(batchSigs: DataFrame, storeSigs: DataFrame,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")
+    val bounds = chunkBounds(16, maxDist + 1)
+    def chunks = bounds.zipWithIndex.map { case ((start, len), i) =>
+      struct(lit(i).as("chunk"), substring(col("simhash"), start, len).as("bits"))
+    }
+    val batchB = batchSigs
+      .withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
+      .select(col("id"), col("v"), explode(array(chunks: _*)).as("cb"))
+      .select(col("id"), col("v"), col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    val storeB = storeSigs.select(col("simhash")).distinct()
+      .withColumn("sv", conv(col("simhash"), 2, 10).cast("long"))
+      .select(col("sv"), explode(array(chunks: _*)).as("cb"))
+      .select(col("sv"), col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    batchB.as("a")
+      .join(broadcast(storeB.as("b")), Seq("chunk", "bits"))
+      .filter(expr("bit_count(v ^ sv)") <= maxDist)
+      .select(col("id")).distinct()
+  }
+
   /** Duplicate-CLUSTER resolution: connected components over an
     * undirected pair list (id_a, id_b) — the step that turns any near-dup
     * operator's pair output into per-document keep/drop decisions.
