@@ -1601,5 +1601,37 @@ object OracleSql {
          |          WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.fp = batch.fp))
          |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp,
          |       CAST(count(*) AS BIGINT) AS batch_dups
-         |FROM novel GROUP BY fp ORDER BY doc_id""".stripMargin)
+         |FROM novel GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+    // Sliding windows: size 2h / slide 1h ⇒ every event belongs to the
+    // two hour-aligned windows covering it (epoch-aligned, same as
+    // Spark's window() contract).
+    "q_sliding_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  (epoch_us(ts) // 3600000000) * 3600000000 AS h
+        |           FROM events),
+        |x AS (SELECT event_type, value, h - s * 3600000000 AS ws
+        |      FROM e, (SELECT unnest([0, 1]) AS s))
+        |SELECT ws AS window_start_us, ws + 7200000000 AS window_end_us,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM x GROUP BY ws, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
+
+    "q_bigram_fluency" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM p),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+        |ca AS (SELECT w1, sum(c_ab) AS c_a FROM cab GROUP BY w1),
+        |m AS (SELECT w1, w2, (1000 * c_ab) // c_a AS cm
+        |      FROM cab JOIN ca USING (w1))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(cm) AS BIGINT) AS sum_cond_milli,
+        |       CAST(sum(cm) // count(*) AS BIGINT) AS mean_cond_milli
+        |FROM bg JOIN m USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -1106,6 +1106,32 @@ object SparkEntry {
       .withColumn("keep", col("reason").isNull)
       .orderBy(col("doc_id"))
 
+  /** Bigram-LM fluency scores (the APPLY side of q_bigram_lm's model —
+    * see text.Search.bigramFluency): per-doc mean conditional permille,
+    * exact integers end to end. */
+  private def qBigramFluency(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bigramFluency(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** SLIDING event-time windows (size 2 h, slide 1 h — each event lands
+    * in size/slide = 2 overlapping windows): the built-in `window()`
+    * generator expands in-row, then ONE hash aggregate; the other window
+    * flavors (tumbling: X16, merging session: X78) are already under the
+    * gate. Exact integer cents keep the overlap-duplicated sums
+    * hash-stable. */
+  private def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("tts"))
+      .groupBy(window(col("tts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** Incremental ingest dedup (see Dedup.incrementalExact): a replayed
     * batch — genuinely new docs (doc_id%10=0) plus re-keyed copies of
     * every doc_id%7=0 doc — admitted against the base corpus's
@@ -1580,7 +1606,9 @@ object SparkEntry {
     "q_vocab_build" -> (qVocabBuild _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_quality_filter" -> (qQualityFilter _),
-    "q_incremental_dedup" -> (qIncrementalDedup _))
+    "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_bigram_fluency" -> (qBigramFluency _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

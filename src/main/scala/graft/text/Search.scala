@@ -152,22 +152,55 @@ object Search {
     * vocabulary-bounded, orders of magnitude below corpus size.
     * `minCount` prunes the hapax tail (the LM count-cutoff knob).
     */
-  def bigramCondProbs(docs: DataFrame, idCol: String, textCol: String,
-                      minCount: Long): DataFrame = {
+  /** (id, w1, w2) adjacent-pair expansion — in-row, no shuffle. */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val pairs = docs.select(explode(
+    docs.select(col(idCol).as("id"), explode(
         when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1),
             i => struct(element_at(toks, i).as("w1"),
               element_at(toks, (i + lit(1)).cast("int")).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  def bigramCondProbs(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
     val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
     cab.join(ca, "w1")
       .filter(col("c_ab") >= minCount)
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
         expr("(1000 * c_ab) div c_a").as("cond_milli"))
+  }
+
+  /** Bigram-LM fluency scoring — the APPLY side of [[bigramCondProbs]]
+    * (the CCNet LM-filter loop with the corpus as its own model: train
+    * the n-gram model, score every document, threshold on the score —
+    * Wenzek arXiv:1911.00359, unigram→bigram form). A document's score is
+    * the mean conditional permille of its adjacent pairs — exact integer
+    * arithmetic end to end (the model's permilles are floor-div ints, the
+    * doc mean is a floor-div of their sum), so partition-order-free and
+    * engine-exact; low mean ⇒ improbable token transitions ⇒ drop
+    * candidate. Model trained with minCount=1 so every observed pair
+    * scores (an out-of-corpus APPLY would left-join with a backoff).
+    *
+    * Scale shape: the model is O(observed bigrams) rows — vocabulary-
+    * bounded, orders below corpus size — and BROADCASTS back over the
+    * in-row pair stream (`broadcastModel=false` shuffle-join fallback);
+    * the per-doc rollup rides the pair stream's existing partitioning.
+    */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
+                    broadcastModel: Boolean = true): DataFrame = {
+    val model = bigramCondProbs(docs, idCol, textCol, minCount = 1L)
+      .select(col("w1"), col("w2"), col("cond_milli"))
+    val pairs = bigramPairs(docs, idCol, textCol)
+    pairs.join(if (broadcastModel) broadcast(model) else model, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_milli")).as("sum_cond_milli"))
+      .select(col("id"), col("n_bigrams"), col("sum_cond_milli"),
+        expr("sum_cond_milli div n_bigrams").as("mean_cond_milli"))
   }
 }

@@ -111,6 +111,26 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b")))   // "b a" ×1 pruned, "x" no pairs
   }
 
+  test("bigramFluency: exact mean conditional permille; common transitions score higher") {
+    val corpus = Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // pairs: doc1 ab ba ab ba ab, doc2 ac → c(a,b)=3 c(a,c)=1 c(b,a)=2
+    // c_a: a→4, b→2 → cm(a,b)=750 cm(a,c)=250 cm(b,a)=1000
+    val out = Search.bigramFluency(corpus, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 5L, 3 * 750L + 2 * 1000L, (3 * 750L + 2 * 1000L) / 5),
+      (2L, 1L, 250L, 250L)))
+    assert(out(0)._4 > out(1)._4)   // fluent repetition beats the rare transition
+  }
+
+  test("bigramFluency shuffle-join fallback equals the broadcast plan") {
+    val a = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = true)
+      .orderBy("id").collect().toSeq
+    val b = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = false)
+      .orderBy("id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("unigramScore ranks rare-token docs below common-token docs") {
     val corpus = Seq(
       (1L, "the the the the"),          // all stop-tokens
