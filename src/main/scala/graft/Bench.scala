@@ -18,7 +18,7 @@ object Bench {
     // build it would pay first in a fresh session.
     val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh",
       "q_simhash", "q_simhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
-      "q_dedup_apply")
+      "q_dedup_apply", "q_corpus_pipeline")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

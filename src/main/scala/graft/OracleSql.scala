@@ -1633,5 +1633,59 @@ object OracleSql {
         |       CAST(sum(cm) AS BIGINT) AS sum_cond_milli,
         |       CAST(sum(cm) // count(*) AS BIGINT) AS mean_cond_milli
         |FROM bg JOIN m USING (w1, w2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The full prep pipeline: dedup survivors (recursive-CTE clusters,
+    // the q_dedup_apply machinery) → quality keep (q_quality_filter's
+    // rule chain) → hash split (q_train_test_split's percentile).
+    "q_corpus_pipeline" -> {
+      val chunks = Seq((0, 1, 8), (1, 9, 8))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 1),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |         WHERE NOT EXISTS (SELECT 1 FROM cl
+         |                           WHERE cl.id = d.doc_id AND cl.cluster_id <> d.doc_id)),
+         |m AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM surv),
+         |q AS (SELECT doc_id, len(toks) AS n_tokens,
+         |             CASE WHEN len(toks) < 20 THEN 'too_short'
+         |                  WHEN len(toks) > 1000 THEN 'too_long'
+         |                  WHEN (CASE WHEN length(text) > 0
+         |                        THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |                        ELSE 0.0 END) > 0.2 THEN 'punct_soup'
+         |                  WHEN len(toks) >= 2 AND
+         |                       CAST(list_max(list_transform(
+         |                         list_distinct(list_transform(range(1, len(toks)),
+         |                           i -> array_to_string(list_slice(toks, i, i + 1), ' '))),
+         |                         x -> len(list_filter(list_transform(range(1, len(toks)),
+         |                           i -> array_to_string(list_slice(toks, i, i + 1), ' ')),
+         |                           y -> y = x)))) AS DOUBLE)
+         |                         / len(list_transform(range(1, len(toks)),
+         |                             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) > 0.08
+         |                       THEN 'repetition'
+         |                  WHEN ${vocabHits(stop("en"))} = 0 THEN 'no_stopwords'
+         |             END AS reason
+         |      FROM m)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM q WHERE reason IS NULL ORDER BY doc_id""".stripMargin
+    })
 }

@@ -1106,6 +1106,27 @@ object SparkEntry {
       .withColumn("keep", col("reason").isNull)
       .orderBy(col("doc_id"))
 
+  /** END-TO-END corpus preparation — the composition a training-data
+    * team ships: near-dup dedup survivors (the X44 cluster resolution)
+    * → Gopher-rules quality filter (X100) → deterministic hash split
+    * (X30), emitted as the final manifest (doc_id, n_tokens, split).
+    * Every stage is an already-verified operator; this row puts the
+    * COMPOSITION itself under the gate (the oracle recomputes all three
+    * stages, recursive-CTE clusters included). */
+  private def qCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
+    val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val survivors = t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
+    val kept = survivors.filter(
+      TextOps.gopherReason(col("text"), TextOps.Stopwords.toMap.apply("en")).isNull)
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val pct = pmod(h, lit(100L))
+    kept.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        when(pct < 80, "train").when(pct < 90, "valid").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM fluency scores (the APPLY side of q_bigram_lm's model —
     * see text.Search.bigramFluency): per-doc mean conditional permille,
     * exact integers end to end. */
@@ -1608,7 +1629,8 @@ object SparkEntry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_sliding_window" -> (qSlidingWindow _),
-    "q_bigram_fluency" -> (qBigramFluency _))
+    "q_bigram_fluency" -> (qBigramFluency _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
