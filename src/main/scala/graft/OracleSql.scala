@@ -1687,5 +1687,32 @@ object OracleSql {
          |            WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid'
          |            ELSE 'test' END AS split
          |FROM q WHERE reason IS NULL ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q_profile" -> {
+      def branch(name: String, c: String) =
+        s"""SELECT '$name' AS "column", count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM o""".stripMargin
+      s"""WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         |           FROM orders)
+         |${Seq("o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+                "price_cents" -> "price_cents",
+                "o_orderpriority" -> "o_orderpriority",
+                "o_orderdate" -> "o_orderdate")
+             .map { case (n, c) => branch(n, c) }.mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
+
+    "q_checksum" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(concat('0x', substring(md5(
+        |         concat_ws('|', l_orderkey, l_linenumber,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 10))
+        |         AS BIGINT)) AS BIGINT) AS checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -1106,6 +1106,31 @@ object SparkEntry {
       .withColumn("keep", col("reason").isNull)
       .orderBy(col("doc_id"))
 
+  /** Per-column profile of orders (see quality.Checks.profile):
+    * doubles profiled as exact cents so min/max strings are
+    * engine-portable. */
+  private def qProfile(s: SparkSession, d: String): DataFrame =
+    graft.quality.Checks.profile(
+      t(s, d, "orders").withColumn("price_cents",
+        Relational.cents(col("o_totalprice"))),
+      Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "price_cents" -> col("price_cents"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderdate" -> col("o_orderdate")))
+      .orderBy(col("column"))
+
+  /** Order-free reconciliation checksum of lineitem per return flag (see
+    * quality.Checks.groupChecksum): the row rendering pins key, line
+    * number, and exact cents. */
+  private def qChecksum(s: SparkSession, d: String): DataFrame =
+    graft.quality.Checks.groupChecksum(
+      t(s, d, "lineitem"), "l_returnflag",
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+        Relational.cents(col("l_extendedprice"))), hexDigits = 10)
+      .orderBy(col("l_returnflag"))
+
   /** END-TO-END corpus preparation — the composition a training-data
     * team ships: near-dup dedup survivors (the X44 cluster resolution)
     * → Gopher-rules quality filter (X100) → deterministic hash split
@@ -1630,7 +1655,9 @@ object SparkEntry {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_bigram_fluency" -> (qBigramFluency _),
-    "q_corpus_pipeline" -> (qCorpusPipeline _))
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_profile" -> (qProfile _),
+    "q_checksum" -> (qChecksum _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

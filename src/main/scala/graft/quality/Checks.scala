@@ -102,4 +102,43 @@ object Checks {
       require(c.violations(df).limit(1).count() == 0,
         s"data-quality check failed: ${c.name}")
     }
+
+  /** Per-column data PROFILE — the table-summary report of dbt docs /
+    * Deequ-style profilers: one row per profiled column with row count,
+    * null count, distinct count, and min/max rendered as strings. Each
+    * column profiles in its own aggregate branch (column-pruned scan,
+    * map-side partials) and the branches UNION — at scale the branches
+    * run in parallel and no branch reads more than its one column.
+    * Profile doubles as fixed-point integers at the call site: raw
+    * double→string rendering is engine-specific, exact ints are not.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+    cols.map { case (name, c) =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(c)).as("n_null"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast("string").as("min_value"),
+        max(c).cast("string").as("max_value"))
+        .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
+
+  /** Order-free reconciliation CHECKSUM per group — the cheap
+    * replica/migration compare: each row contributes an md5-derived
+    * (4·hexDigits)-bit integer of its canonical rendering, summed per
+    * group (sum is commutative ⇒ partition- and order-independent, and
+    * engine-portable where a concatenated digest is not). Two tables
+    * match iff their (group, n_rows, checksum) frames match — compare
+    * O(groups) rows instead of re-shipping either table. The default 10
+    * hex digits (40-bit hashes) keep the i64 sum exact past 8M rows per
+    * group; beyond that the engine-internal compare still works (both
+    * replicas wrap identically) but cross-engine oracles must stay in
+    * the exact regime. */
+  def groupChecksum(df: DataFrame, groupCol: String, rowRepr: Column,
+                    hexDigits: Int = 10): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(rowRepr), 1, hexDigits), 16, 10).cast("long"))
+          .as("checksum"))
 }

@@ -35,4 +35,31 @@ class ChecksSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Checks.assertAll(df, contract))
     assert(e.getMessage.contains("unique_id"))
   }
+
+  test("profile reports rows, nulls, distincts, and stringified min/max per column") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq((1L, Some("a")), (2L, None), (3L, Some("a")), (4L, Some("b")))
+      .toDF("id", "v")
+    val out = Checks.profile(data, Seq("id" -> col("id"), "v" -> col("v")))
+      .orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect()
+    assert(out.toSeq == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("v", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("groupChecksum is partition-order-free and detects a one-row change") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val base = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "z", 30L))
+      .toDF("g", "k", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Checks.groupChecksum(df, "g", concat_ws("|", col("k"), col("v")))
+        .orderBy("g").as[(Long, Long, Long)].collect().toSeq
+    assert(sums(base) == sums(base.repartition(7)))
+    val tweaked = Seq((1L, "x", 10L), (1L, "y", 21L), (2L, "z", 30L))
+      .toDF("g", "k", "v")
+    val (b, t) = (sums(base), sums(tweaked))
+    assert(b.head != t.head)            // group 1 checksum moves
+    assert(b.last == t.last)            // group 2 untouched
+  }
 }
