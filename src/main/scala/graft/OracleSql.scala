@@ -1714,5 +1714,14 @@ object OracleSql {
         |         concat_ws('|', l_orderkey, l_linenumber,
         |                   CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 10))
         |         AS BIGINT)) AS BIGINT) AS checksum
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
 }

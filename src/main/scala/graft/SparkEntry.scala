@@ -1106,6 +1106,22 @@ object SparkEntry {
       .withColumn("keep", col("reason").isNull)
       .orderBy(col("doc_id"))
 
+  /** Schema-evolution union (`unionByName(allowMissingColumns)`): an
+    * old-generation batch without the price column unions a
+    * new-generation batch that has it — the absent column null-extends,
+    * the DataFrame-level twin of mergeSchema's footer union (spec:
+    * IOSpec "mergeSchema reads a schema-drifted landing directory"). */
+  private def qUnionEvolve(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val oldGen = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val newGen = orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Relational.cents(col("o_totalprice")).as("price_cents"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-column profile of orders (see quality.Checks.profile):
     * doubles profiled as exact cents so min/max strings are
     * engine-portable. */
@@ -1657,7 +1673,8 @@ object SparkEntry {
     "q_bigram_fluency" -> (qBigramFluency _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_profile" -> (qProfile _),
-    "q_checksum" -> (qChecksum _))
+    "q_checksum" -> (qChecksum _),
+    "q_union_evolve" -> (qUnionEvolve _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

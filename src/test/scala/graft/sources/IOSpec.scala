@@ -203,4 +203,20 @@ class IOSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("l_orderkey"))
     assert(df.count() == 6000)
   }
+
+  test("mergeSchema reads a schema-drifted landing directory (old files null-extend)") {
+    // the 100 TB lake reality: producers add columns over time and old
+    // files stay — mergeSchema unions the footers, absent columns read NULL
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.schema.fieldNames.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = df.orderBy("id")
+      .select($"id", $"name", $"score").as[(Long, String, Option[Long])]
+      .collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+  }
 }
