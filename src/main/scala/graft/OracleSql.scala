@@ -1723,5 +1723,15 @@ object OracleSql {
         |SELECT o_orderkey, o_custkey,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
         |FROM orders WHERE o_orderkey % 2 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q_bucketed_join reads the bucketed saves of orders/customer — the
+    // oracle is the plain join over the base tables (result transparency
+    // of the bucketed layout; the no-exchange plan is IOSpec-asserted).
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin)
 }

@@ -1106,6 +1106,50 @@ object SparkEntry {
       .withColumn("keep", col("reason").isNull)
       .orderBy(col("doc_id"))
 
+  // One-time bucketed saves of orders+customer on the join key (8
+  // buckets each side): repeated joins on that key read co-located
+  // buckets with NO exchange (the plan property IOSpec asserts); this
+  // registry query proves result transparency of the bucketed layout.
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = bucketedMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val t0 = java.lang.Integer.toHexString(d.hashCode)
+      // a PREVIOUS session's managed-table files may survive in the
+      // warehouse dir while the fresh in-memory catalog knows nothing of
+      // them — drop both the entry and the location before (re)writing
+      Seq(s"orders_bkt_$t0", s"customer_bkt_$t0").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+        if (loc.exists()) rm(loc)
+      }
+      graft.sources.IO.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          Relational.cents(col("o_totalprice")).as("price_cents")),
+        s"orders_bkt_$t0", Seq("o_custkey"), nBuckets = 8)
+      graft.sources.IO.writeBucketed(
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        s"customer_bkt_$t0", Seq("c_custkey"), nBuckets = 8)
+      t0
+    })
+    (s"orders_bkt_$tag", s"customer_bkt_$tag")
+  }
+
+  /** Join over the bucketed layout (see [[bucketedTables]]) — verified
+    * against the plain-join oracle over the base tables. */
+  private def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = bucketedTables(s, d)
+    s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+        col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Schema-evolution union (`unionByName(allowMissingColumns)`): an
     * old-generation batch without the price column unions a
     * new-generation batch that has it — the absent column null-extends,
@@ -1674,7 +1718,8 @@ object SparkEntry {
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_profile" -> (qProfile _),
     "q_checksum" -> (qChecksum _),
-    "q_union_evolve" -> (qUnionEvolve _))
+    "q_union_evolve" -> (qUnionEvolve _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

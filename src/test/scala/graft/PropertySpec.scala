@@ -148,6 +148,21 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("topNgramFrac (sort+fold) equals the brute-force max multiplicity on random docs") {
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(12, doc), Gen.choose(1, 3)) { (docs, n) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df.select(graft.text.TextOps.topNgramFrac($"text", n))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      val expected = docs.map { t =>
+        val toks = t.split(" ", -1).toSeq
+        val grams = (0 to toks.length - n).map(i => toks.slice(i, i + n))
+        if (grams.isEmpty) None
+        else Some(grams.groupBy(identity).values.map(_.size).max.toDouble / grams.size)
+      }
+      got == expected
+    })
+  }
+
   test("dupNgramSpans equals a brute-force interval-union reference on random corpora") {
     // tiny vocabulary forces heavy cross- and within-doc gram collisions
     val tinyWord = Gen.oneOf("a", "b", "c")
