@@ -21,6 +21,12 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // prefer few large reduce tasks for tiny post-shuffle stages
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // the compiled-codegen class cache holds 100 entries by default —
+      // far below this library's registry (130+ distinct plan shapes, each
+      // several codegen units), so consecutive queries evict each other
+      // and every run recompiles its whole-stage code from scratch.
+      // Size it to the working set; entries are compiled classes (small).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
   }
 }
