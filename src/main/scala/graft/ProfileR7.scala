@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Round-7 dev harness: job-level decomposition of q_corpus_pipeline,
   * which the round-6 closing bench recorded at ~100 s (70% of the suite)
@@ -18,6 +18,16 @@ object ProfileR7 {
           (System.nanoTime(), Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse("?").take(80)))
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val run = si.taskMetrics.executorRunTime / 1e3
+        val sec = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield (c - s) / 1e3).getOrElse(-1.0)
+        if (sec > 0.2) {
+          println(f"    stage ${si.stageId}%3d wall=$sec%6.2f cpuSum=$run%6.2f tasks=${si.numTasks}%3d  ${si.name.take(95)}")
+          if (sec > 2) println(si.details.linesIterator.take(12).mkString("      | ", "\n      | ", ""))
+        }
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, desc) =>
           val sec = (System.nanoTime() - t0) / 1e9
@@ -32,8 +42,10 @@ object ProfileR7 {
     (1 to 2).foreach { pass =>
       spark.catalog.clearCache(); Caches.release()
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_corpus_pipeline")(spark, d).count()
+      val df = SparkEntry.queries("q_corpus_pipeline")(spark, d)
+      df.count()
       println(f"pass $pass corpus_pipeline cold ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      if (pass == 2) println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }

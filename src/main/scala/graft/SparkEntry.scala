@@ -1202,7 +1202,21 @@ object SparkEntry {
     val clusters = Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
     val drop = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
-    val survivors = t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti")
+    // The Gopher predicate is a heavy scan-side expression and Catalyst
+    // pushes filters through Repartition — written naively it lands on
+    // the single-row-group documents scan and the whole regex/token chain
+    // runs as ONE task (measured: a 1-task, ~4.5 s CPU-bound stage that
+    // dominated this query's cold pass; a spread() alone cannot shield a
+    // FILTER the way it shields heavy projections). Materializing the
+    // (cheap to build) survivor set behind an explicitly-widened persist
+    // is the pushdown barrier: the quality pass then evaluates above the
+    // InMemoryRelation, parallel across its pinned partitions — the same
+    // shape as running quality scoring over a materialized post-dedup
+    // corpus table at 100 TB.
+    val survivors = graft.Caches.track(
+      spread(t(s, d, "documents").join(drop, Seq("doc_id"), "left_anti"),
+        "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val kept = survivors.filter(
       TextOps.gopherReason(col("text"), TextOps.Stopwords.toMap.apply("en")).isNull)
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
