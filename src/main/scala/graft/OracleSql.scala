@@ -1322,6 +1322,28 @@ object OracleSql {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // deterministic arg-min/arg-max: the extreme of an ordered (value,
+    // tie-break key) struct — DuckDB compares named structs field-by-field
+    // exactly like Spark's lexicographic struct ordering
+    "q_arg_extreme" ->
+      """SELECT o_orderpriority,
+        |       (min({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey})).k AS cheapest_key,
+        |       (min({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey})).c AS cheapest_cents,
+        |       (max({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey})).k AS priciest_key,
+        |       (max({'c': CAST(round(o_totalprice * 100) AS BIGINT), 'k': o_orderkey})).c AS priciest_cents,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT l_returnflag,
+        |       bit_and(l_orderkey) AS and_keys,
+        |       bit_or(l_orderkey) AS or_keys,
+        |       bit_xor(l_orderkey) AS xor_keys,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_cross_join" ->
       """SELECT r.r_name, n.n_name
         |FROM region r CROSS JOIN nation n

@@ -39,13 +39,17 @@ object ProfileR7 {
     // codegen warm-up at the smallest SF, then cold-timed like Bench
     SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache(); Caches.release()
-    (1 to 2).foreach { pass =>
-      spark.catalog.clearCache(); Caches.release()
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries("q_corpus_pipeline")(spark, d)
-      df.count()
-      println(f"pass $pass corpus_pipeline cold ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      if (pass == 2) println(df.queryExecution.executedPlan.toString.take(8000))
+    val heavy = Seq("q_corpus_pipeline", "q_ngram_jaccard", "q_minhash_lsh",
+      "q_bigram_fluency", "q_bigram_lm", "q_chunks", "q_dup_spans",
+      "q_dedup_apply", "q_pq_codes", "q_tfidf_topterms")
+    heavy.foreach { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      (1 to 2).foreach { pass =>
+        spark.catalog.clearCache(); Caches.release()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, d).count()
+        println(f"$q%-22s pass $pass cold ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
     spark.stop()
   }

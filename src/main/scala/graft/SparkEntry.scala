@@ -498,6 +498,39 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Deterministic arg-min/arg-max (the min_by/max_by family): the
+    * extreme is taken over an ORDERED STRUCT (value, tie-break key), so
+    * ties resolve identically everywhere — the raw min_by/arg_min picks
+    * an arbitrary row on equal values, which can never sit under an
+    * exact-hash gate. One hash aggregate with map-side partials; the
+    * struct comparison is codegen'd lexicographic. */
+  private def qArgExtreme(s: SparkSession, d: String): DataFrame = {
+    val keyed = struct(Relational.cents(col("o_totalprice")).as("c"),
+      col("o_orderkey").as("k"))
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(min(keyed).as("mn"), max(keyed).as("mx"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        col("mn.k").as("cheapest_key"), col("mn.c").as("cheapest_cents"),
+        col("mx.k").as("priciest_key"), col("mx.c").as("priciest_cents"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor): the xor aggregate is
+    * the classic order-independent set checksum (pair-cancelling, so a
+    * re-sent row cancels out) — cheap reconciliation across pipeline
+    * stages at any scale; all three combine map-side. */
+  private def qBitwiseAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(l_orderkey)").as("and_keys"),
+        expr("bit_or(l_orderkey)").as("or_keys"),
+        expr("bit_xor(l_orderkey)").as("xor_keys"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Cartesian product (explicit crossJoin — the one join type with no
     * key): bounded to dimension tables, where it is legitimate. */
   private def qCrossJoin(s: SparkSession, d: String): DataFrame =
@@ -1730,6 +1763,8 @@ object SparkEntry {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_bigram_fluency" -> (qBigramFluency _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
+    "q_arg_extreme" -> (qArgExtreme _),
+    "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_profile" -> (qProfile _),
     "q_checksum" -> (qChecksum _),
     "q_union_evolve" -> (qUnionEvolve _),
