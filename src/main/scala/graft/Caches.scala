@@ -18,9 +18,31 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val built =
+    scala.collection.mutable.HashSet.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
 
   /** Register an already-persisted frame; returns it for chaining. */
   def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
+
+  /** Register AND eagerly build a persisted frame, once per distinct
+    * plan per release() epoch. Lazy cache builds race when a query's
+    * broadcast-exchange futures and its main job all hit the cold entry
+    * concurrently: the per-block locks serialize the build but every
+    * waiting task bills lock-wait as run time, and the first consumer's
+    * partitioning decides the build's width (observed as multi-second
+    * lock-wait stages and an occasional 1-task build in the dedup
+    * heads). One explicit count() materializes the artifact at ITS OWN
+    * width before any consumer plans against it — the in-session
+    * analogue of writing the corpus artifact before readers start. */
+  def materialize(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.logical.canonicalized
+    val need = synchronized {
+      frames += df
+      if (built.contains(key)) false else { built += key; true }
+    }
+    if (need) df.count()
+    df
+  }
 
   /** Number of tracked handles (may exceed distinct cache entries). */
   def size: Int = synchronized(frames.size)
@@ -29,5 +51,6 @@ object Caches {
   def release(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
+    built.clear()
   }
 }

@@ -24,8 +24,9 @@ object ProfileR7 {
         val sec = (for { s <- si.submissionTime; c <- si.completionTime }
           yield (c - s) / 1e3).getOrElse(-1.0)
         if (sec > 0.2) {
-          println(f"    stage ${si.stageId}%3d wall=$sec%6.2f cpuSum=$run%6.2f tasks=${si.numTasks}%3d  ${si.name.take(95)}")
-          if (sec > 2) println(si.details.linesIterator.take(12).mkString("      | ", "\n      | ", ""))
+          println(f"    stage ${si.stageId}%3d wall=$sec%6.2f cpuSum=$run%6.2f tasks=${si.numTasks}%3d  ${si.name.take(60)}")
+          if (sec > 1.5)
+            println(si.rddInfos.map(r => s"${r.id}:${r.name}").mkString("      rdds: ", " <- ", ""))
         }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -39,12 +40,10 @@ object ProfileR7 {
     // codegen warm-up at the smallest SF, then cold-timed like Bench
     SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache(); Caches.release()
-    val heavy = Seq("q_corpus_pipeline", "q_ngram_jaccard", "q_minhash_lsh",
-      "q_bigram_fluency", "q_bigram_lm", "q_chunks", "q_dup_spans",
-      "q_dedup_apply", "q_pq_codes", "q_tfidf_topterms")
+    val heavy = Seq("q_minhash_lsh")
     heavy.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-      (1 to 2).foreach { pass =>
+      (1 to 5).foreach { pass =>
         spark.catalog.clearCache(); Caches.release()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, d).count()

@@ -1386,7 +1386,7 @@ object SparkEntry {
     * signature table that every simhash consumer reads at 100 TB.
     * Registered with [[graft.Caches]] so `Caches.release()` frees it. */
   private def simhashShared(s: SparkSession, d: String): DataFrame =
-    graft.Caches.track(
+    graft.Caches.materialize(
       Dedup.simhash(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -81,7 +81,14 @@ object Dedup {
     // ShingleArray construction, so |A∩B| needs no hash set and no
     // materialized intersect array per candidate pair.
     val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
-    candidates
+    // The candidate table is BYTE-wise tiny (two ids per row) but each
+    // row costs a merge walk over two shingle arrays, so AQE's byte-based
+    // coalescing funnels the verify onto one task (observed ~0.7-1.3 s
+    // single-task stages in every dedup head). Pin the verify width to
+    // the set table's instead — the explicit numbered repartition is
+    // exempt from AQE coalescing.
+    val cand = candidates.repartition(graft.Par.widthFor(sets), col("id_a"))
+    cand
       .join(s.as("sa"), col("id_a") === col("sa.id"))
       .join(s.as("sb"), col("id_b") === col("sb.id"))
       .withColumn("n_inter",
@@ -101,7 +108,7 @@ object Dedup {
     * once at 100 TB and pointing every consumer at it. */
   private[graft] def persistedSets(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame =
-    graft.Caches.track(
+    graft.Caches.materialize(
       shingleSets(docs, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -130,7 +137,7 @@ object Dedup {
     // doesn't. Either way the sort disappears: canonical order comes
     // from the per-doc array_sort, which is in-row.
     val dfMap = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    graft.Caches.track(
+    graft.Caches.materialize(
       exploded.join(dfMap, Seq("sh"))
         .groupBy("id")
         .agg(
