@@ -40,10 +40,11 @@ object ProfileR7 {
     // codegen warm-up at the smallest SF, then cold-timed like Bench
     SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache(); Caches.release()
-    val heavy = Seq("q_minhash_lsh")
+    val heavy = Seq("q_stream_join", "q_stream_sessionize", "q_stream_dedup",
+      "q_stream_enrich", "q_stream_window_counts")
     heavy.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-      (1 to 5).foreach { pass =>
+      (1 to 2).foreach { pass =>
         spark.catalog.clearCache(); Caches.release()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, d).count()

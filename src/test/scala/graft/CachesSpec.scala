@@ -15,6 +15,25 @@ class CachesSpec extends SparkSpec {
     assert(df.storageLevel == StorageLevel.NONE)
   }
 
+  test("materialize() builds eagerly, once per plan per release() epoch") {
+    val base = Seq(1, 2, 3).toDF("x")
+    val df = base.persist(StorageLevel.MEMORY_AND_DISK)
+    Caches.materialize(df)
+    // built eagerly: the cache entry is populated without any caller action
+    assert(df.storageLevel != StorageLevel.NONE)
+    // same canonical plan again: registered but NOT re-counted (no way to
+    // observe the job count cheaply here; the contract is it stays cached)
+    Caches.materialize(df)
+    assert(df.storageLevel != StorageLevel.NONE)
+    Caches.release()
+    assert(df.storageLevel == StorageLevel.NONE)
+    // a fresh epoch materializes again
+    val df2 = base.persist(StorageLevel.MEMORY_AND_DISK)
+    Caches.materialize(df2)
+    assert(df2.storageLevel != StorageLevel.NONE)
+    Caches.release()
+  }
+
   test("dedup pipelines register their internal persists with the registry") {
     val before = Caches.size
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
