@@ -125,6 +125,38 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("RocksDB state store provider yields the identical streaming answer") {
+    // The 100 TB state path: HDFSBackedStateStoreProvider keeps every
+    // key in executor heap, which caps stream-stream joins and wide
+    // dedup state at memory scale; RocksDB spills state to local disk.
+    // The provider is a pluggable conf — the SAME query must return the
+    // SAME result under either, which is what this pins (plus that the
+    // provider actually loads — rocksdbjni ships with Spark).
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStream.runWindowedCountsOnce(spark, path)
+        .orderBy("window_start_us", "event_type")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      val default = EventStream.runWindowedCountsOnce(spark, path)
+        .orderBy("window_start_us", "event_type")
+        .as[(Long, String, Long, Long)].collect().toSeq
+      assert(rocks == default)
+      assert(rocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => if (spark.conf.getOption(key).isDefined) spark.conf.unset(key)
+    }
+  }
+
   test("runEnrichedCountsOnce (stream-static join) equals the batch join-aggregate") {
     val path = "/root/testdata/sf0.001/events.parquet"
     assume(new java.io.File(path).exists())
