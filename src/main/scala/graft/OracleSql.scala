@@ -1344,6 +1344,29 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // explode_outer: an empty collected list still yields one NULL row —
+    // mirrored by substituting [NULL] for the empty list before unnest
+    "q_explode_outer" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         list_sort(list(o_orderkey) FILTER (WHERE o_totalprice > 450000.0)) AS big
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, u.big_orderkey
+        |FROM g, LATERAL unnest(
+        |  CASE WHEN big IS NULL OR len(big) = 0 THEN [NULL] ELSE big END)
+        |  AS u(big_orderkey)
+        |ORDER BY o_custkey, big_orderkey""".stripMargin,
+
+    // the hinted sort-merge join must equal the plain join
+    "q_join_hints" ->
+      """SELECT c_mktsegment,
+        |       min(o_orderkey) AS first_key,
+        |       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_cross_join" ->
       """SELECT r.r_name, n.n_name
         |FROM region r CROSS JOIN nation n

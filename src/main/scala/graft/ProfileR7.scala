@@ -40,15 +40,15 @@ object ProfileR7 {
     // codegen warm-up at the smallest SF, then cold-timed like Bench
     SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache(); Caches.release()
-    val heavy = Seq("q_stream_join", "q_stream_sessionize", "q_stream_dedup",
-      "q_stream_enrich", "q_stream_window_counts")
+    val heavy = Seq("q_bigram_lm", "q_bigram_fluency", "q_dup_spans",
+      "q_ivfpq_topk", "q_pq_codes", "q_pq_topk")
     heavy.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries(q)(spark, d).count() // warm at target SF like Bench
       (1 to 2).foreach { pass =>
-        spark.catalog.clearCache(); Caches.release()
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, d).count()
-        println(f"$q%-22s pass $pass cold ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        println(f"$q%-22s pass $pass warm ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
     spark.stop()

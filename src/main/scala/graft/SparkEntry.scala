@@ -531,6 +531,34 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** NULL-preserving generator (explode_outer): a group whose collected
+    * array is EMPTY still yields one row with a NULL element — the outer
+    * join of generators, and the semantics plain explode silently drops.
+    * collect_list skips the when()-nulls, so non-qualifying groups
+    * produce genuinely empty arrays. */
+  private def qExplodeOuter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(
+        when(col("o_totalprice") > 450000.0, col("o_orderkey")))).as("big"))
+      .select(col("o_custkey"), explode_outer(col("big")).as("big_orderkey"))
+      .orderBy(col("o_custkey"), col("big_orderkey"))
+
+  /** Join-strategy HINTS are result-transparent: the merge hint forces a
+    * sort-merge join where the planner would broadcast, and the answer
+    * must not move — the oracle is the plain join. The plan assertion
+    * lives in PlanInvariantsSpec; at 100 TB hints are the operator-level
+    * escape hatch when statistics mislead the planner. */
+  private def qJoinHints(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(min(col("o_orderkey")).as("first_key"),
+        max(Relational.cents(col("o_totalprice"))).as("max_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
   /** Cartesian product (explicit crossJoin — the one join type with no
     * key): bounded to dimension tables, where it is legitimate. */
   private def qCrossJoin(s: SparkSession, d: String): DataFrame =
@@ -1765,6 +1793,8 @@ object SparkEntry {
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_arg_extreme" -> (qArgExtreme _),
     "q_bitwise_agg" -> (qBitwiseAgg _),
+    "q_explode_outer" -> (qExplodeOuter _),
+    "q_join_hints" -> (qJoinHints _),
     "q_profile" -> (qProfile _),
     "q_checksum" -> (qChecksum _),
     "q_union_evolve" -> (qUnionEvolve _),

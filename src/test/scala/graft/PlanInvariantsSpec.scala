@@ -16,6 +16,16 @@ class PlanInvariantsSpec extends SparkSpec {
         s"only-query=${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
+  test("q_join_hints: the merge hint overrides the broadcast-eligible plan") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_join_hints")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the hinted SortMergeJoin in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the merge hint should have suppressed the broadcast join")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
