@@ -1358,6 +1358,47 @@ object OracleSql {
         |  AS u(big_orderkey)
         |ORDER BY o_custkey, big_orderkey""".stripMargin,
 
+    // hybrid retrieval: dense (cosine around vector 42) and sparse (BM25)
+    // top-20 lists fused by reciprocal rank — floor(1e9/(60+rank)) exact
+    // integers, absent list contributes 0, (score DESC, id ASC) total order
+    "q_hybrid_search" ->
+      s"""WITH $fpVecCte,
+         |dsc AS (
+         |  SELECT c.vec_id AS id, ${cosineExpr("q", "c")} AS cosine
+         |  FROM nv q, nv c
+         |  WHERE q.vec_id = 42 AND c.vec_id <> 42 AND q.nn > 0 AND c.nn > 0),
+         |dr AS (
+         |  SELECT id, row_number() OVER (ORDER BY cosine DESC, id ASC) AS r
+         |  FROM dsc QUALIFY r <= 20),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents WHERE len(string_split(text, ' ')) > 0),
+         |st AS (SELECT count(*) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |ssc AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(
+         |           ln((st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+         |             * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         |             * 1000000.0) AS BIGINT) AS w_fp
+         |  FROM tf JOIN dfx ON tf.term = dfx.term JOIN dl ON tf.doc_id = dl.doc_id, st),
+         |sagg AS (SELECT doc_id, CAST(sum(w_fp) AS BIGINT) AS score_fp FROM ssc GROUP BY 1),
+         |sr AS (
+         |  SELECT doc_id AS id, row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS r
+         |  FROM sagg QUALIFY r <= 20),
+         |fused AS (
+         |  SELECT coalesce(dr.id, sr.id) AS doc_id,
+         |         coalesce(CAST(floor(1000000000.0 / (60 + dr.r)) AS BIGINT), 0)
+         |           + coalesce(CAST(floor(1000000000.0 / (60 + sr.r)) AS BIGINT), 0) AS score_rrf
+         |  FROM dr FULL OUTER JOIN sr ON dr.id = sr.id)
+         |SELECT doc_id, score_rrf,
+         |       CAST(row_number() OVER (ORDER BY score_rrf DESC, doc_id ASC) AS INTEGER) AS hybrid_rank
+         |FROM fused QUALIFY hybrid_rank <= 10
+         |ORDER BY hybrid_rank""".stripMargin,
+
     // the hinted sort-merge join must equal the plain join
     "q_join_hints" ->
       """SELECT c_mktsegment,

@@ -1118,6 +1118,19 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_rank"))
 
+  /** Hybrid dense+sparse retrieval: cosine (around corpus vector 42) and
+    * BM25 ranked lists fused by reciprocal rank — documents and
+    * embeddings share the id space, so the fusion join is on the doc id.
+    * Each retriever contributes its top-20; the fused top-10 ships. */
+  private def qHybridSearch(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.hybridTopK(
+        spread(t(s, d, "documents"), "doc_id"), t(s, d, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryId = 42L, terms = Seq("hash", "join", "scan"),
+        poolK = 20, topK = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("hybrid_rank"))
+
   private def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
     spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow_fp"))
@@ -1795,6 +1808,7 @@ object SparkEntry {
     "q_bitwise_agg" -> (qBitwiseAgg _),
     "q_explode_outer" -> (qExplodeOuter _),
     "q_join_hints" -> (qJoinHints _),
+    "q_hybrid_search" -> (qHybridSearch _),
     "q_profile" -> (qProfile _),
     "q_checksum" -> (qChecksum _),
     "q_union_evolve" -> (qUnionEvolve _),

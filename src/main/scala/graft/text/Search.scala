@@ -203,4 +203,44 @@ object Search {
       .select(col("id"), col("n_bigrams"), col("sum_cond_milli"),
         expr("sum_cond_milli div n_bigrams").as("mean_cond_milli"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09 — public method) of
+    * two ranked candidate lists: score(id) = Σ_lists ⌊10^9 / (k0 +
+    * rank)⌋, absent-from-a-list contributes 0. Exact integers end to end
+    * (the IEEE divide-then-floor is identical in any engine), total
+    * (score DESC, id ASC) order so ties are deterministic. Inputs are
+    * (id, rank) frames — each the top-`poolK` of its retriever, so the
+    * fusion is a join of two k-row tables regardless of corpus size.
+    * Returns (id, score_rrf, hybrid_rank), hybrid_rank ≤ topK. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int, topK: Int): DataFrame = {
+    def contrib(df: DataFrame, out: String): DataFrame =
+      df.select(col("id"),
+        floor(lit(1000000000.0) / (lit(k0) + col("rank"))).cast("long").as(out))
+    val fused = contrib(a, "sa").join(contrib(b, "sb"), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L))).as("score_rrf"))
+    fused.orderBy(col("score_rrf").desc, col("id").asc).limit(topK)
+      .withColumn("hybrid_rank",
+        row_number().over(Window.orderBy(col("score_rrf").desc, col("id").asc)))
+  }
+
+  /** HYBRID retrieval — the standard two-tower serving composition of an
+    * LLM data platform: dense (cosine over the embedding store, anchored
+    * at a query vector) and sparse (BM25 over the document store) ranked
+    * lists fused by reciprocal rank. Both retrievers are the library's
+    * verified operators; each contributes only its top-`poolK` rows to
+    * the fusion join, so the fusion cost is independent of corpus size
+    * and the heavy lifting stays in the retrievers (broadcast query
+    * vector; pre-shuffle-filtered postings). */
+  def hybridTopK(docs: DataFrame, embeds: DataFrame, idCol: String,
+                 textCol: String, vecIdCol: String, vecCol: String,
+                 queryId: Long, terms: Seq[String], poolK: Int, topK: Int,
+                 k0: Int = 60): DataFrame = {
+    val dense = graft.similarity.Vectors.bruteForceTopK(
+        embeds.filter(col(vecIdCol) === queryId), embeds, vecIdCol, vecCol, poolK)
+      .select(col("match_id").as("id"), col("rank"))
+    val sparse = bm25TopDocs(docs, idCol, textCol, terms, poolK)
+      .select(col("id"), col("doc_rank").as("rank"))
+    rrfFuse(dense, sparse, k0, topK)
+  }
 }

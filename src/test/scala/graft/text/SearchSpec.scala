@@ -131,6 +131,28 @@ class SearchSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("rrfFuse: both-list ids outrank single-list ids; absent side adds 0") {
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    val b = Seq((11L, 1), (12L, 2)).toDF("id", "rank")
+    val out = Search.rrfFuse(a, b, k0 = 60, topK = 10)
+      .orderBy($"hybrid_rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    // 11 is in both lists (ranks 2 and 1): floor(1e9/62)+floor(1e9/61)
+    val s11 = 1000000000L / 62 + 1000000000L / 61
+    val s10 = 1000000000L / 61
+    val s12 = 1000000000L / 62
+    assert(out == Seq((11L, s11, 1), (10L, s10, 2), (12L, s12, 3)))
+  }
+
+  test("rrfFuse ties break by ascending id (deterministic total order)") {
+    val a = Seq((5L, 1)).toDF("id", "rank")
+    val b = Seq((3L, 1)).toDF("id", "rank")
+    val out = Search.rrfFuse(a, b, k0 = 60, topK = 10)
+      .orderBy($"hybrid_rank").as[(Long, Long, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(3L, 5L))
+    assert(out.map(_._2).distinct.size == 1)
+  }
+
   test("unigramScore ranks rare-token docs below common-token docs") {
     val corpus = Seq(
       (1L, "the the the the"),          // all stop-tokens
