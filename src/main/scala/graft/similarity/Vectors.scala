@@ -54,7 +54,13 @@ object Vectors {
   /** Brute-force cosine top-k: every query (broadcast) against the full
     * corpus; rank per query by (cosine DESC, id ASC) — total order, so
     * deterministic under ties. Zero-magnitude vectors never match.
-    */
+    *
+    * Top-k via the BOUNDED [[graft.functions.TopKByScore]] aggregate
+    * (same (score DESC, id ASC) contract), not a window: a window
+    * partition here is one query's scores against the ENTIRE corpus,
+    * which a single task must buffer and sort — the aggregate trims each
+    * map task to k rows per query before the shuffle, so the exchange
+    * moves O(queries·k) rows at any corpus size. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries
@@ -67,8 +73,11 @@ object Vectors {
       .select(col("query_id"), col("match_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("cosine"), col("match_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("match_id"),
+        col("p.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
   }
 
   /** Sign-LSH bucket key: the first `bits` components' sign bits as a
