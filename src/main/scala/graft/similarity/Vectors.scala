@@ -51,16 +51,28 @@ object Vectors {
     when(na > 0 && nb > 0,
       dotFp(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
 
+  /** Per-query final ranking of a (query_id, match_id, cosine) candidate
+    * table through the BOUNDED [[graft.functions.TopKByScore]] aggregate
+    * (same (score DESC, id ASC) contract as the window formulation it
+    * replaces): a window partitioned by query_id is one query's WHOLE
+    * candidate set — the full corpus for brute force, the probed lists
+    * for IVF, the bucket for LSH — buffered and sorted by a single task;
+    * the aggregate trims each map task to k rows per query before the
+    * shuffle, so the exchange moves O(queries·k) rows at any corpus
+    * size. Every ANN/dense retriever's last stage funnels through here.
+    * (The centroid-selection windows stay windows: their partitions are
+    * bounded by nCentroids, not the corpus.) */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("cosine"), col("match_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("match_id"),
+        col("p.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: every query (broadcast) against the full
     * corpus; rank per query by (cosine DESC, id ASC) — total order, so
     * deterministic under ties. Zero-magnitude vectors never match.
-    *
-    * Top-k via the BOUNDED [[graft.functions.TopKByScore]] aggregate
-    * (same (score DESC, id ASC) contract), not a window: a window
-    * partition here is one query's scores against the ENTIRE corpus,
-    * which a single task must buffer and sort — the aggregate trims each
-    * map task to k rows per query before the shuffle, so the exchange
-    * moves O(queries·k) rows at any corpus size. */
+    * Final ranking through [[rankTopK]] — O(queries·k) shuffle rows. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries
@@ -73,11 +85,7 @@ object Vectors {
       .select(col("query_id"), col("match_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKByScore(col("cosine"), col("match_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
-      .select(col("query_id"), col("p.id").as("match_id"),
-        col("p.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+    rankTopK(scored, k)
   }
 
   /** Sign-LSH bucket key: the first `bits` components' sign bits as a
@@ -108,8 +116,7 @@ object Vectors {
       .select(col("query_id"), col("match_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** The query-side multi-probe set: the vector's own sign bucket plus
@@ -146,8 +153,7 @@ object Vectors {
       .select(col("query_id"), col("match_id"),
         cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
       .filter(col("cosine").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN (inverted-file): assign every corpus vector to its
@@ -313,8 +319,7 @@ object Vectors {
         cosineFromNorms(col("q_v"), col("c_v"), col("q_n"), col("c_n")).as("cosine"))
       .filter(col("cosine").isNotNull)
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -347,8 +352,7 @@ object Vectors {
       .filter(col("cosine").isNotNull)
       // a corpus vector can appear through several probed lists → dedupe
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
