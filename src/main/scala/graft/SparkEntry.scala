@@ -1088,20 +1088,24 @@ object SparkEntry {
         TextOps.dupTokenFrac(col("text")).as("dup_token_frac"))
       .orderBy(col("doc_id"))
 
-  /** Deterministic stratified sampling: per-language quota via a hash-
-    * ordered rank inside each stratum — the reproducible per-source/
-    * per-language subsampling step of corpus assembly. Stable under
-    * re-runs and any partitioning (hash order, not randomSplit). */
-  private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+  /** Deterministic stratified sampling: per-language quota in md5 order —
+    * the reproducible per-source/per-language subsampling step of corpus
+    * assembly. Stable under re-runs and any partitioning (hash order, not
+    * randomSplit). The quota is taken through the BOUNDED
+    * [[graft.functions.MinKByKey]] aggregate, not a window: a window
+    * partition here is an entire language stratum (a dominant language ≈
+    * the corpus) sorted by one task, while the aggregate's partial phase
+    * trims every map task to 50 pairs per stratum before the shuffle. */
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
       .withColumn("h", md5(concat(lit("strat|"), col("doc_id").cast("string"))))
-      .withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= 50)
-      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.MinKByKey(col("h"), col("doc_id"), 50).as("take"))
+      .select(col("lang"), posexplode(col("take")).as(Seq("i", "p")))
+      .select(col("p.id").as("doc_id"), col("lang"),
+        (col("i") + 1).cast("int").as("sample_rank"))
       .orderBy(col("lang"), col("sample_rank"))
-  }
 
   /** TF-IDF top-3 terms per document (quantized scores — see
     * text.Search scaladoc for the cross-engine numeric strategy). */
