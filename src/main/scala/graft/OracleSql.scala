@@ -1399,6 +1399,15 @@ object OracleSql {
          |FROM fused QUALIFY hybrid_rank <= 10
          |ORDER BY hybrid_rank""".stripMargin,
 
+    // the text-lines round trip must preserve every document: the oracle
+    // recomputes the (chars, tokens) projection from the base table
+    // through the identical line-break sanitization
+    "q_text_scan" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_replace(text, '[\t\n\r]', ' ', 'g')) AS INTEGER) AS n_chars,
+        |       CAST(len(string_split(regexp_replace(text, '[\t\n\r]', ' ', 'g'), ' ')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the hinted sort-merge join must equal the plain join
     "q_join_hints" ->
       """SELECT c_mktsegment,

@@ -41,7 +41,7 @@ object ProfileR7 {
     SparkEntry.queries("q_corpus_pipeline")(spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache(); Caches.release()
     val heavy = Seq("q_corpus_pipeline", "q_ngram_jaccard", "q_minhash_lsh",
-      "q_stream_join", "q_bigram_lm", "q_hybrid_search")
+      "q_stream_join", "q_bigram_fluency", "q_hybrid_search")
     heavy.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries(q)(spark, d).count() // warm at target SF like Bench

@@ -455,6 +455,40 @@ object SparkEntry {
     s.read.parquet(compactedLineitemDir(s, d))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  // One-time export of documents as raw TEXT LINES ("doc_id\ttext", line
+  // breaks sanitized to spaces) — the native landing format of a web/LLM
+  // corpus, and the one source format the matrix was missing.
+  private val textDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private[graft] def textLinesDir(s: SparkSession, d: String): String =
+    textDirMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val out = new java.io.File(tmp, s"graft_txtlines_$tag").getAbsolutePath
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        spread(t(s, d, "documents"), "doc_id")
+          .select(concat(col("doc_id").cast("string"), lit("\t"),
+            regexp_replace(col("text"), "[\\t\\n\\r]", " ")).as("value"))
+          .write.mode("overwrite").text(out)
+      out
+    })
+
+  /** Raw text-lines source (`spark.read.text`): one line per document,
+    * id and payload split at the first tab. Result transparency is the
+    * gate — the oracle recomputes the same (chars, tokens) projection
+    * from the base table through the identical sanitization, so any
+    * line-splitting or encoding corruption in the round trip shows as a
+    * hash mismatch. At scale this is the HTTP-dump landing zone read:
+    * splittable line format, schema applied at read time. */
+  private def qTextScan(s: SparkSession, d: String): DataFrame =
+    s.read.text(textLinesDir(s, d))
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("line"))
+      .select(col("doc_id"), length(col("line")).as("n_chars"),
+        TextOps.tokenCount(col("line")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
   /** Product-quantization codes over the embedding store: 4 subspaces of
     * 16 dims, 16-entry seeded codebooks — exact integer argmin, exploded
     * to (vec_id, subspace, code) for the compare. */
@@ -1813,6 +1847,7 @@ object SparkEntry {
     "q_explode_outer" -> (qExplodeOuter _),
     "q_join_hints" -> (qJoinHints _),
     "q_hybrid_search" -> (qHybridSearch _),
+    "q_text_scan" -> (qTextScan _),
     "q_profile" -> (qProfile _),
     "q_checksum" -> (qChecksum _),
     "q_union_evolve" -> (qUnionEvolve _),
