@@ -20,6 +20,9 @@ object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val built =
     scala.collection.mutable.HashSet.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+  private val inFlight = scala.collection.mutable.HashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.util.concurrent.CountDownLatch]
 
   /** Register an already-persisted frame; returns it for chaining. */
   def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
@@ -36,18 +39,39 @@ object Caches {
     * analogue of writing the corpus artifact before readers start. */
   def materialize(df: DataFrame): DataFrame = {
     val key = df.queryExecution.logical.canonicalized
-    val need = synchronized {
+    // Concurrent callers with the same plan must WAIT for the in-flight
+    // build, not sail past it (returning early re-opens the lazy-build
+    // race this method exists to close); and a failed count() must not
+    // mark the key built, or the eager build is skipped for the epoch.
+    val (latch, isBuilder) = synchronized {
       frames += df
-      if (built.contains(key)) false else { built += key; true }
+      if (built.contains(key)) (null, false)
+      else inFlight.get(key) match {
+        case Some(l) => (l, false)
+        case None =>
+          val l = new java.util.concurrent.CountDownLatch(1)
+          inFlight(key) = l
+          (l, true)
+      }
     }
-    if (need) df.count()
+    if (isBuilder) {
+      try {
+        df.count()
+        synchronized { built += key }
+      } finally {
+        synchronized { inFlight.remove(key) }
+        latch.countDown()
+      }
+    } else if (latch != null) latch.await()
     df
   }
 
   /** Number of tracked handles (may exceed distinct cache entries). */
   def size: Int = synchronized(frames.size)
 
-  /** Unpersist every tracked frame and clear the registry. */
+  /** Unpersist every tracked frame and clear the registry. In-flight
+    * build markers are left alone: their builders' finally blocks remove
+    * them and release their waiters regardless of epoch. */
   def release(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()

@@ -343,6 +343,32 @@ object OracleSql {
         |WHERE year(o_orderdate) = 1996
         |GROUP BY 1, 2 ORDER BY o_month""".stripMargin,
 
+    // q_dpp_scan joins the year-partitioned orders copy with a FILE-backed
+    // year dim filtered on tag — the oracle is the same join over the base
+    // table with the dim inlined as VALUES (identical content by
+    // construction: keep = {1994, 1996}).
+    "q_dpp_scan" ->
+      """WITH dim AS (SELECT * FROM (VALUES (1992, 'dead'), (1993, 'dead'),
+        |  (1994, 'keep'), (1995, 'dead'), (1996, 'keep'), (1997, 'dead'),
+        |  (1998, 'dead')) d(yy, tag))
+        |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN dim ON CAST(year(o_orderdate) AS INTEGER) = dim.yy
+        |WHERE dim.tag = 'keep'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    // q_bloom_join runs the selective dim join as a SHUFFLE join with the
+    // runtime bloom filter injected on the fact side; the filter is
+    // advisory, so the oracle is the plain join — any false-negative
+    // pruning would break the hash.
+    "q_bloom_join" ->
+      """SELECT p_size, count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 2
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
     "q_range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         |       date_diff('microsecond', a.ts, b.ts) AS gap_us
@@ -376,10 +402,10 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_us, event_type""".stripMargin,
 
-    // deterministic array agg: the list is sorted INSIDE the aggregate
+    // deterministic array agg: the list is sorted INSIDE the aggregate,
+    // then serialized (the driver's comparer cannot hash raw arrays)
     "q_array_agg" ->
       """SELECT o_custkey,
-        |       list_sort(list(o_orderpriority)) AS prios,
         |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_csv,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_custkey
@@ -1043,6 +1069,77 @@ object OracleSql {
          |ORDER BY query_id, "rank"""".stripMargin
     },
 
+    // Trained-IVF mirror: two unrolled Lloyd iterations of the
+    // deterministic integer-mean spherical k-means (init = 8 smallest-id
+    // non-zero vectors, assignment = (cosine DESC, cent_id ASC) argmax,
+    // update = truncating integer mean — DuckDB's `//` truncates toward
+    // zero exactly like the engine's Long division — empty clusters keep
+    // their previous centroid), then the IVF probe/scan of q_ann_ivf
+    // against the trained centroids.
+    "q_ann_ivf_trained" -> {
+      def vcCos(v: String, c: String) =
+        s"CAST(list_sum(list_transform(range(1, len($v.fv) + 1), i -> $v.fv[i] * $c.cent_v[i])) AS DOUBLE)" +
+          s" / (sqrt(CAST($v.nn AS DOUBLE)) * sqrt(CAST($c.cent_n AS DOUBLE)))"
+      val cosQC =
+        "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +
+          " / (sqrt(CAST(q_n AS DOUBLE)) * sqrt(CAST(c_n AS DOUBLE)))"
+      // one Lloyd iteration: assign to prev centroids, integer-mean update
+      def iter(i: Int, prev: String): String =
+        s"""a$i AS (
+           |  SELECT c_id, c_v, cent_id FROM (
+           |    SELECT v.vec_id AS c_id, v.fv AS c_v, c.cent_id,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |                              ORDER BY ${vcCos("v", "c")} DESC,
+           |                                       c.cent_id ASC) AS r
+           |    FROM nv v, $prev c WHERE v.nn > 0)
+           |  WHERE r = 1),
+           |e$i AS (SELECT cent_id, unnest(range(1, len(c_v) + 1)) AS pos,
+           |               unnest(c_v) AS val FROM a$i),
+           |s$i AS (SELECT cent_id, pos, CAST(sum(val) AS BIGINT) AS s,
+           |               count(*) AS n FROM e$i GROUP BY cent_id, pos),
+           |m$i AS (SELECT cent_id, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cent_v
+           |        FROM s$i GROUP BY cent_id),
+           |c$i AS (
+           |  SELECT p.cent_id, coalesce(m.cent_v, p.cent_v) AS cent_v,
+           |         CAST(list_sum(list_transform(coalesce(m.cent_v, p.cent_v),
+           |                                      x -> x * x)) AS BIGINT) AS cent_n
+           |  FROM $prev p LEFT JOIN m$i m USING (cent_id))""".stripMargin
+      s"""WITH $fpVecCte,
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cent_id,
+         |         fv AS cent_v, nn AS cent_n
+         |  FROM (SELECT vec_id, fv, nn FROM nv WHERE nn > 0 ORDER BY vec_id LIMIT 8)),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |cents AS (SELECT cent_id, cent_v, cent_n FROM c2 WHERE cent_n > 0),
+         |casgn AS (
+         |  SELECT c_id, c_v, c_n, cent_id FROM (
+         |    SELECT v.vec_id AS c_id, v.fv AS c_v, v.nn AS c_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${vcCos("v", "cents")} DESC,
+         |                                       cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0)
+         |  WHERE r = 1),
+         |qasgn AS (
+         |  SELECT q_id, q_v, q_n, cent_id FROM (
+         |    SELECT v.vec_id AS q_id, v.fv AS q_v, v.nn AS q_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${vcCos("v", "cents")} DESC,
+         |                                       cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0 AND v.vec_id < 5)
+         |  WHERE r <= 4),
+         |sc AS (
+         |  SELECT DISTINCT q_id AS query_id, c_id AS match_id, $cosQC AS cosine
+         |  FROM qasgn JOIN casgn USING (cent_id) WHERE c_id <> q_id),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_embed_neardup" ->
       s"""WITH b AS (
          |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
@@ -1304,7 +1401,7 @@ object OracleSql {
 
     "q_map_ops" ->
       """SELECT event_id,
-        |       json_keys(props) AS ks,
+        |       array_to_string(json_keys(props), ',') AS ks,
         |       CAST(json_extract(props, '$.k') AS INTEGER) AS kv
         |FROM events
         |ORDER BY event_id""".stripMargin,
@@ -1728,6 +1825,28 @@ object OracleSql {
         |       CAST(sum(cm) AS BIGINT) AS sum_cond_milli,
         |       CAST(sum(cm) // count(*) AS BIGINT) AS mean_cond_milli
         |FROM bg JOIN m USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Out-of-corpus LM apply: model trained on doc_id % 10 <> 0, held-out
+    // 10% scored via LEFT join; unseen transitions take the backoff floor
+    // of 1 permille and are counted in n_oov.
+    "q_bigram_fluency_oov" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM p),
+        |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg
+        |        WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+        |ca AS (SELECT w1, sum(c_ab) AS c_a FROM cab GROUP BY w1),
+        |m AS (SELECT w1, w2, (1000 * c_ab) // c_a AS cm
+        |      FROM cab JOIN ca USING (w1)),
+        |h AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN m.cm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(CAST(sum(coalesce(m.cm, 1)) AS BIGINT) // count(*) AS BIGINT)
+        |         AS mean_cond_milli
+        |FROM h LEFT JOIN m USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The full prep pipeline: dedup survivors (recursive-CTE clusters,

@@ -24,6 +24,20 @@ object Search {
 
   private def fp(c: Column): Column = round(c * ScoreScale).cast("long")
 
+  /** Broadcast-decision seam shared by the LM joins: `Some(true)` pins
+    * the broadcast hint, `Some(false)` pins the shuffle join (a
+    * SHUFFLE_HASH hint — the aggregated side is still far smaller than
+    * the stream side, merge-sort would be waste), `None` leaves the plan
+    * unhinted so Catalyst statistics + AQE's runtime size of the
+    * aggregated side pick — the only safe default when the small side is
+    * vocabulary-bounded rather than dimension-bounded. */
+  private def sizeGated(small: DataFrame, force: Option[Boolean]): DataFrame =
+    force match {
+      case Some(true)  => broadcast(small)
+      case Some(false) => small.hint("shuffle_hash")
+      case None        => small
+    }
+
   /** (id, term, tf) term frequencies — one shuffle with partial combine. */
   def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
@@ -108,13 +122,21 @@ object Search {
     * shuffle-join instead if the vocabulary is adversarially unbounded);
     * the corpus-side explode then joins without moving the corpus, and
     * the per-doc rollup is the only exchange carrying doc rows.
+    *
+    * `broadcastStats`: `Some(true)` forces the broadcast, `Some(false)`
+    * forces the shuffle join, `None` (default) lets the engine size-gate
+    * the choice — AQE sees the histogram's ACTUAL post-shuffle size and
+    * broadcasts only under `spark.sql.autoBroadcastJoinThreshold`. A
+    * hard-coded broadcast is a driver OOM on an adversarially unbounded
+    * vocabulary; the default must not encode an assumption the data can
+    * break.
     */
   def unigramScore(docs: DataFrame, idCol: String, textCol: String,
-                   broadcastStats: Boolean = true): DataFrame = {
+                   broadcastStats: Option[Boolean] = None): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
     val hist = toks.groupBy("term").agg(count(lit(1)).as("freq"))
-    val joined = toks.join(if (broadcastStats) broadcast(hist) else hist, "term")
+    val joined = toks.join(sizeGated(hist, broadcastStats), "term")
     joined.groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("sum_freq"))
       .select(col("id"), col("n_tokens"), col("sum_freq"),
@@ -165,9 +187,10 @@ object Search {
       .select(col("id"), col("bg.w1"), col("bg.w2"))
   }
 
-  def bigramCondProbs(docs: DataFrame, idCol: String, textCol: String,
-                      minCount: Long): DataFrame = {
-    val pairs = bigramPairs(docs, idCol, textCol)
+  /** Model build from an already-expanded pair stream — the seam that
+    * lets [[bigramFluency]] train and apply off ONE persisted expansion
+    * instead of scanning the corpus twice. */
+  private def bigramModelFromPairs(pairs: DataFrame, minCount: Long): DataFrame = {
     val cab = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
     cab.join(ca, "w1")
@@ -175,6 +198,10 @@ object Search {
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
         expr("(1000 * c_ab) div c_a").as("cond_milli"))
   }
+
+  def bigramCondProbs(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long): DataFrame =
+    bigramModelFromPairs(bigramPairs(docs, idCol, textCol), minCount)
 
   /** Bigram-LM fluency scoring — the APPLY side of [[bigramCondProbs]]
     * (the CCNet LM-filter loop with the corpus as its own model: train
@@ -185,22 +212,58 @@ object Search {
     * doc mean is a floor-div of their sum), so partition-order-free and
     * engine-exact; low mean ⇒ improbable token transitions ⇒ drop
     * candidate. Model trained with minCount=1 so every observed pair
-    * scores (an out-of-corpus APPLY would left-join with a backoff).
+    * scores (the out-of-corpus APPLY is [[bigramFluencyApply]]).
     *
-    * Scale shape: the model is O(observed bigrams) rows — vocabulary-
-    * bounded, orders below corpus size — and BROADCASTS back over the
-    * in-row pair stream (`broadcastModel=false` shuffle-join fallback);
-    * the per-doc rollup rides the pair stream's existing partitioning.
+    * Scale shape: train and apply share ONE persisted pair expansion
+    * (`Caches.materialize` — without it each side re-scans the corpus:
+    * two full corpus scans where one pair table serves both, the round-7
+    * profile's dominant cost). The model is O(observed bigrams) rows —
+    * vocabulary-bounded, orders below corpus size — and joins back over
+    * the pair stream under the size-gated seam: `broadcastModel = None`
+    * (default) lets AQE measure the model's actual size and broadcast
+    * only when it fits (observed-bigrams is vocab²-bounded, NOT
+    * dimension-sized — an unconditional broadcast is a driver OOM on a
+    * web corpus); `Some(true)`/`Some(false)` pin either plan.
     */
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
-                    broadcastModel: Boolean = true): DataFrame = {
-    val model = bigramCondProbs(docs, idCol, textCol, minCount = 1L)
+                    broadcastModel: Option[Boolean] = None): DataFrame = {
+    val pairs = graft.Caches.materialize(
+      bigramPairs(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = bigramModelFromPairs(pairs, minCount = 1L)
       .select(col("w1"), col("w2"), col("cond_milli"))
-    val pairs = bigramPairs(docs, idCol, textCol)
-    pairs.join(if (broadcastModel) broadcast(model) else model, Seq("w1", "w2"))
+    pairs.join(sizeGated(model, broadcastModel), Seq("w1", "w2"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cond_milli")).as("sum_cond_milli"))
       .select(col("id"), col("n_bigrams"), col("sum_cond_milli"),
+        expr("sum_cond_milli div n_bigrams").as("mean_cond_milli"))
+  }
+
+  /** Out-of-corpus bigram-LM apply — score documents against a model
+    * table they did NOT train (the form a production quality-filter
+    * fleet runs: train the reference LM once on curated text, score
+    * every new crawl shard against it). Pairs LEFT-join the model;
+    * transitions the model never saw take the `backoffMilli` floor (the
+    * ε-backoff of the CCNet filter loop — a permille the caller sets
+    * below any trained conditional, so OOV-dense documents sink).
+    * Returns (id, n_bigrams, n_oov, mean_cond_milli) — n_oov exposes
+    * the backoff count so a threshold can also gate on OOV rate
+    * directly. Exact integer arithmetic end to end; same size-gated
+    * model-join seam as [[bigramFluency]].
+    */
+  def bigramFluencyApply(docs: DataFrame, model: DataFrame, idCol: String,
+                         textCol: String, backoffMilli: Long = 1L,
+                         broadcastModel: Option[Boolean] = None): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val m = model.select(col("w1"), col("w2"), col("cond_milli"))
+    pairs.join(sizeGated(m, broadcastModel), Seq("w1", "w2"), "left")
+      .select(col("id"),
+        coalesce(col("cond_milli"), lit(backoffMilli)).as("cm"),
+        col("cond_milli").isNull.cast("long").as("oov"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+        sum(col("cm")).as("sum_cond_milli"))
+      .select(col("id"), col("n_bigrams"), col("n_oov"),
         expr("sum_cond_milli div n_bigrams").as("mean_cond_milli"))
   }
 

@@ -16,22 +16,83 @@ class CachesSpec extends SparkSpec {
   }
 
   test("materialize() builds eagerly, once per plan per release() epoch") {
+    // persist() alone already reports a non-NONE storage level, so the
+    // eager count() and the once-per-epoch dedup are observed through the
+    // job tracker: the first call submits build job(s) under its job
+    // group, the repeat submits none.
+    val sc = spark.sparkContext
+    def jobs(g: String): Int = sc.statusTracker.getJobIdsForGroup(g).length
+    def await(g: String, atLeast: Int): Int = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs(g) < atLeast && System.nanoTime() < deadline) Thread.sleep(50)
+      jobs(g)
+    }
     val base = Seq(1, 2, 3).toDF("x")
     val df = base.persist(StorageLevel.MEMORY_AND_DISK)
-    Caches.materialize(df)
-    // built eagerly: the cache entry is populated without any caller action
+    sc.setJobGroup("graft-mat-1", "first materialize")
+    try Caches.materialize(df) finally sc.clearJobGroup()
+    assert(await("graft-mat-1", 1) >= 1, "eager build must submit a job")
     assert(df.storageLevel != StorageLevel.NONE)
-    // same canonical plan again: registered but NOT re-counted (no way to
-    // observe the job count cheaply here; the contract is it stays cached)
-    Caches.materialize(df)
-    assert(df.storageLevel != StorageLevel.NONE)
+    // same canonical plan again within the epoch: registered, NOT re-counted
+    sc.setJobGroup("graft-mat-2", "repeat materialize")
+    try Caches.materialize(df) finally sc.clearJobGroup()
+    Thread.sleep(300) // async listener delivery: let any stray job surface
+    assert(jobs("graft-mat-2") == 0, "repeat within the epoch must not re-count")
     Caches.release()
     assert(df.storageLevel == StorageLevel.NONE)
-    // a fresh epoch materializes again
+    // a fresh epoch materializes again (a real build job this time)
     val df2 = base.persist(StorageLevel.MEMORY_AND_DISK)
-    Caches.materialize(df2)
+    sc.setJobGroup("graft-mat-3", "fresh epoch materialize")
+    try Caches.materialize(df2) finally sc.clearJobGroup()
+    assert(await("graft-mat-3", 1) >= 1, "fresh epoch must rebuild")
     assert(df2.storageLevel != StorageLevel.NONE)
     Caches.release()
+  }
+
+  test("a failed eager build is not marked built — the retry re-attempts the count") {
+    val df = Seq(1, 2, 3).toDS()
+      .map(x => if (x >= 1) throw new RuntimeException("boom") else x)
+      .toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    intercept[Exception](Caches.materialize(df))
+    // the key must NOT have been recorded as built: a second call for the
+    // same plan re-attempts the build (and fails the same way) instead of
+    // silently skipping the eager count for the rest of the epoch
+    intercept[Exception](Caches.materialize(df))
+    Caches.release()
+  }
+
+  test("a concurrent materialize of the same plan waits for the in-flight build") {
+    // the latch lives in a companion-object static: the task closure is
+    // serialized even in local mode, so a captured latch would count down
+    // a deserialized COPY
+    CachesSpec.buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val started = CachesSpec.buildStarted
+    val df = Seq(1, 2, 3).toDF("x").coalesce(1)
+      .mapPartitions { it =>
+        CachesSpec.buildStarted.countDown(); Thread.sleep(800); it
+      }(org.apache.spark.sql.Encoders.row(Seq(1).toDF("x").schema))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { Caches.materialize(df); System.nanoTime() }
+      })
+      // enter materialize only once the build is genuinely in flight
+      assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val t0 = System.nanoTime()
+      val b = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { Caches.materialize(df); System.nanoTime() }
+      })
+      val bDone = b.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      a.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      // the old behavior returned immediately (re-opening the lazy-build
+      // race); the waiter must block until the in-flight count finishes
+      assert(bDone - t0 >= 300L * 1000 * 1000,
+        s"second caller returned in ${(bDone - t0) / 1000000} ms — did not await the build")
+    } finally {
+      pool.shutdownNow()
+      Caches.release()
+    }
   }
 
   test("dedup pipelines register their internal persists with the registry") {
@@ -43,4 +104,10 @@ class CachesSpec extends SparkSpec {
     Caches.release()
     assert(Caches.size == 0)
   }
+}
+
+object CachesSpec {
+  /** JVM-static build-started signal for the concurrency test (task
+    * closures are serialized even in local mode). */
+  @volatile var buildStarted: java.util.concurrent.CountDownLatch = _
 }

@@ -26,6 +26,42 @@ class PlanInvariantsSpec extends SparkSpec {
       "the merge hint should have suppressed the broadcast join")
   }
 
+  test("q_dpp_scan: the fact scan carries a dynamicpruning filter and prunes at runtime") {
+    val dir = "/root/testdata/sf0.001"
+    // AQE off only for the inspection — the adaptive wrapper hides the
+    // scan behind leaf query stages; DPP itself is independent of it
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = SparkEntry.qDppScan(spark, dir)
+      assert(q.collect().nonEmpty)
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata("Location").contains("orders_by_year") => s
+      }.getOrElse(fail(s"no fact FileSourceScanExec:\n${q.queryExecution.executedPlan}"))
+      assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
+        s"no DPP filter on the fact scan: ${scan.partitionFilters}")
+      // keep-years = {1994, 1996}; the fact side must read at most those
+      val total = new java.io.File(SparkEntry.partitionedOrdersDir(spark, dir))
+        .listFiles().count(_.getName.startsWith("o_year="))
+      val pruned = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
+      assert(pruned >= 1 && pruned <= 2 && pruned < total,
+        s"expected ≤2 of $total partitions scanned, got $pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_bloom_join: the shuffle join carries a runtime bloom filter on the fact side") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.qBloomJoin(spark, dir)
+    val plan = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain"),
+      s"no bloom runtime filter in the optimized plan:\n$plan")
+    // and it really is a shuffle join — the child session disables broadcast
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastHashJoin"),
+      "bloom row must exercise the shuffle join (broadcast prunes at the hash table instead)")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"

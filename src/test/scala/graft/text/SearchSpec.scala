@@ -78,11 +78,15 @@ class SearchSpec extends SparkSpec {
   }
 
   test("unigramScore: shuffle-join fallback equals the broadcast plan") {
-    val a = Search.unigramScore(docs, "doc_id", "text", broadcastStats = true)
+    val a = Search.unigramScore(docs, "doc_id", "text", broadcastStats = Some(true))
       .orderBy("id").collect().toSeq
-    val b = Search.unigramScore(docs, "doc_id", "text", broadcastStats = false)
+    val b = Search.unigramScore(docs, "doc_id", "text", broadcastStats = Some(false))
       .orderBy("id").collect().toSeq
     assert(a == b)
+    // the pinned fallback really is the shuffle plan — no broadcast join
+    val plan = Search.unigramScore(docs, "doc_id", "text", broadcastStats = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"))
   }
 
   test("buildVocab ranks by freq with lexicographic tie-break and dense ids") {
@@ -124,11 +128,42 @@ class SearchSpec extends SparkSpec {
   }
 
   test("bigramFluency shuffle-join fallback equals the broadcast plan") {
-    val a = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = true)
+    val a = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = Some(true))
       .orderBy("id").collect().toSeq
-    val b = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = false)
+    val b = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = Some(false))
       .orderBy("id").collect().toSeq
     assert(a == b && a.nonEmpty)
+    // the pinned fallback really shuffles the pairs⋈model join (the only
+    // join on both w1 AND w2 — the model build's internal c_ab⋈c_a join
+    // may still broadcast, that side is k-row bounded)
+    val plan = Search.bigramFluency(docs, "doc_id", "text", broadcastModel = Some(false))
+      .queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin \\[w1#\\d+, w2#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"pairs-model join is not the pinned shuffle join:\n$plan")
+  }
+
+  test("bigramFluencyApply: OOV transitions take the backoff floor; n_oov counts them") {
+    // model trained on doc 1 only; doc 2 contains an unseen transition
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val model = Search.bigramCondProbs(train, "doc_id", "text", minCount = 1L)
+    // c(a,b)=2 c(b,a)=2 c(a,c)=1; c_a: a→3, b→2 → cm(a,b)=666 cm(a,c)=333 cm(b,a)=1000
+    val held = Seq((10L, "a b a"), (11L, "z q z")).toDF("doc_id", "text")
+    val out = Search.bigramFluencyApply(held, model, "doc_id", "text", backoffMilli = 1L)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (10L, 2L, 0L, (666L + 1000L) / 2),   // both transitions trained
+      (11L, 2L, 2L, 1L)))                  // all OOV → backoff floor
+  }
+
+  test("bigramFluencyApply on the training corpus matches bigramFluency (no OOV)") {
+    val model = Search.bigramCondProbs(docs, "doc_id", "text", minCount = 1L)
+    val applied = Search.bigramFluencyApply(docs, model, "doc_id", "text")
+      .orderBy("id")
+      .select($"id", $"n_bigrams", $"mean_cond_milli", $"n_oov").collect().toSeq
+    val trained = Search.bigramFluency(docs, "doc_id", "text")
+      .orderBy("id")
+      .select($"id", $"n_bigrams", $"mean_cond_milli", lit(0L).as("n_oov")).collect().toSeq
+    assert(applied == trained && applied.nonEmpty)
   }
 
   test("rrfFuse: both-list ids outrank single-list ids; absent side adds 0") {
