@@ -18,7 +18,8 @@ object Bench {
     // build it would pay first in a fresh session.
     val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh",
       "q_simhash", "q_simhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
-      "q_dedup_apply", "q_corpus_pipeline")
+      "q_dedup_apply", "q_corpus_pipeline",
+      "q_bigram_fluency") // persists the shared pair expansion since r8
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -68,11 +69,20 @@ object Bench {
     // nothing a reader should trust. Full precision goes to bench_full.json.
     def fmt(v: Double, decimals: Int): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+    // The six q_stream_* rows each run a REAL streaming lifecycle
+    // (checkpoint dir + state-store setup ×cold passes) — fixed engine
+    // constants that amortize in any long-lived stream, not operator
+    // cost. Report that bucket separately so the headline tracks plans.
+    val streamingSec = results.collect {
+      case (n, v) if n.startsWith("q_stream_") => v
+    }.sum
+    val buckets =
+      s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}}"""
     def render(entries: Seq[(String, Double)], decimals: Int): String = {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$buckets,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     }
     // Last resort if the registry outgrows even 1-decimal rendering:
     // keep the slowest 40 entries (the ones anyone tunes against) and

@@ -348,9 +348,9 @@ object OracleSql {
     // table with the dim inlined as VALUES (identical content by
     // construction: keep = {1994, 1996}).
     "q_dpp_scan" ->
-      """WITH dim AS (SELECT * FROM (VALUES (1992, 'dead'), (1993, 'dead'),
-        |  (1994, 'keep'), (1995, 'dead'), (1996, 'keep'), (1997, 'dead'),
-        |  (1998, 'dead')) d(yy, tag))
+      """WITH dim AS (SELECT * FROM (VALUES (1995, 'dead'), (1996, 'keep'),
+        |  (1997, 'dead'), (1998, 'dead'), (1999, 'keep'), (2000, 'dead'),
+        |  (2001, 'dead')) d(yy, tag))
         |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -964,14 +964,21 @@ object SparkEntry {
   // PartitionPruning rule looks for it, and no DPP subquery is planted.
   private val yearDimMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  // testdata orders span 1995–2001; keep = {1996, 1999} so the DPP run
+  // prunes 7 partition dirs down to 2. The dim CONTENT is versioned into
+  // the directory name — a content change must never be served by a
+  // stale cross-run _SUCCESS directory.
+  private val YearDimKeep = Set(1996, 1999)
   private[graft] def yearDimDir(s: SparkSession, d: String): String =
     yearDimMemo.computeIfAbsent((System.identityHashCode(s), d), _ => {
+      val tag = java.lang.Integer.toHexString(
+        (d, 1995 to 2001, YearDimKeep).hashCode)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_year_dim_${java.lang.Integer.toHexString(d.hashCode)}").getAbsolutePath
+        s"graft_year_dim_$tag").getAbsolutePath
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         import s.implicits._
-        (1992 to 1998)
-          .map(y => (y, if (y == 1994 || y == 1996) "keep" else "dead"))
+        (1995 to 2001)
+          .map(y => (y, if (YearDimKeep(y)) "keep" else "dead"))
           .toDF("yy", "tag")
           .coalesce(1).write.mode("overwrite").parquet(dir)
       }

@@ -236,18 +236,25 @@ object Vectors {
       .select(col("c_id"), col("c_v")).collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+    import spark.implicits._
     var it = 0
     while (it < iters) {
-      val centArr = array(cents.map { case (cid, cv) =>
-        struct(lit(cid).as("cent_id"),
-          array(cv.map(lit(_)): _*).as("cent_v"),
-          lit(cv.map(x => x * x).sum).as("cent_n"))
-      }: _*)
-      val assigned = v.withColumn("best", array_max(transform(centArr, c =>
-        struct(
-          cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
-            .as("cos"),
-          (-c.getField("cent_id")).as("neg_id")))))
+      // centroids ride as broadcast DATA (1-row collected-struct frame),
+      // not as a k·d literal tree: a literal array of 512+ longs makes
+      // every iteration a brand-new plan — re-analyzed, re-canonicalized
+      // and re-codegen'd each time — whereas this shape is constant
+      // across iterations and passes, so the codegen cache hits
+      val centDf = cents.toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq, cv.map(x => x * x).sum) }
+        .toDF("cent_id", "cent_v", "cent_n")
+      val centArr = centDf
+        .agg(collect_list(struct(col("cent_id"), col("cent_v"), col("cent_n"))).as("cs"))
+      val assigned = v.crossJoin(broadcast(centArr))
+        .withColumn("best", array_max(transform(col("cs"), c =>
+          struct(
+            cosineFromNorms(col("c_v"), c.getField("cent_v"), col("c_n"), c.getField("cent_n"))
+              .as("cos"),
+            (-c.getField("cent_id")).as("neg_id")))))
         .filter(col("best").isNotNull)
         .select((-col("best.neg_id")).as("cent_id"), col("c_v"))
       val sums = assigned

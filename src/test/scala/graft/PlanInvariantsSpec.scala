@@ -41,12 +41,12 @@ class PlanInvariantsSpec extends SparkSpec {
       }.getOrElse(fail(s"no fact FileSourceScanExec:\n${q.queryExecution.executedPlan}"))
       assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
         s"no DPP filter on the fact scan: ${scan.partitionFilters}")
-      // keep-years = {1994, 1996}; the fact side must read at most those
+      // keep-years = {1996, 1999}; the fact side must read exactly those
       val total = new java.io.File(SparkEntry.partitionedOrdersDir(spark, dir))
         .listFiles().count(_.getName.startsWith("o_year="))
       val pruned = scan.metrics.get("numPartitions").map(_.value).getOrElse(-1L)
-      assert(pruned >= 1 && pruned <= 2 && pruned < total,
-        s"expected ≤2 of $total partitions scanned, got $pruned")
+      assert(pruned == 2 && pruned < total,
+        s"expected 2 of $total partitions scanned, got $pruned")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
