@@ -1154,6 +1154,41 @@ object OracleSql {
 
     // ---- corpus-mixing / serving tier (round 7) -------------------------
 
+    // Hellinger² needs only sqrt/div/mul — all correctly rounded under
+    // IEEE 754, so per-term doubles are bit-identical across engines;
+    // they are fixed-pointed (1e12) and summed as integers, and the
+    // unmatched corpus mass enters in closed form from the exact
+    // matched-count sum. Expression shape mirrors Mixing.domainDivergence
+    // operation-for-operation (same associativity).
+    "q_domain_divergence" -> {
+      val dExpr =
+        """(sqrt(CAST(c.c_st AS DOUBLE) / CAST(ts.tot_s AS DOUBLE))
+          |                   - sqrt(CAST(ct.c_t AS DOUBLE) / CAST(tc.tot_c AS DOUBLE)))""".stripMargin
+      s"""WITH st AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+         |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st FROM st GROUP BY 1, 2),
+         |ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+         |tc AS (SELECT CAST(sum(c_t) AS BIGINT) AS tot_c FROM ct),
+         |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS tot_s FROM c GROUP BY 1),
+         |j AS (
+         |  SELECT c.source, ts.tot_s, tc.tot_c, ct.c_t,
+         |         CAST(round($dExpr
+         |                  * $dExpr
+         |                  * 1e12) AS BIGINT) AS h_fp12
+         |  FROM c JOIN ct USING (term) JOIN ts USING (source), tc),
+         |a AS (
+         |  SELECT source, CAST(count(*) AS INTEGER) AS n_terms,
+         |         max(tot_s) AS tot_tokens,
+         |         CAST(sum(h_fp12) AS BIGINT) AS s_fp,
+         |         CAST(sum(c_t) AS BIGINT) AS s_ct,
+         |         max(tot_c) AS tot_c
+         |  FROM j GROUP BY source)
+         |SELECT source, n_terms, tot_tokens,
+         |       0.5 * (CAST(s_fp AS DOUBLE) / 1e12)
+         |     + 0.5 * (1.0 - CAST(s_ct AS DOUBLE) / CAST(tot_c AS DOUBLE)) AS hellinger_sq
+         |FROM a ORDER BY source""".stripMargin
+    },
+
     // Mean quality is an exact integer sum of per-doc fixed-point (1e6)
     // scores divided once at the end — partition-order-independent on the
     // Spark side, so it hash-matches any engine that mirrors the per-doc
@@ -1333,6 +1368,58 @@ object OracleSql {
         |      FROM pairs)
         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // Trained-PQ mirror: two unrolled per-subspace L2 Lloyd iterations
+    // (seed = first 16 vectors' subvectors, assignment = (sq-L2 ASC,
+    // code ASC) argmin, update = truncating integer mean per (subspace,
+    // code, position) — DuckDB `//` truncates toward zero exactly like
+    // the engine's Long division; empty (subspace, code) cells keep the
+    // previous entry), then the q_pq_codes assignment against the
+    // trained book.
+    "q_pq_trained" -> {
+      val sqL2 =
+        "list_sum(list_transform(range(1, 17), i -> " +
+          "(v.fv[s.j*16 + i] - s.csv[i]) * (v.fv[s.j*16 + i] - s.csv[i])))"
+      // one Lloyd iteration: argmin vs prev book, integer-mean update
+      def iter(i: Int, prev: String): String =
+        s"""a$i AS (
+           |  SELECT vec_id, j, cid FROM (
+           |    SELECT v.vec_id, s.j, s.cid,
+           |           row_number() OVER (PARTITION BY v.vec_id, s.j
+           |                              ORDER BY $sqL2, s.cid) AS rn
+           |    FROM fp v, $prev s)
+           |  WHERE rn = 1),
+           |e$i AS (SELECT a.j, a.cid, u.i AS pos, v.fv[a.j*16 + u.i] AS val
+           |        FROM a$i a JOIN fp v USING (vec_id), unnest(range(1, 17)) AS u(i)),
+           |m$i AS (SELECT j, cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS csv
+           |        FROM (SELECT j, cid, pos, CAST(sum(val) AS BIGINT) AS s,
+           |                     count(*) AS n
+           |              FROM e$i GROUP BY j, cid, pos)
+           |        GROUP BY j, cid),
+           |cbs$i AS (SELECT p.cid, p.j, coalesce(m.csv, p.csv) AS csv
+           |          FROM cbs${i - 1} p LEFT JOIN m$i m
+           |            ON p.cid = m.cid AND p.j = m.j)""".stripMargin
+      s"""WITH fp AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+         |  FROM embeddings),
+         |js AS (SELECT unnest(range(0, 4)) AS j),
+         |cb0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, fv
+         |  FROM (SELECT vec_id, fv FROM fp WHERE vec_id < 16 ORDER BY vec_id)),
+         |cbs0 AS (
+         |  SELECT cid, j, list_transform(range(1, 17), i -> fv[j*16 + i]) AS csv
+         |  FROM cb0, js),
+         |${iter(1, "cbs0")},
+         |${iter(2, "cbs1")},
+         |r AS (
+         |  SELECT v.vec_id, s.j, s.cid,
+         |         row_number() OVER (PARTITION BY v.vec_id, s.j
+         |                            ORDER BY $sqL2, s.cid) AS rn
+         |  FROM fp v, cbs2 s)
+         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(cid AS INTEGER) AS code
+         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
 
     // Audio decode: the WAV payload is synthesized closed-form from
     // (doc_id, text) — the oracle recomputes every decoded feature from
@@ -1902,6 +1989,35 @@ object OracleSql {
          |            ELSE 'test' END AS split
          |FROM q WHERE reason IS NULL ORDER BY doc_id""".stripMargin
     },
+
+    // Declarative contract report: each check's violation count as a
+    // scalar subquery, unioned — check names must match Checks.Check.name
+    // exactly (the report is keyed on them).
+    "q_quality_report" ->
+      """WITH c AS (
+        |  SELECT 'not_null_o_orderkey' AS chk,
+        |         CAST((SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT) AS n
+        |  UNION ALL
+        |  SELECT 'unique_o_orderkey',
+        |         CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |               GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'accepted_values_o_orderstatus',
+        |         CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |               AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'in_range_o_totalprice',
+        |         CAST((SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |               AND o_totalprice NOT BETWEEN 0 AND 200000) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'positive_price',
+        |         CAST((SELECT count(*) FROM orders WHERE NOT (o_totalprice > 0)) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'unique_o_custkey_o_orderdate',
+        |         CAST((SELECT count(*) FROM (SELECT o_custkey, o_orderdate FROM orders
+        |               GROUP BY 1, 2 HAVING count(*) > 1)) AS BIGINT))
+        |SELECT chk AS "check", n AS n_violations, n = 0 AS passed
+        |FROM c ORDER BY "check"""".stripMargin,
 
     "q_profile" -> {
       def branch(name: String, c: String) =

@@ -505,6 +505,22 @@ object SparkEntry {
       .orderBy(col("id"), col("subspace"))
       .withColumnRenamed("id", "vec_id")
 
+  /** TRAINED-PQ codes: two per-subspace L2 Lloyd iterations
+    * (Vectors.trainPqCodebooks — exact integer sums and truncating
+    * integer means, so training is deterministic and the oracle can
+    * mirror it CTE-for-CTE) refine the seeded codebooks, then the same
+    * in-row assignment as q_pq_codes emits (vec_id, subspace, code)
+    * against the trained book via the pqCodesWith seam. Only k·dim
+    * aggregate rows reach the driver per round. */
+  private def qPqTrained(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cb = Vectors.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 4, k = 16, iters = 2)
+    Vectors.pqCodesWith(emb, "vec_id", "embedding", m = 4, cb)
+      .orderBy(col("id"), col("subspace"))
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** PQ asymmetric-distance top-10 around corpus vector 42: the serving
     * query over the PQ-compressed store — driver-side LUT, in-row ADC sum,
     * TakeOrderedAndProject. */
@@ -1389,6 +1405,25 @@ object SparkEntry {
         "o_orderdate" -> col("o_orderdate")))
       .orderBy(col("column"))
 
+  /** Declarative data-contract REPORT over orders (Checks.reportDf): the
+    * dbt generic-test surface as a queryable (check, n_violations,
+    * passed) table. The four row-predicate checks fuse into ONE
+    * conditional-aggregate scan; the two Unique checks each add a
+    * key-pruned aggregate branch. Thresholds are sized so both report
+    * outcomes appear: accepted_values and in_range FAIL on real data
+    * ('P' orders / >200k prices), the rest pass. */
+  private def qQualityReport(s: SparkSession, d: String): DataFrame = {
+    import graft.quality.Checks._
+    reportDf(t(s, d, "orders"), Seq(
+      NotNull("o_orderkey"),
+      Unique(Seq("o_orderkey")),
+      AcceptedValues("o_orderstatus", Seq("O", "F")),
+      InRange("o_totalprice", 0.0, 200000.0),
+      Satisfies("positive_price", "o_totalprice > 0"),
+      Unique(Seq("o_custkey", "o_orderdate"))))
+      .orderBy(col("check"))
+  }
+
   /** Order-free reconciliation checksum of lineitem per return flag (see
     * quality.Checks.groupChecksum): the row rendering pins key, line
     * number, and exact cents. */
@@ -1763,6 +1798,14 @@ object SparkEntry {
         "source", "text", "lang", TextOps.Stopwords.toMap.apply("en"))
       .orderBy(col("source"))
 
+  /** Per-domain Hellinger² divergence vs the corpus unigram distribution
+    * (Mixing.domainDivergence): the domain-shift signal for mix design —
+    * one (source, term) shuffle, re-aggregated totals, matched-terms-only
+    * join with the unmatched mass folded in closed form. */
+  private def qDomainDivergence(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.domainDivergence(t(s, d, "documents"), "source", "text")
+      .orderBy(col("source"))
+
   /** Sqrt-temperature domain re-weighting (the LLM data-mixing sampler):
     * deterministic md5-percentile keep decision against a broadcast
     * per-domain weight table — the corpus never shuffles. */
@@ -1922,6 +1965,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_domain_stats" -> (qDomainStats _),
+    "q_domain_divergence" -> (qDomainDivergence _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
@@ -1934,6 +1978,7 @@ object SparkEntry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_pq_codes" -> (qPqCodes _),
+    "q_pq_trained" -> (qPqTrained _),
     "q_pq_topk" -> (qPqTopK _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -1982,6 +2027,7 @@ object SparkEntry {
     "q_hybrid_search" -> (qHybridSearch _),
     "q_text_scan" -> (qTextScan _),
     "q_profile" -> (qProfile _),
+    "q_quality_report" -> (qQualityReport _),
     "q_checksum" -> (qChecksum _),
     "q_union_evolve" -> (qUnionEvolve _),
     "q_bucketed_join" -> (qBucketedJoin _))

@@ -69,6 +69,55 @@ object Mixing {
       .select(col(sourceCol), col("share"), (col("p") / col("z")).as("w"))
   }
 
+  /** Per-domain HELLINGER² divergence between each source's unigram
+    * distribution and the corpus-wide distribution — the domain-shift
+    * signal a mixing pipeline thresholds to spot outlier sources (and the
+    * weighting input for divergence-aware mixes). Hellinger, not KL/JS:
+    * H² = ½ Σ_t (√p_t − √q_t)² needs only sqrt/div/mul — all correctly
+    * rounded under IEEE 754, so both engines produce bit-identical
+    * per-term doubles, where ln() (KL, JS) is implementation-defined and
+    * hash-drifts.
+    *
+    * Scale shape: ONE shuffle aggregates (source, term) counts with
+    * map-side combine to at most |S|·|V| rows; the corpus histogram and
+    * the per-source totals RE-AGGREGATE that table (the token stream is
+    * never re-read); the per-term join touches only terms PRESENT in the
+    * source — tokens a source lacks contribute (√0 − √q)² = q, folded in
+    * closed form as ½·(1 − Σ_matched q) from the exact matched-count sum,
+    * so there is no |S|×|V| densification anywhere. Per-term doubles are
+    * fixed-pointed (1e12) and summed as integers — partition-order-free.
+    *
+    * Returns (source, n_terms, tot_tokens, hellinger_sq). */
+  def domainDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val corpus = counts.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val totC = corpus.agg(sum(col("c_t")).as("tot_c"))
+    val totS = counts.groupBy(col("source")).agg(sum(col("c_st")).as("tot_s"))
+    val d = sqrt(col("c_st").cast("double") / col("tot_s").cast("double")) -
+      sqrt(col("c_t").cast("double") / col("tot_c").cast("double"))
+    counts
+      .join(corpus, Seq("term"))
+      .join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(totC))
+      .select(col("source"), col("tot_s"), col("tot_c"), col("c_t"),
+        round(d * d * lit(1e12)).cast("long").as("h_fp12"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("int").as("n_terms"),
+        max(col("tot_s")).as("tot_tokens"),
+        sum(col("h_fp12")).as("s_fp"),
+        sum(col("c_t")).as("s_ct"),
+        max(col("tot_c")).as("tot_c"))
+      .select(col("source"), col("n_terms"), col("tot_tokens"),
+        (lit(0.5) * (col("s_fp").cast("double") / lit(1e12)) +
+          lit(0.5) * (lit(1.0) - col("s_ct").cast("double") / col("tot_c").cast("double")))
+          .as("hellinger_sq"))
+  }
+
   /** Deterministic temperature-sampled corpus. The per-doc keep
     * probability is baseFrac · w_s / share_s (capped at 1): dividing the
     * target mix weight by the input share is what actually FLATTENS the

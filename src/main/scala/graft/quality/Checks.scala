@@ -94,6 +94,36 @@ object Checks {
     }
   }
 
+  /** [[report]] as a DataFrame — the form a contract dashboard or a
+    * downstream gate table consumes, and the form the oracle can verify.
+    * Same fusion contract: every row-predicate check becomes one entry of
+    * an array-of-structs built in a SINGLE conditional-aggregate scan
+    * (one job however many checks, map-side partials) and exploded to
+    * (check, n_violations) rows; each grouping check (Unique) contributes
+    * its own aggregate branch, unioned — at scale the branches
+    * parallelize and none reads more than its key columns. */
+  def reportDf(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val fused = checks.flatMap(c => c.rowViolation.map(p => (c.name, p)))
+    val fusedDf =
+      if (fused.isEmpty) Seq.empty[DataFrame]
+      else Seq(
+        df.agg(array(fused.map { case (n, p) =>
+            struct(lit(n).as("check"),
+              coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+          }: _*).as("cs"))
+          .select(explode(col("cs")).as("kv"))
+          .select(col("kv.check").as("check"), col("kv.n_violations").as("n_violations")))
+    val grouped = checks.collect {
+      case c if c.rowViolation.isEmpty =>
+        c.violations(df)
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(c.name).as("check"), col("n_violations"))
+    }
+    (fusedDf ++ grouped)
+      .reduce(_.unionAll(_))
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
   /** Pipeline gate: throws on the first failing check (mirrors the
     * reference DAG failing on dbt test, dags/weatherstack_full_pipeline
     * .py:147-151). Uses a limit-1 existence probe, not a full count. */

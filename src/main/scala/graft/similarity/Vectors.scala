@@ -230,6 +230,10 @@ object Vectors {
     val v = corpus.select(col(idCol).as("c_id"), fixedPoint(col(vecCol)).as("c_v"))
       .withColumn("c_n", normSqFp(col("c_v")))
       .filter(col("c_n") > 0)
+    // the training table is re-consumed once per Lloyd iteration — pin it
+    // so each round's assignment job reads the projected vectors, not the
+    // source scan again (at scale: one corpus pass total, not per round)
+    if (iters > 0) { v.persist(); v.count() }
     // deterministic init: the k smallest-id non-zero vectors
     var cents: Array[(Long, Array[Long])] = v
       .orderBy(col("c_id")).limit(k)
@@ -277,6 +281,7 @@ object Vectors {
       }
       it += 1
     }
+    if (iters > 0) v.unpersist(false)
     import spark.implicits._
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cent_id", "cent_v")
@@ -438,12 +443,17 @@ object Vectors {
 
   /** Exact integer squared-L2 between subvector `j` of the row's fv and
     * codebook entry `c` — the subtree appears exactly once per (j, c) in
-    * the argmin array below. */
+    * the argmin array below. Expanded to ‖x‖² − 2x·c + ‖c‖² (an exact
+    * integer identity) so both dots run through the native DotProductFp
+    * kernel and ‖c‖² folds to a literal: the per-element interpreted
+    * zip_with/aggregate lambda chain this replaces was the scan's
+    * dominant cost, and the kernel form keeps the whole distance inside
+    * codegen. */
   private def pqDist(cb: Seq[Seq[Long]], sub: Int)(j: Int, c: Int): Column = {
-    val cbArr = array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)
-    aggregate(
-      zip_with(slice(col("fv"), j * sub + 1, sub), cbArr, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val entry = cb(c).slice(j * sub, (j + 1) * sub)
+    val cbArr = array(entry.map(lit): _*)
+    val sv = slice(col("fv"), j * sub + 1, sub)
+    dotFp(sv, sv) - lit(2L) * dotFp(sv, cbArr) + lit(entry.map(x => x * x).sum)
   }
 
   private def pqBestCode(cb: Seq[Seq[Long]], sub: Int)(j: Int): Column =
@@ -484,20 +494,37 @@ object Vectors {
     val exploded = fvAll.select(
       posexplode(array((0 until m).map(j => slice(col("fv"), j * sub + 1, sub)): _*))
         .as(Seq("j", "sv")))
+    // one corpus pass total: each Lloyd round re-consumes the exploded
+    // (j, subvector) table, so pin it instead of re-scanning the source
+    if (iters > 0) { exploded.persist(); exploded.count() }
+    import vectors.sparkSession.implicits._
     var it = 0
     while (it < iters) {
-      val cbLit = array((0 until m).map(j =>
-        array(cb.indices.map(c =>
-          array(cb(c).slice(j * sub, (j + 1) * sub).map(lit): _*)): _*)): _*)
-      def entry(c: Int): Column = element_at(element_at(cbLit, col("j") + 1), c + 1)
-      // argmin without struct-field names (aliases inside struct() are
-      // unreliable under lambda-bearing children here): first position of
-      // the min IS the lowest-code tie-break
-      val dists = array(cb.indices.map(c =>
-        aggregate(zip_with(col("sv"), entry(c), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)): _*)
+      // Two deliberate shapes keep an iteration ~the cost of one codes
+      // pass: (1) the round's codebook rides as broadcast DATA (1-row
+      // m×k nested frame of (subvector, ‖c‖²) entries), not an m·k·sub
+      // literal tree — the plan is constant across iterations AND
+      // independent of k, so analysis/codegen happen once (the
+      // trainCentroids lesson); (2) the squared-L2 argmin expands to
+      // ‖x‖² − 2x·c + ‖c‖² with both dots through the native DotProductFp
+      // kernel (a compiled array loop) and ‖c‖² precomputed driver-side —
+      // the interpreted per-ELEMENT zip_with/aggregate lambda chain this
+      // replaces dominated the iteration wall-clock. Argmin stays the
+      // positional form (first position of the min = lowest-code
+      // tie-break): struct-field aliases inside a lambda body get mangled
+      // by the analyzer, and the double evaluation of the distance list
+      // is cheap now that each entry is two kernel dots.
+      val cb3d: Seq[Seq[(Seq[Long], Long)]] = (0 until m).map(j =>
+        cb.indices.map { c =>
+          val sv = cb(c).slice(j * sub, (j + 1) * sub)
+          (sv.toSeq, sv.map(x => x * x).sum)
+        })
+      val cbDf = Seq(Tuple1(cb3d)).toDF("cb")
+      val svn = dotFp(col("sv"), col("sv"))
+      val dists = transform(element_at(col("cb"), col("j") + 1), cbc =>
+        svn - lit(2L) * dotFp(col("sv"), cbc.getField("_1")) + cbc.getField("_2"))
       val bestCode = (array_position(dists, array_min(dists)) - 1).cast("int")
-      val sums = exploded
+      val sums = exploded.crossJoin(broadcast(cbDf))
         .select(col("j"), bestCode.as("code"), posexplode(col("sv")))
         .groupBy(col("j"), col("code"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -516,6 +543,7 @@ object Vectors {
       }
       it += 1
     }
+    if (iters > 0) exploded.unpersist(false)
     cb
   }
 

@@ -31,6 +31,29 @@ class MixingSpec extends SparkSpec {
     assert(web.getDouble(4) == perDoc.sum.toDouble / perDoc.length / 1e6)
   }
 
+  test("domainDivergence: zero for an identical-distribution source, bounded, and exact on a closed-form split") {
+    // one source IS the corpus → p = q for every term → H² = 0 exactly
+    val single = corpus(3, 0)
+    val only = Mixing.domainDivergence(single, "source", "text").collect()
+    assert(only.length == 1 && only.head.getDouble(3) == 0.0)
+
+    // two disjoint-vocabulary sources: matched q-mass for source s is
+    // tot_s/tot_c, and each matched term has p = k·q, so H² stays in
+    // (0, 1); check the exact closed form on a tiny hand corpus:
+    // A = "x x", B = "y" → corpus dist {x: 2/3, y: 1/3}
+    //   H²(A) = ½[(√1 − √(2/3))²] + ½(1 − 2/3)
+    val tiny = Seq((1L, "x x", "en", "a"), (2L, "y", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Mixing.domainDivergence(tiny, "source", "text")
+      .orderBy("source").collect()
+    val dA = math.sqrt(1.0) - math.sqrt(2.0 / 3.0)
+    val expA = 0.5 * (math.rint(dA * dA * 1e12) / 1e12) + 0.5 * (1.0 - 2.0 / 3.0)
+    assert(out(0).getString(0) == "a" && out(0).getInt(1) == 1 &&
+      out(0).getLong(2) == 2)
+    assert(math.abs(out(0).getDouble(3) - expA) < 1e-9)
+    out.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0))
+  }
+
   test("temperatureSample is deterministic, a subset, and flattens domain skew") {
     val docs = corpus(400, 50)
     val s1 = Mixing.temperatureSample(docs, "source", "doc_id", baseFrac = 0.5)

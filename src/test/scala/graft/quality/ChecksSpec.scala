@@ -30,6 +30,15 @@ class ChecksSpec extends SparkSpec {
       ("temp_int_range", 0L, true)))
   }
 
+  test("reportDf matches report row-for-row (fused + grouped branches)") {
+    val fromDf = Checks.reportDf(df, contract).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fromSeq = Checks.report(df, contract).toSet
+    assert(fromDf == fromSeq)
+    // every contract check is present exactly once
+    assert(fromDf.map(_._1) == contract.map(_.name).toSet)
+  }
+
   test("assertAll passes a clean frame and names the failing check") {
     Checks.assertAll(df.limit(2), contract) // first two rows are clean
     val e = intercept[IllegalArgumentException](Checks.assertAll(df, contract))
