@@ -1154,6 +1154,24 @@ object OracleSql {
 
     // ---- corpus-mixing / serving tier (round 7) -------------------------
 
+    // Largest-remainder allocation: all-integer after the IEEE-exact
+    // ⌊√count⌋ weight, so both engines agree bit-for-bit and Σalloc = B.
+    "q_budget_alloc" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_int FROM c),
+        |z AS (SELECT CAST(sum(w_int) AS BIGINT) AS z FROM w),
+        |a AS (SELECT source, n_docs, w_int,
+        |             w_int * 12345 // z AS base,
+        |             w_int * 12345 % z AS rem
+        |      FROM w, z),
+        |t AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM a),
+        |r AS (SELECT a.*, row_number() OVER (ORDER BY rem DESC, source) AS rk, t.sb
+        |      FROM a, t)
+        |SELECT source, n_docs, w_int,
+        |       CAST(base + CASE WHEN rk <= 12345 - sb THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
     // Hellinger² needs only sqrt/div/mul — all correctly rounded under
     // IEEE 754, so per-term doubles are bit-identical across engines;
     // they are fixed-pointed (1e12) and summed as integers, and the
@@ -1640,6 +1658,102 @@ object OracleSql {
         |    > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // URL decomposition mirror: every component rebuilt from the same
+    // closed-form arithmetic the Spark side embedded into the URL, so the
+    // compare proves parse_url extracts exactly what was put in.
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (['www','api','cdn','blog'])[CAST(doc_id % 4 AS INTEGER) + 1] AS sub,
+        |         (['example','sample','data','corp','site'])[CAST(doc_id % 5 AS INTEGER) + 1] AS dom,
+        |         (['com','org','net'])[CAST(doc_id % 3 AS INTEGER) + 1] AS tld
+        |  FROM documents)
+        |SELECT doc_id,
+        |       sub || '.' || dom || '.' || tld AS host,
+        |       dom || '.' || tld AS reg_domain,
+        |       tld,
+        |       '/p/' || CAST(doc_id AS VARCHAR) AS path,
+        |       CAST(doc_id % 7 AS INTEGER) AS page
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Reference-core ingest + staging mirror: every staged column
+    // recomputed from the closed-form doc_id arithmetic that synthesized
+    // the JSON payload — parsing, error/malformed routing, plausibility
+    // filter, ILIKE categories, bands, 12-hour time parse all verified.
+    "q_weather_stg" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 120 - 55 AS INTEGER) AS temperature,
+        |         (['sunny spells','light rain','cloudy sky','mist'])[CAST(doc_id % 4 AS INTEGER) + 1] AS descr,
+        |         (['N','NE','E','SE','S','SW','W','NW'])[CAST(doc_id % 8 AS INTEGER) + 1] AS wdir
+        |  FROM documents
+        |  WHERE doc_id % 9 <> 0 AND doc_id % 11 <> 1),
+        |f AS (SELECT * FROM d WHERE temperature BETWEEN -50 AND 60)
+        |SELECT trim(upper('City ' || CAST(doc_id AS VARCHAR))) AS city_clean,
+        |       trim(upper('Country ' || CAST(doc_id % 7 AS VARCHAR))) AS country_clean,
+        |       temperature,
+        |       CASE WHEN lower(descr) LIKE '%sunny%' THEN 'Clear'
+        |            WHEN lower(descr) LIKE '%rain%' THEN 'Rain'
+        |            WHEN lower(descr) LIKE '%cloud%' THEN 'Cloudy'
+        |            ELSE trim(descr) END AS weather_category,
+        |       CAST(doc_id % 101 AS INTEGER) AS humidity,
+        |       CAST(doc_id % 40 AS INTEGER) AS wind_speed,
+        |       wdir AS wind_direction,
+        |       CAST(980 + doc_id % 60 AS INTEGER) AS pressure,
+        |       CAST(doc_id % 16 AS INTEGER) AS visibility,
+        |       CAST(doc_id % 12 AS INTEGER) AS uv_index,
+        |       make_timestamp(1970, 1, 1,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN CASE WHEN doc_id % 12 + 1 = 12 THEN 0 ELSE doc_id % 12 + 1 END
+        |              ELSE CASE WHEN doc_id % 12 + 1 = 12 THEN 12 ELSE doc_id % 12 + 13 END
+        |         END,
+        |         doc_id % 60, 0) AS observation_time,
+        |       TIMESTAMP '2026-03-01 10:30:00' AS extracted_at,
+        |       TIMESTAMP '2026-03-01 09:00:00' AS data_interval_start,
+        |       CASE WHEN temperature <= -1 THEN 'Freezing'
+        |            WHEN temperature BETWEEN 0 AND 10 THEN 'Cold'
+        |            WHEN temperature BETWEEN 11 AND 20 THEN 'Mild'
+        |            WHEN temperature BETWEEN 21 AND 30 THEN 'Warm'
+        |            ELSE 'Hot' END AS temperature_category,
+        |       DATE '2026-03-01' AS extraction_date
+        |FROM f
+        |ORDER BY city_clean""".stripMargin,
+
+    // SQL-registered kernel surface: every native function's output
+    // recomputed from portable SQL — shingle_array = sorted distinct
+    // n-gram strings, sorted_intersect_count = |set intersection|,
+    // dot_fp = fixed-point list dot, quantize_int8 = the q_quantize_embed
+    // formula (proven engine-equal there), CSV-joined.
+    "q_sql_kernels" -> {
+      def sh(t: String) =
+        s"""list_sort(list_distinct(list_transform(
+           |    range(1, greatest(len(string_split($t, ' ')) - 1, 1)),
+           |    i -> array_to_string(list_slice(string_split($t, ' '), i, i + 2), ' '))))""".stripMargin
+      s"""WITH pair AS (
+         |  SELECT a.doc_id, ${sh("a.text")} AS sa, ${sh("b.text")} AS sb
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id < 50),
+         |emb AS (
+         |  SELECT ea.vec_id,
+         |         list_transform(ea.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fa,
+         |         list_transform(eb.embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fb,
+         |         CAST(list_min(ea.embedding) AS DOUBLE) AS mn,
+         |         CAST(list_max(ea.embedding) AS DOUBLE) AS mx,
+         |         ea.embedding AS va
+         |  FROM embeddings ea JOIN embeddings eb ON eb.vec_id = ea.vec_id + 1
+         |  WHERE ea.vec_id < 50)
+         |SELECT p.doc_id,
+         |       CAST(len(p.sa) AS INTEGER) AS n_shingles,
+         |       CAST(len(list_intersect(p.sa, p.sb)) AS BIGINT) AS n_common,
+         |       CAST(list_sum(list_transform(range(1, len(e.fa) + 1),
+         |              i -> e.fa[i] * e.fb[i])) AS BIGINT) AS dot,
+         |       array_to_string(list_transform(range(1, len(e.va) + 1),
+         |         i -> CAST(CASE WHEN e.mx = e.mn THEN 0
+         |                        ELSE round((CAST(e.va[i] AS DOUBLE) - e.mn) * 255.0 / (e.mx - e.mn))
+         |                   END AS INTEGER)), ',') AS codes_csv
+         |FROM pair p JOIN emb e ON e.vec_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     // IVF-PQ two-stage serving: probe lists by the double-cosine rule
     // (exact integer inputs + correctly-rounded IEEE ops = engine-equal),

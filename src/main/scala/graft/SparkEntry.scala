@@ -539,6 +539,110 @@ object SparkEntry {
     s.sql(OracleSql.all("q_scalar_subquery"))
   }
 
+  /** The REFERENCE-CORE pipeline (ingest → stg_weather) under the hard
+    * oracle gate: raw Weatherstack payloads are synthesized closed-form
+    * from doc_id (ref: dags/weatherstack_full_pipeline.py:80-107 payload
+    * shape), pushed through the REAL from_json ingest and the staging
+    * model (dbt/models/staging/stg_weather.sql), and the oracle recomputes
+    * every staged column from the same arithmetic — so JSON parsing,
+    * error-envelope routing (doc_id%9), malformed-payload routing
+    * (doc_id%11), the -50..60 plausibility filter (temps span -55..64),
+    * all four ILIKE categories and every temperature band are all
+    * result-verified, not just spec'd. `id` (xxhash64 surrogate) is
+    * excluded: not portably recomputable — its uniqueness is dbt-tested. */
+  private def qWeatherStg(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    val descs = array(lit("sunny spells"), lit("light rain"), lit("cloudy sky"), lit("mist"))
+    val dirs = array(Seq("N", "NE", "E", "SE", "S", "SW", "W", "NW").map(lit(_)): _*)
+    def m(n: Int): org.apache.spark.sql.Column = pmod(col("doc_id"), lit(n.toLong))
+    val payload = struct(
+      struct(concat(lit("City "), col("doc_id")).as("name"),
+        concat(lit("Country "), m(7)).as("country")).as("location"),
+      struct((m(120) - 55).cast("int").as("temperature"),
+        array(element_at(descs, m(4).cast("int") + 1)).as("weather_descriptions"),
+        m(101).cast("int").as("humidity"),
+        m(40).cast("int").as("wind_speed"),
+        element_at(dirs, m(8).cast("int") + 1).as("wind_dir"),
+        (m(60) + 980).cast("int").as("pressure"),
+        m(16).cast("int").as("visibility"),
+        m(12).cast("int").as("uv_index"),
+        concat(lpad((m(12) + 1).cast("string"), 2, "0"), lit(":"),
+          lpad(m(60).cast("string"), 2, "0"),
+          when(m(2) === 0, lit(" AM")).otherwise(lit(" PM"))).as("observation_time"))
+        .as("current"))
+    val raw = docs.select(
+      concat(lit("City "), col("doc_id")).as("city"),
+      when(m(9) === 0, lit("""{"error":{"code":615,"info":"no data"}}"""))
+        .when(m(11) === 1, lit("this is not json {"))
+        .otherwise(to_json(payload)).as("raw_json"))
+    val dis = java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T09:00:00Z"))
+    val now = java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T10:30:00Z"))
+    pipeline.WeatherPipeline.stgWeather(pipeline.WeatherPipeline.ingest(raw, dis, now))
+      .drop("id")
+      .orderBy(col("city_clean"))
+  }
+
+  /** URL decomposition — the crawl-pipeline step before any per-domain
+    * policy (dedup scope, robots groups, domain mixing): host, registered
+    * domain, TLD, path and a query param extracted with the engine's
+    * parse_url over closed-form synthesized URLs, so the oracle can
+    * rebuild every component from the same arithmetic — a parse_url
+    * regression (or a URL component leaking into the wrong field)
+    * hash-mismatches. Scan-linear codegen, no shuffle before the
+    * per-TLD rollup, which is a broadcastable |TLD|-row aggregate. */
+  private def qUrlParse(s: SparkSession, d: String): DataFrame = {
+    def m(n: Int): org.apache.spark.sql.Column = pmod(col("doc_id"), lit(n.toLong))
+    val subs = array(Seq("www", "api", "cdn", "blog").map(lit(_)): _*)
+    val doms = array(Seq("example", "sample", "data", "corp", "site").map(lit(_)): _*)
+    val tlds = array(Seq("com", "org", "net").map(lit(_)): _*)
+    val url = concat(lit("https://"),
+      element_at(subs, m(4).cast("int") + 1), lit("."),
+      element_at(doms, m(5).cast("int") + 1), lit("."),
+      element_at(tlds, m(3).cast("int") + 1),
+      lit("/p/"), col("doc_id"),
+      lit("?page="), m(7), lit("&ref=r"), m(11))
+    t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        substring_index(parse_url(col("url"), lit("HOST")), ".", -2).as("reg_domain"),
+        substring_index(parse_url(col("url"), lit("HOST")), ".", -1).as("tld"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).cast("int").as("page"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SQL surface of the REGISTERED native kernels (GraftExtensions:
+    * shingle_array, sorted_intersect_count, dot_fp, quantize_int8) —
+    * result transparency for the extension registry itself: the oracle
+    * recomputes every output from portable SQL (sorted-distinct n-gram
+    * strings, list intersection counts, fixed-point dots, the proven
+    * quantizer formula), so a registration or kernel regression
+    * hash-mismatches. Adjacent-id pairs keep it one broadcastable join
+    * per table. */
+  private def qSqlKernels(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").createOrReplaceTempView("documents")
+    t(s, d, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql("""
+      WITH pair AS (
+        SELECT a.doc_id, a.text AS ta, b.text AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 50),
+      emb AS (
+        SELECT ea.vec_id,
+               transform(ea.embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint)) AS fa,
+               transform(eb.embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint)) AS fb,
+               quantize_int8(ea.embedding) AS qa
+        FROM embeddings ea JOIN embeddings eb ON eb.vec_id = ea.vec_id + 1
+        WHERE ea.vec_id < 50)
+      SELECT p.doc_id,
+             size(shingle_array(p.ta, 3)) AS n_shingles,
+             sorted_intersect_count(shingle_array(p.ta, 3), shingle_array(p.tb, 3)) AS n_common,
+             dot_fp(e.fa, e.fb) AS dot,
+             array_join(e.qa.codes, ',') AS codes_csv
+      FROM pair p JOIN emb e ON e.vec_id = p.doc_id
+      ORDER BY p.doc_id""")
+  }
+
   /** Ranking-window breadth: ntile, percent_rank, cume_dist, and the
     * unbounded-frame first/last. percent_rank/cume_dist divide small
     * exact integers — IEEE division is correctly rounded, so the doubles
@@ -1806,6 +1910,14 @@ object SparkEntry {
     corpus.Mixing.domainDivergence(t(s, d, "documents"), "source", "text")
       .orderBy(col("source"))
 
+  /** Integer largest-remainder budget allocation across domains
+    * (Mixing.budgetAllocation): the mix PLANNING step — ⌊B·w⌋ base
+    * shares on ⌊√count⌋ integer weights plus one-each to the largest
+    * remainders; all-integer, so Σalloc = B exactly on both engines. */
+  private def qBudgetAlloc(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.budgetAllocation(t(s, d, "documents"), "source", budget = 12345L)
+      .orderBy(col("source"))
+
   /** Sqrt-temperature domain re-weighting (the LLM data-mixing sampler):
     * deterministic md5-percentile keep decision against a broadcast
     * per-domain weight table — the corpus never shuffles. */
@@ -1966,6 +2078,7 @@ object SparkEntry {
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_domain_stats" -> (qDomainStats _),
     "q_domain_divergence" -> (qDomainDivergence _),
+    "q_budget_alloc" -> (qBudgetAlloc _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
@@ -1984,6 +2097,9 @@ object SparkEntry {
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_audio_decode" -> (qAudioDecode _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_sql_kernels" -> (qSqlKernels _),
+    "q_url_parse" -> (qUrlParse _),
+    "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
     "q_cross_join" -> (qCrossJoin _),
     "q_nullsafe_join" -> (qNullsafeJoin _),

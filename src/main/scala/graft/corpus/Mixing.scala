@@ -138,6 +138,37 @@ object Mixing {
       .drop("w", "share")
   }
 
+  /** Integer largest-remainder BUDGET ALLOCATION per domain — the mix
+    * PLANNING step between weighting (temperatureWeights) and sampling
+    * (temperatureSample): given a total document budget B, each source
+    * gets base = ⌊B·w⌋ docs for integer weight w = ⌊√n_docs⌋ (the
+    * sqrt-temperature shape), and the Σbase..B shortfall goes one doc
+    * each to the largest remainders (ties → source name). Every step is
+    * INTEGER arithmetic on exact counts — order-free, engine-exact, and
+    * Σ alloc = B by construction (√ is IEEE-correctly-rounded and ⌊·⌋ is
+    * exact, so even the weight is bit-identical across engines).
+    *
+    * Scale shape: one count shuffle to |S| rows; the total re-aggregates
+    * that table and broadcasts back; the remainder rank is a window over
+    * the |S|-row weight table (domain-bounded, the buildVocab reasoning —
+    * never over the corpus). */
+  def budgetAllocation(docs: DataFrame, sourceCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val w = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_int", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val z = w.agg(sum(col("w_int")).as("z"))
+    val a = w.crossJoin(broadcast(z))
+      .withColumn("base", expr(s"w_int * ${budget}L div z"))
+      .withColumn("rem", expr(s"w_int * ${budget}L % z"))
+    val rk = Window.orderBy(col("rem").desc, col("source"))
+    val leftover = Window.partitionBy()
+    a.withColumn("rk", row_number().over(rk))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(leftover))
+      .select(col("source"), col("n_docs"), col("w_int"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   /** Token-budget sequence packing: within each (domain, shard), walk
     * documents in id order accumulating token counts and assign each doc
     * to the bin where its cumulative count ends: bin = (cumsum − 1) ÷

@@ -54,6 +54,20 @@ class MixingSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0))
   }
 
+  test("budgetAllocation: exact integer shares, sums to the budget, flattens skew") {
+    // skewed corpus: 100 web docs vs 4 books docs
+    val docs = corpus(100, 4)
+    val out = Mixing.budgetAllocation(docs, "source", budget = 37L)
+      .orderBy("source").collect()
+    // w = floor(sqrt(100)) = 10, floor(sqrt(4)) = 2, z = 12
+    // base: books 2*37 div 12 = 6, web 10*37 div 12 = 30; rem 2, 10
+    // leftover = 37 - 36 = 1 -> goes to web (larger remainder)
+    assert(out.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      Seq(("books", 6L), ("web", 31L)))
+    // the share ratio (31/6) is far flatter than the doc ratio (100/4)
+    assert(out.map(_.getLong(3)).sum == 37L)
+  }
+
   test("temperatureSample is deterministic, a subset, and flattens domain skew") {
     val docs = corpus(400, 50)
     val s1 = Mixing.temperatureSample(docs, "source", "doc_id", baseFrac = 0.5)
