@@ -2050,6 +2050,57 @@ object OracleSql {
         |FROM h LEFT JOIN m USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Trigram stupid-backoff mirror: same train-split models (trigram
+    // permille over full-bigram contexts, 0.4 and 0.4² as exact 2/5 and
+    // 4/25 integer ladders), same three left joins over the held-out
+    // triple stream.
+    "q_trigram_backoff" ->
+      """WITH t AS (SELECT doc_id,
+        |              string_split(text || ' tail' || CAST(doc_id % 7 AS VARCHAR)
+        |                || ' uq' || CAST(doc_id AS VARCHAR), ' ') AS toks
+        |            FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+        |             FROM t WHERE len(toks) >= 2)),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        |       FROM (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+        |             FROM t WHERE len(toks) >= 3)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |        WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |tm AS (SELECT w1, w2, w3, (1000 * c123) // c12 AS tri_milli
+        |       FROM (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+        |             WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3)
+        |       JOIN c12 USING (w1, w2)),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        WHERE doc_id % 10 <> 0 GROUP BY w),
+        |bm AS (SELECT c12.w1 AS w2, c12.w2 AS w3,
+        |              (1000 * c12.c12) // uni.c1 AS big_milli
+        |       FROM c12 JOIN uni ON uni.w = c12.w1),
+        |um AS (SELECT w AS w3,
+        |              (1000 * c1) // (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS uni_milli
+        |       FROM uni),
+        |h AS (SELECT doc_id, w1, w2, w3 FROM tg WHERE doc_id % 10 = 0),
+        |s AS (SELECT h.doc_id,
+        |             coalesce(tm.tri_milli, (2 * bm.big_milli) // 5,
+        |                      (4 * um.uni_milli) // 25, 1) AS s,
+        |             CASE WHEN tm.tri_milli IS NOT NULL THEN 1 ELSE 0 END AS h3,
+        |             CASE WHEN tm.tri_milli IS NULL AND bm.big_milli IS NOT NULL
+        |                  THEN 1 ELSE 0 END AS h2,
+        |             CASE WHEN tm.tri_milli IS NULL AND bm.big_milli IS NULL
+        |                       AND um.uni_milli IS NOT NULL THEN 1 ELSE 0 END AS h1
+        |      FROM h LEFT JOIN tm USING (w1, w2, w3)
+        |             LEFT JOIN bm USING (w2, w3)
+        |             LEFT JOIN um USING (w3))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_positions,
+        |       CAST(sum(h3) AS BIGINT) AS n_tri,
+        |       CAST(sum(h2) AS BIGINT) AS n_big,
+        |       CAST(sum(h1) AS BIGINT) AS n_uni,
+        |       CAST(count(*) - sum(h3) - sum(h2) - sum(h1) AS BIGINT) AS n_oov,
+        |       CAST(CAST(sum(s) AS BIGINT) // count(*) AS BIGINT) AS mean_milli
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The full prep pipeline: dedup survivors (recursive-CTE clusters,
     // the q_dedup_apply machinery) → quality keep (q_quality_filter's
     // rule chain) → hash split (q_train_test_split's percentile).

@@ -1598,6 +1598,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Trigram STUPID-BACKOFF scoring (text.Search.trigramBackoffApply):
+    * models train on the 90% split, the held-out 10% is scored through
+    * the full backoff ladder — trigram hit, 0.4·bigram, 0.4²·unigram,
+    * OOV floor — all in exact integer permille; the per-level histogram
+    * columns prove every branch executes under the gate. */
+  private def qTrigramBackoff(s: SparkSession, d: String): DataFrame = {
+    // the corpus vocabulary is tiny, so every held-out bigram exists in
+    // train and the lower ladder rungs would never run — append a
+    // shared-residue tail token (unigram known, bigram novel → 0.4² rung)
+    // and a per-doc unique token (true OOV → floor) closed-form, so the
+    // gate exercises all four levels
+    val docs = spread(t(s, d, "documents"), "doc_id")
+      .withColumn("text2", concat(col("text"),
+        lit(" tail"), pmod(col("doc_id"), lit(7L)), lit(" uq"), col("doc_id")))
+    graft.text.Search.trigramBackoffApply(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text2", backoffMilli = 1L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** SLIDING event-time windows (size 2 h, slide 1 h — each event lands
     * in size/slide = 2 overlapping windows): the built-in `window()`
     * generator expands in-row, then ONE hash aggregate; the other window
@@ -2098,6 +2120,7 @@ object SparkEntry {
     "q_audio_decode" -> (qAudioDecode _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_sql_kernels" -> (qSqlKernels _),
+    "q_trigram_backoff" -> (qTrigramBackoff _),
     "q_url_parse" -> (qUrlParse _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

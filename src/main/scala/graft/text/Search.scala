@@ -267,6 +267,83 @@ object Search {
         expr("sum_cond_milli div n_bigrams").as("mean_cond_milli"))
   }
 
+  /** (id, w1, w2, w3) adjacent-triple expansion — in-row, no shuffle
+    * (the trigram sibling of [[bigramPairs]]). */
+  private def trigramTriples(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol).as("id"), explode(
+        when(size(toks) >= 3,
+          transform(sequence(lit(1), size(toks) - 2),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, (i + lit(1)).cast("int")).as("w2"),
+              element_at(toks, (i + lit(2)).cast("int")).as("w3"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("tg"))
+      .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  }
+
+  /** Trigram STUPID-BACKOFF scoring (Brants et al., EMNLP'07 — the
+    * web-scale n-gram smoothing: no normalization, a fixed 0.4 penalty
+    * per backoff level) against models trained on `trainDocs`:
+    *
+    *   S(w3|w1w2) = c123/c12           if the trigram was seen
+    *              | 0.4 · c23/c2       else if the bigram was seen
+    *              | 0.4² · c3/N        else if the unigram was seen
+    *              | backoffMilli       else (true OOV)
+    *
+    * in exact integer permille — 0.4 = 2/5 and 0.4² = 4/25 stay integer
+    * ((2·b) div 5, (4·u) div 25), so scores are order-free and
+    * engine-exact. A document's score is the floor-div mean over its
+    * triple positions; n_tri/n_big/n_uni/n_oov expose the backoff-level
+    * histogram for direct thresholding (an OOV-dense crawl shard sinks
+    * on n_oov before the mean moves).
+    *
+    * Scale shape: all model tables are observed-n-gram-bounded (re-
+    * aggregations of in-row expansions of the TRAIN split, never joins
+    * against the corpus); the scored triple stream is in-row expanded
+    * and pays three size-gated joins (the price of three backoff
+    * levels) before ONE per-doc aggregate. */
+  def trigramBackoffApply(docs: DataFrame, trainDocs: DataFrame, idCol: String,
+                          textCol: String, backoffMilli: Long = 1L,
+                          broadcastModel: Option[Boolean] = None): DataFrame = {
+    val c12 = bigramPairs(trainDocs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tm = trigramTriples(trainDocs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+      .join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr("(1000 * c123) div c12").as("tri_milli"))
+    val uni = trainDocs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum(col("c1")).as("n_tok"))
+    val bm = c12.join(uni, c12("w1") === uni("w"))
+      .select(c12("w1").as("w2"), c12("w2").as("w3"),
+        expr("(1000 * c12) div c1").as("big_milli"))
+    val um = uni.crossJoin(broadcast(nTok))
+      .select(col("w").as("w3"), expr("(1000 * c1) div n_tok").as("uni_milli"))
+    trigramTriples(docs, idCol, textCol)
+      .join(sizeGated(tm, broadcastModel), Seq("w1", "w2", "w3"), "left")
+      .join(sizeGated(bm, broadcastModel), Seq("w2", "w3"), "left")
+      .join(sizeGated(um, broadcastModel), Seq("w3"), "left")
+      .select(col("id"),
+        coalesce(col("tri_milli"),
+          expr("(2 * big_milli) div 5"),
+          expr("(4 * uni_milli) div 25"),
+          lit(backoffMilli)).as("s"),
+        col("tri_milli").isNotNull.cast("long").as("h3"),
+        (col("tri_milli").isNull && col("big_milli").isNotNull).cast("long").as("h2"),
+        (col("tri_milli").isNull && col("big_milli").isNull &&
+          col("uni_milli").isNotNull).cast("long").as("h1"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("h3")).as("n_tri"), sum(col("h2")).as("n_big"),
+        sum(col("h1")).as("n_uni"), sum(col("s")).as("sum_milli"))
+      .select(col("id"), col("n_positions"), col("n_tri"), col("n_big"),
+        col("n_uni"),
+        (col("n_positions") - col("n_tri") - col("n_big") - col("n_uni")).as("n_oov"),
+        expr("sum_milli div n_positions").as("mean_milli"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09 — public method) of
     * two ranked candidate lists: score(id) = Σ_lists ⌊10^9 / (k0 +
     * rank)⌋, absent-from-a-list contributes 0. Exact integers end to end

@@ -166,6 +166,28 @@ class SearchSpec extends SparkSpec {
     assert(applied == trained && applied.nonEmpty)
   }
 
+  test("trigramBackoffApply walks the full ladder with exact integer rungs") {
+    // train: "a b c a b c" → trigrams (a,b,c)=2? no: positions (a,b,c),
+    // (b,c,a), (c,a,b), (a,b,c) → c(abc)=2, c(bca)=1, c(cab)=1
+    // bigrams: (a,b)=2 (b,c)=2 (c,a)=1; unigrams: a=2 b=2 c=2, N=6
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val held = Seq(
+      (10L, "a b c"),   // trigram hit: 1000*2 div 2 = 1000
+      (11L, "c b c"),   // tri (c,b,c) unseen; bigram (b,c)=2, c(b)=2 → 0.4·1000 = 400
+      (12L, "b b a"),   // tri+bi (b,a) unseen; uni a → 0.4²·(1000·2 div 6=333) = (4·333) div 25 = 53
+      (13L, "b b z")    // z true OOV → floor 1
+    ).toDF("doc_id", "text")
+    val out = Search.trigramBackoffApply(held, train, "doc_id", "text")
+      .orderBy("id")
+      .select($"id", $"n_positions", $"n_tri", $"n_big", $"n_uni", $"n_oov", $"mean_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 1L, 1L, 0L, 0L, 0L, 1000L),
+      (11L, 1L, 0L, 1L, 0L, 0L, 400L),
+      (12L, 1L, 0L, 0L, 1L, 0L, 53L),
+      (13L, 1L, 0L, 0L, 0L, 1L, 1L)))
+  }
+
   test("rrfFuse: both-list ids outrank single-list ids; absent side adds 0") {
     val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
     val b = Seq((11L, 1), (12L, 2)).toDF("id", "rank")
