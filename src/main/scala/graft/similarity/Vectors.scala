@@ -261,21 +261,18 @@ object Vectors {
             (-c.getField("cent_id")).as("neg_id")))))
         .filter(col("best").isNotNull)
         .select((-col("best.neg_id")).as("cent_id"), col("c_v"))
+      // the update keeps each vector IN ROW through the aggregate
+      // (ArraySumFp) — posexplode would push d× the rows through the
+      // partial hash map and shuffle a d×-larger group space
       val sums = assigned
-        .select(col("cent_id"), posexplode(col("c_v")))
-        .groupBy(col("cent_id"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(graft.functions.ArraySumFp(col("c_v")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val byCent = sums.groupBy(_.getLong(0))
+      val byCent = sums.map(r =>
+        (r.getLong(0), (r.getSeq[Long](1), r.getLong(2)))).toMap
       cents = cents.map { case (cid, prev) =>
         byCent.get(cid) match {
-          case Some(rows) =>
-            val d = prev.length
-            val next = new Array[Long](d)
-            rows.foreach { r =>
-              next(r.getInt(1)) = r.getLong(2) / r.getLong(3) // exact int mean
-            }
-            (cid, next)
+          case Some((s, n)) => (cid, s.map(_ / n).toArray) // exact int mean
           case None => (cid, prev) // empty cluster: keep previous centroid
         }
       }
@@ -524,19 +521,20 @@ object Vectors {
       val dists = transform(element_at(col("cb"), col("j") + 1), cbc =>
         svn - lit(2L) * dotFp(col("sv"), cbc.getField("_1")) + cbc.getField("_2"))
       val bestCode = (array_position(dists, array_min(dists)) - 1).cast("int")
+      // subvectors stay IN ROW through the aggregate (ArraySumFp) — the
+      // posexplode form pushed sub× the rows through the partial hash
+      // map and shuffled a sub×-larger group space
       val sums = exploded.crossJoin(broadcast(cbDf))
-        .select(col("j"), bestCode.as("code"), posexplode(col("sv")))
-        .groupBy(col("j"), col("code"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .select(col("j"), bestCode.as("code"), col("sv"))
+        .groupBy(col("j"), col("code"))
+        .agg(graft.functions.ArraySumFp(col("sv")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val byJc = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      val byJc = sums.map(r =>
+        ((r.getInt(0), r.getInt(1)), (r.getSeq[Long](2), r.getLong(3)))).toMap
       cb = cb.indices.map { c =>
         (0 until m).flatMap { j =>
           byJc.get((j, c)) match {
-            case Some(rows) =>
-              val next = new Array[Long](sub)
-              rows.foreach(r => next(r.getInt(2)) = r.getLong(3) / r.getLong(4))
-              next.toSeq
+            case Some((s, n)) => s.map(_ / n) // exact int mean
             case None => cb(c).slice(j * sub, (j + 1) * sub) // empty code
           }
         }
