@@ -1729,7 +1729,11 @@ object OracleSql {
         s"""list_sort(list_distinct(list_transform(
            |    range(1, greatest(len(string_split($t, ' ')) - 1, 1)),
            |    i -> array_to_string(list_slice(string_split($t, ' '), i, i + 2), ' '))))""".stripMargin
-      s"""WITH pair AS (
+      val sigs = (1 to 4).map(i => s"min(h1 + $i * h2) AS sig_$i").mkString(", ")
+      val sigsCsv = (1 to 4).map(i => s"CAST(sig_$i AS VARCHAR)").mkString("concat_ws(',', ", ", ", ")")
+      s"""WITH $shinglesCte,
+         |$simhashCte,
+         |pair AS (
          |  SELECT a.doc_id, ${sh("a.text")} AS sa, ${sh("b.text")} AS sb
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |  WHERE a.doc_id < 50),
@@ -1741,7 +1745,24 @@ object OracleSql {
          |         CAST(list_max(ea.embedding) AS DOUBLE) AS mx,
          |         ea.embedding AS va
          |  FROM embeddings ea JOIN embeddings eb ON eb.vec_id = ea.vec_id + 1
-         |  WHERE ea.vec_id < 50)
+         |  WHERE ea.vec_id < 50),
+         |sigs AS (
+         |  SELECT id, $sigsCsv AS sigs_csv FROM (
+         |    SELECT id,
+         |           $sigs
+         |    FROM (SELECT id,
+         |                 CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |                 CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |          FROM sh WHERE id < 50) GROUP BY id)),
+         |gse AS (
+         |  SELECT vec_id % 5 AS g, unnest(fv) AS v, unnest(range(1, len(fv) + 1)) AS pos
+         |  FROM (SELECT vec_id,
+         |               list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+         |        FROM embeddings WHERE vec_id < 50)),
+         |gs AS (
+         |  SELECT g, array_to_string(list(CAST(s AS VARCHAR) ORDER BY pos), ',') AS gsum_csv FROM (
+         |    SELECT g, pos, CAST(sum(v) AS BIGINT) AS s FROM gse GROUP BY g, pos)
+         |  GROUP BY g)
          |SELECT p.doc_id,
          |       CAST(len(p.sa) AS INTEGER) AS n_shingles,
          |       CAST(len(list_intersect(p.sa, p.sb)) AS BIGINT) AS n_common,
@@ -1750,8 +1771,15 @@ object OracleSql {
          |       array_to_string(list_transform(range(1, len(e.va) + 1),
          |         i -> CAST(CASE WHEN e.mx = e.mn THEN 0
          |                        ELSE round((CAST(e.va[i] AS DOUBLE) - e.mn) * 255.0 / (e.mx - e.mn))
-         |                   END AS INTEGER)), ',') AS codes_csv
-         |FROM pair p JOIN emb e ON e.vec_id = p.doc_id
+         |                   END AS INTEGER)), ',') AS codes_csv,
+         |       sh16.simhash AS simhash,
+         |       sigs.sigs_csv AS sigs_csv,
+         |       gs.gsum_csv AS gsum_csv
+         |FROM pair p
+         |JOIN emb e ON e.vec_id = p.doc_id
+         |JOIN sh16 ON sh16.id = p.doc_id
+         |JOIN sigs ON sigs.id = p.doc_id
+         |JOIN gs ON gs.g = p.doc_id % 5
          |ORDER BY p.doc_id""".stripMargin
     },
 

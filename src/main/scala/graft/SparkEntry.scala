@@ -612,13 +612,16 @@ object SparkEntry {
   }
 
   /** The SQL surface of the REGISTERED native kernels (GraftExtensions:
-    * shingle_array, sorted_intersect_count, dot_fp, quantize_int8) —
+    * shingle_array, sorted_intersect_count, dot_fp, quantize_int8,
+    * simhash_fp, minhash_sigs_fp, and the array_sum_fp aggregate) —
     * result transparency for the extension registry itself: the oracle
     * recomputes every output from portable SQL (sorted-distinct n-gram
     * strings, list intersection counts, fixed-point dots, the proven
-    * quantizer formula), so a registration or kernel regression
-    * hash-mismatches. Adjacent-id pairs keep it one broadcastable join
-    * per table. */
+    * quantizer formula, token-vote simhash bits, double-hash minhash
+    * minima, grouped elementwise vector sums), so a registration or
+    * kernel regression hash-mismatches. Adjacent-id pairs keep it one
+    * broadcastable join per table; the aggregate groups 49 vectors into
+    * 5 residue classes. */
   private def qSqlKernels(s: SparkSession, d: String): DataFrame = {
     t(s, d, "documents").createOrReplaceTempView("documents")
     t(s, d, "embeddings").createOrReplaceTempView("embeddings")
@@ -633,13 +636,23 @@ object SparkEntry {
                transform(eb.embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint)) AS fb,
                quantize_int8(ea.embedding) AS qa
         FROM embeddings ea JOIN embeddings eb ON eb.vec_id = ea.vec_id + 1
-        WHERE ea.vec_id < 50)
+        WHERE ea.vec_id < 50),
+      gs AS (
+        SELECT vec_id % 5 AS g,
+               array_sum_fp(transform(embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint))) AS s
+        FROM embeddings WHERE vec_id < 50 GROUP BY vec_id % 5)
       SELECT p.doc_id,
              size(shingle_array(p.ta, 3)) AS n_shingles,
              sorted_intersect_count(shingle_array(p.ta, 3), shingle_array(p.tb, 3)) AS n_common,
              dot_fp(e.fa, e.fb) AS dot,
-             array_join(e.qa.codes, ',') AS codes_csv
-      FROM pair p JOIN emb e ON e.vec_id = p.doc_id
+             array_join(e.qa.codes, ',') AS codes_csv,
+             simhash_fp(p.ta) AS simhash,
+             array_join(transform(minhash_sigs_fp(shingle_array(p.ta, 3), 4),
+                                  x -> cast(x AS string)), ',') AS sigs_csv,
+             array_join(transform(gs.s, x -> cast(x AS string)), ',') AS gsum_csv
+      FROM pair p
+      JOIN emb e ON e.vec_id = p.doc_id
+      JOIN gs ON gs.g = p.doc_id % 5
       ORDER BY p.doc_id""")
   }
 

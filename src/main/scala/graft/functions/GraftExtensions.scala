@@ -51,6 +51,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "quantize_int8 expects exactly 1 argument")
         QuantizeInt8Fp(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_fp expects exactly 1 argument")
+        SimHashFp(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs_fp"),
+      new ExpressionInfo(classOf[MinHashSigsFp].getName, "minhash_sigs_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sigs_fp expects (shingles, k)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k: Integer, _) =>
+            MinHashSigsFp(children.head, k)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs_fp k must be an integer literal, got $other")
+        }
+      }))
+    // aggregate: the analyzer wraps a resolved AggregateFunction in an
+    // AggregateExpression, so the plain-expression builder suffices
+    ext.injectFunction((
+      new FunctionIdentifier("array_sum_fp"),
+      new ExpressionInfo(classOf[ArraySumFp].getName, "array_sum_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "array_sum_fp expects exactly 1 argument")
+        ArraySumFp(children.head)
+      }))
     ext.injectOptimizerRule(_ => RewriteSortedIntersectCount)
   }
 }

@@ -58,6 +58,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_fp, minhash_sigs_fp and array_sum_fp are callable from SQL") {
+    withExtendedSession { spark =>
+      // each SQL call must equal its Column-API twin
+      val sh = spark.sql("SELECT simhash_fp('a b c') AS h").collect().head.getString(0)
+      assert(sh == SimHashFp.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c")).toString)
+      val sig = spark.sql(
+        "SELECT minhash_sigs_fp(shingle_array('a b c d', 3), 4) AS s")
+        .collect().head.getSeq[Long](0)
+      assert(sig.length == 4 && sig.forall(_ >= 0))
+      val agg = spark.sql(
+        """SELECT array_sum_fp(v) AS s FROM
+          |  (SELECT array(1L, 2L) AS v UNION ALL SELECT array(10L, 20L))""".stripMargin)
+        .collect().head.getSeq[Long](0)
+      assert(agg == Seq(11L, 22L))
+    }
+  }
+
   test("optimizer rewrites size(array_intersect) over provably sorted-distinct arrays") {
     withExtendedSession { spark =>
       // RDD-backed input — a local Seq relation would be folded away
