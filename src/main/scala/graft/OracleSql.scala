@@ -1662,6 +1662,71 @@ object OracleSql {
     // URL decomposition mirror: every component rebuilt from the same
     // closed-form arithmetic the Spark side embedded into the URL, so the
     // compare proves parse_url extracts exactly what was put in.
+    // Containment mirror: ALL shared-shingle pairs (no pruning — the
+    // oracle is the naive quadratic form the prefix filter must equal),
+    // both directed containments from exact integer counts.
+    "q_containment" ->
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE) / ca.n_sh AS c_ab,
+         |       CAST(n_inter AS DOUBLE) / cb.n_sh AS c_ba
+         |FROM inter
+         |JOIN counts ca ON ca.id = id_a
+         |JOIN counts cb ON cb.id = id_b
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / ca.n_sh,
+         |               CAST(n_inter AS DOUBLE) / cb.n_sh) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Canonical-URL dedup: the oracle recomputes the expected canonical
+    // form and group size straight from the doc_id arithmetic that
+    // synthesized the variants — Spark must get there by actually
+    // parsing and normalizing the messy URL.
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id // 3 AS b FROM documents)
+        |SELECT 'https://' ||
+        |         (['www','api','cdn','blog'])[CAST(b % 4 AS INTEGER) + 1] || '.' ||
+        |         (['example','sample','data','corp','site'])[CAST(b % 5 AS INTEGER) + 1] || '.' ||
+        |         (['com','org','net'])[CAST(b % 3 AS INTEGER) + 1] ||
+        |         '/p/' || CAST(b AS VARCHAR) ||
+        |         '?page=' || CAST(b % 7 AS VARCHAR) AS canonical_url,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_variants
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Rolling z-score over exact-integer power sums; the double
+    // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
+    // are correctly-rounded IEEE ⇒ bit-equal).
+    "q_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT day, n,
+        |         sum(n) OVER w AS s7,
+        |         sum(n * n) OVER w AS ss7,
+        |         count(n) OVER w AS c7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, n,
+        |         CAST(s7 AS DOUBLE) / c7 AS mean7,
+        |         CASE WHEN (CAST(ss7 AS DOUBLE)
+        |                    - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / c7) / (c7 - 1) > 0
+        |              THEN (CAST(n AS DOUBLE) - CAST(s7 AS DOUBLE) / c7)
+        |                   / sqrt((CAST(ss7 AS DOUBLE)
+        |                           - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE) / c7) / (c7 - 1))
+        |         END AS z
+        |  FROM st WHERE c7 = 7)
+        |SELECT day, n, mean7, z,
+        |       COALESCE(abs(z) >= 2.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY day""".stripMargin,
+
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,

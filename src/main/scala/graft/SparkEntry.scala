@@ -611,6 +611,79 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization + dedup — the crawl-frontier normalization
+    * every web pipeline runs before per-URL dedup (tracking params,
+    * host case, trailing slashes and fragments all alias the same
+    * resource): three synthesized variants per base URL (mixed-case
+    * host + utm param; trailing slash + fragment; clean) are REALLY
+    * parsed back with the engine's parse_url, the host lowercased, the
+    * fragment/tracking params dropped by whitelist reassembly, the
+    * trailing slash trimmed — then grouped by the canonical form. The
+    * oracle recomputes the expected canonical URL and group size from
+    * the same doc_id arithmetic, so any parse/normalize slip
+    * hash-mismatches. Scan-linear codegen into ONE group-by exchange on
+    * the canonical key; group cardinality = |base URLs|, never skewed
+    * beyond the 3-variant fan-in. */
+  private def qUrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val b = expr("doc_id div 3")
+    def mb(n: Int): org.apache.spark.sql.Column = pmod(b, lit(n.toLong))
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val subs = array(Seq("www", "api", "cdn", "blog").map(lit(_)): _*)
+    val doms = array(Seq("example", "sample", "data", "corp", "site").map(lit(_)): _*)
+    val tlds = array(Seq("com", "org", "net").map(lit(_)): _*)
+    val host = concat(
+      element_at(subs, mb(4).cast("int") + 1), lit("."),
+      element_at(doms, mb(5).cast("int") + 1), lit("."),
+      element_at(tlds, mb(3).cast("int") + 1))
+    val url = concat(lit("https://"),
+      when(m3 === 1, upper(host)).otherwise(host),
+      lit("/p/"), b,
+      when(m3 === 2, lit("/")).otherwise(lit("")),
+      lit("?page="), mb(7),
+      when(m3 === 1, lit("&utm_source=feed")).otherwise(lit("")),
+      when(m3 === 2, lit("#sec")).otherwise(lit("")))
+    t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), concat(lit("https://"),
+        lower(parse_url(col("url"), lit("HOST"))),
+        rtrim(parse_url(col("url"), lit("PATH")), "/"),
+        lit("?page="), parse_url(col("url"), lit("QUERY"), lit("page")))
+        .as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy(col("canonical_url"))
+  }
+
+  /** Ingest-volume anomaly detection — the monitoring query a
+    * continuous-ingest deployment runs over its own landing table: daily
+    * event counts z-scored against the trailing 7 full days. The daily
+    * aggregate is ONE map-side-partial exchange whose output is
+    * calendar-bounded (days, not events), so the unpartitioned ordered
+    * window over it is safe at ANY corpus scale; all window sums are
+    * exact integers and the mean/variance/z doubles are computed with
+    * the identical expression tree on both engines (sum/div/sqrt are
+    * correctly-rounded IEEE ops ⇒ bit-equal hashes). Variance uses the
+    * integer power sums (s7, ss7) cast to double BEFORE the arithmetic —
+    * n_day can reach 1e9 at web scale and s7² would overflow BIGINT. */
+  private def qAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val st = daily.select(col("day"), col("n"),
+      sum(col("n")).over(w).as("s7"),
+      sum(col("n") * col("n")).over(w).as("ss7"),
+      count(col("n")).over(w).as("c7"))
+      .filter(col("c7") === 7)
+    val mean = col("s7").cast("double") / col("c7")
+    val variance = (col("ss7").cast("double") -
+      col("s7").cast("double") * col("s7").cast("double") / col("c7")) / (col("c7") - 1)
+    st.select(col("day"), col("n"), mean.as("mean7"),
+        when(variance > 0,
+          (col("n").cast("double") - mean) / sqrt(variance)).as("z"))
+      .withColumn("is_anomaly", col("z").isNotNull && abs(col("z")) >= 2.0)
+      .orderBy(col("day"))
+  }
+
   /** The SQL surface of the REGISTERED native kernels (GraftExtensions:
     * shingle_array, sorted_intersect_count, dot_fp, quantize_int8,
     * simhash_fp, minhash_sigs_fp, and the array_sum_fp aggregate) —
@@ -1875,6 +1948,11 @@ object SparkEntry {
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
+  private def qContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
+      n = 3, tau = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qCosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Vectors.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
@@ -2103,6 +2181,7 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_chunks" -> (qChunks _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),
     "q_cosine_topk" -> (qCosineTopK _),
@@ -2135,6 +2214,8 @@ object SparkEntry {
     "q_sql_kernels" -> (qSqlKernels _),
     "q_trigram_backoff" -> (qTrigramBackoff _),
     "q_url_parse" -> (qUrlParse _),
+    "q_url_canonical" -> (qUrlCanonical _),
+    "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
     "q_cross_join" -> (qCrossJoin _),

@@ -224,6 +224,63 @@ object Dedup {
     jaccardFromSets(candidates, sets, threshold).distinct()
   }
 
+  /** Asymmetric set-CONTAINMENT near-dup: C(A→B) = |A∩B| / |A| — the
+    * doc-contains-doc detector Jaccard misses (a quote, an excerpt, or a
+    * page embedded in a larger page has high containment but low Jaccard
+    * once sizes diverge; LLM dedup fleets run both). Candidate
+    * generation extends the PPJoin prefix argument to the DIRECTED
+    * measure: if C(A→B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉, so A's first
+    * |A| − ⌈τ·|A|⌉ + 1 shingles in canonical (df-ascending) order must
+    * hit B SOMEWHERE — the suffix alone is too short to carry the
+    * overlap. Only the source side prunes (the containing side can be
+    * arbitrarily larger, so no length filter applies); candidates are
+    * prefix(A) ⋈ full-index(B) on the hashed shingle, which covers both
+    * directions of every qualifying unordered pair because at least one
+    * endpoint's prefix must hit the other. The equi-join spills (no
+    * per-group array is ever built), and the prefix side carries each
+    * doc's RAREST shingles so the per-key fan-out is the df of a rare
+    * gram on natural corpora; candidates are then verified EXACTLY
+    * against the string-set table (hash collisions only admit extra
+    * candidates). Returns (id_a, id_b, c_ab, c_ba) with id_a < id_b and
+    * max(c_ab, c_ba) ≥ τ.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau=$tau out of range (0, 1]")
+    val sets = persistedSets(docs, idCol, textCol, n)
+    val index = persistedOrderIndex(sets)
+    val prefix = index.select(col("id"),
+      explode(slice(col("ord_sh"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int"))).as("sh"))
+    val full = index.select(col("id"), explode(col("ord_sh")).as("sh"))
+    val cand = prefix.as("a").join(full.as("b"), Seq("sh"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    // verify-then-distinct, as in ngramJaccardPairs: a pair re-verifies
+    // once per shared prefix shingle (bounded by the prefix length) and
+    // the bit-identical verified rows collapse in the tiny final distinct
+    containmentFromSets(cand, sets, tau).distinct()
+  }
+
+  /** Exact containment verification for candidate pairs against the
+    * `sets` frame — same two-equi-join + codegen merge-walk shape as
+    * [[jaccardFromSets]], emitting BOTH directed containments. */
+  private def containmentFromSets(candidates: DataFrame, sets: DataFrame,
+                                  tau: Double): DataFrame = {
+    val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
+    val cand = candidates.repartition(graft.Par.widthFor(sets), col("id_a"))
+    cand
+      .join(s.as("sa"), col("id_a") === col("sa.id"))
+      .join(s.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount(col("sa.sh_arr"), col("sb.sh_arr")))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") / col("sa.n_sh")).as("c_ab"),
+        (col("n_inter").cast("double") / col("sb.n_sh")).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= tau)
+  }
+
   /** Benchmark-contamination check — the n-gram decontamination pass LLM
     * training pipelines run against eval sets (the 13-gram collision
     * filters described in public LM reports; here the n is a parameter):

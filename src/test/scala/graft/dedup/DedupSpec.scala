@@ -38,6 +38,42 @@ class DedupSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("containmentPairs catches doc-contains-doc that jaccard misses") {
+    // doc 8 EMBEDS doc 7 verbatim inside much more text: containment
+    // C(7→8) = 1.0 while the jaccard dilutes below any useful threshold
+    val cdocs = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (8L, "one two three alpha beta gamma delta epsilon four five six " +
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen"),
+      (9L, "entirely unrelated words in this third document body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs, "doc_id", "text", n = 3, tau = 0.9)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((7L, 8L)))
+    val (_, _, cAb, cBa) = out.head
+    assert(cAb == 1.0)       // every trigram of 7 appears in 8
+    assert(cBa < 0.9)        // 8 is much larger — asymmetry is the point
+    val j = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!j.exists(p => p._1 == 7L && p._2 == 8L)) // jaccard-blind pair
+  }
+
+  test("containmentPairs equals the naive all-pairs form") {
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.6)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double, Double)].collect().toSeq
+    // naive: every unordered pair via full sets, no pruning
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .as[(Long, Seq[String], Long)].collect()
+      .filter(_._3 > 0).map(r => (r._1, r._2.toSet)).toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size.toDouble
+      cab = inter / sets(a).size; cba = inter / sets(b).size
+      if math.max(cab, cba) >= 0.6
+    } yield (a, b, cab, cba)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs == naive)
+  }
+
   test("minhashLshPairs candidates verified by true jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.99)
