@@ -1699,6 +1699,31 @@ object OracleSql {
         |       count(*) AS n_variants
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Integer-exact PageRank, three rounds unrolled CTE-for-CTE;
+    // sum(BIGINT) is HUGEINT in DuckDB, so every contribution sum casts
+    // back down before the damping arithmetic.
+    "q_domain_rank" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""c$t AS (
+           |  SELECT ed.dst, CAST(sum(r${t - 1}.r // ed.deg) AS BIGINT) AS s
+           |  FROM ed JOIN r${t - 1} ON r${t - 1}.v = ed.src GROUP BY 1),
+           |r$t AS (
+           |  SELECT n.v,
+           |         CAST(150000000000 + (17 * COALESCE(c$t.s, 0)) // 20 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$t ON c$t.dst = n.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+         |  FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT v AS domain, r AS rank FROM r3 ORDER BY domain""".stripMargin
+    },
+
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
     // are correctly-rounded IEEE ⇒ bit-equal).

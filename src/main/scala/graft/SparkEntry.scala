@@ -653,6 +653,24 @@ object SparkEntry {
       .orderBy(col("canonical_url"))
   }
 
+  /** Crawl-prioritization domain ranking — integer-exact PageRank
+    * (ops.Graphs.pageRankInt) over a synthesized domain link graph
+    * (src = doc_id%20, dst = (7·doc_id+3)%20, self-loops dropped,
+    * edges distinct). Three iterations, each ONE node-keyed join + ONE
+    * destination-keyed aggregation over the persisted degree-annotated
+    * edge list; all arithmetic is order-free integer math (rank div
+    * outdeg, damping as (17·s) div 20), which is the only way an
+    * iterative float algorithm can sit under an exact-hash gate — the
+    * oracle unrolls the same three rounds CTE-for-CTE. */
+  private def qDomainRank(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "documents").select(
+      pmod(col("doc_id"), lit(20L)).as("src"),
+      pmod(col("doc_id") * 7 + 3, lit(20L)).as("dst"))
+    ops.Graphs.pageRankInt(edges, "src", "dst", iters = 3)
+      .select(col("v").as("domain"), col("r").as("rank"))
+      .orderBy(col("domain"))
+  }
+
   /** Ingest-volume anomaly detection — the monitoring query a
     * continuous-ingest deployment runs over its own landing table: daily
     * event counts z-scored against the trailing 7 full days. The daily
@@ -2216,6 +2234,7 @@ object SparkEntry {
     "q_url_parse" -> (qUrlParse _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
     "q_cross_join" -> (qCrossJoin _),
