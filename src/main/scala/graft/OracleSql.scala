@@ -1152,6 +1152,33 @@ object OracleSql {
          |  AND ${cosineExpr("x", "y")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup apply: the q_embed_neardup pair CTE feeds a recursive
+    // transitive closure (component id = min reachable vector over the
+    // undirected near-dup edge set), then every vector left-joins its
+    // cluster; keep = cluster minimum (vectors in no cluster keep
+    // themselves).
+    "q_semdedup" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |p AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE x.nn > 0 AND y.nn > 0 AND ${cosineExpr("x", "y")} >= 0.4),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT e.vec_id,
+         |       COALESCE(cl.cluster_id, e.vec_id) AS cluster_id,
+         |       COALESCE(cl.cluster_id, e.vec_id) = e.vec_id AS keep
+         |FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
     // ---- corpus-mixing / serving tier (round 7) -------------------------
 
     // Largest-remainder allocation: all-integer after the IEEE-exact
@@ -1724,6 +1751,30 @@ object OracleSql {
          |SELECT v AS domain, r AS rank FROM r3 ORDER BY domain""".stripMargin
     },
 
+    // Blocklist audit: each pattern count recomputed portably as the
+    // replace-delta — equal to the Aho-Corasick all-occurrence count
+    // because the phrases are border-free (occurrences cannot
+    // self-overlap).
+    "q_blocklist" ->
+      """WITH c AS (
+        |  SELECT source,
+        |         (length(text) - length(replace(text, 'scan query', ''))) // 10 AS c1,
+        |         (length(text) - length(replace(text, 'fast join', ''))) // 9 AS c2,
+        |         (length(text) - length(replace(text, 'table scan', ''))) // 10 AS c3,
+        |         (length(text) - length(replace(text, 'slow query', ''))) // 10 AS c4,
+        |         (length(text) - length(replace(text, 'big data', ''))) // 8 AS c5
+        |  FROM documents)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN c1 + c2 + c3 + c4 + c5 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(sum(c1 + c2 + c3 + c4 + c5) AS BIGINT) AS total_hits,
+        |       CAST(CAST(sum(c1) AS BIGINT) AS VARCHAR) || ',' ||
+        |       CAST(CAST(sum(c2) AS BIGINT) AS VARCHAR) || ',' ||
+        |       CAST(CAST(sum(c3) AS BIGINT) AS VARCHAR) || ',' ||
+        |       CAST(CAST(sum(c4) AS BIGINT) AS VARCHAR) || ',' ||
+        |       CAST(CAST(sum(c5) AS BIGINT) AS VARCHAR) AS pattern_totals_csv
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
     // are correctly-rounded IEEE ⇒ bit-equal).
@@ -1824,7 +1875,7 @@ object OracleSql {
       s"""WITH $shinglesCte,
          |$simhashCte,
          |pair AS (
-         |  SELECT a.doc_id, ${sh("a.text")} AS sa, ${sh("b.text")} AS sb
+         |  SELECT a.doc_id, a.text AS ta, ${sh("a.text")} AS sa, ${sh("b.text")} AS sb
          |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |  WHERE a.doc_id < 50),
          |emb AS (
@@ -1864,6 +1915,9 @@ object OracleSql {
          |                   END AS INTEGER)), ',') AS codes_csv,
          |       sh16.simhash AS simhash,
          |       sigs.sigs_csv AS sigs_csv,
+         |       CAST((length(p.ta) - length(replace(p.ta, 'scan query', ''))) // 10 AS VARCHAR)
+         |         || ',' ||
+         |       CAST((length(p.ta) - length(replace(p.ta, 'big data', ''))) // 8 AS VARCHAR) AS mpc_csv,
          |       gs.gsum_csv AS gsum_csv
          |FROM pair p
          |JOIN emb e ON e.vec_id = p.doc_id

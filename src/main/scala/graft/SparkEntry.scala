@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{ArraySumFp, MultiPatternCount}
 import graft.ops.Relational
 import graft.text.TextOps
 import graft.dedup.Dedup
@@ -702,6 +703,36 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Blocklist / phrase-filter audit — the crawl-hygiene pass that
+    * screens every document against a phrase blocklist and reports
+    * per-source hit totals. The portable formulation is P chained
+    * contains/replace passes (P full scans of every document; a real
+    * blocklist is thousands of phrases); the
+    * [[graft.functions.MultiPatternCount]] Aho-Corasick kernel matches
+    * ALL patterns in ONE byte-level walk — O(len + matches) per document
+    * regardless of blocklist size — and returns the per-pattern count
+    * vector in row. Per-pattern corpus totals then flow through the
+    * array_sum_fp elementwise aggregate (one d-length array per
+    * (source, map task) crosses the exchange, never d× exploded rows).
+    * Scan-linear into ONE group-by exchange on `source`; the oracle
+    * recomputes each count portably as the replace-delta (equal to the
+    * automaton's all-occurrence count because the phrases are
+    * border-free, so occurrences cannot self-overlap). */
+  private def qBlocklist(s: SparkSession, d: String): DataFrame = {
+    val pats = Seq("scan query", "fast join", "table scan", "slow query", "big data")
+    val total = pats.indices.map(i => element_at(col("c"), i + 1)).reduce(_ + _)
+    t(s, d, "documents")
+      .select(col("source"), MultiPatternCount(col("text"), pats).as("c"))
+      .select(col("source"), col("c"), total.as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits")).as("total_hits"),
+        array_join(ArraySumFp(col("c")).cast("array<string>"), ",")
+          .as("pattern_totals_csv"))
+      .orderBy(col("source"))
+  }
+
   /** The SQL surface of the REGISTERED native kernels (GraftExtensions:
     * shingle_array, sorted_intersect_count, dot_fp, quantize_int8,
     * simhash_fp, minhash_sigs_fp, and the array_sum_fp aggregate) —
@@ -740,6 +771,8 @@ object SparkEntry {
              simhash_fp(p.ta) AS simhash,
              array_join(transform(minhash_sigs_fp(shingle_array(p.ta, 3), 4),
                                   x -> cast(x AS string)), ',') AS sigs_csv,
+             array_join(transform(multi_pattern_count(p.ta, 'scan query', 'big data'),
+                                  x -> cast(x AS string)), ',') AS mpc_csv,
              array_join(transform(gs.s, x -> cast(x AS string)), ',') AS gsum_csv
       FROM pair p
       JOIN emb e ON e.vec_id = p.doc_id
@@ -2024,6 +2057,29 @@ object SparkEntry {
       threshold = 0.4, bits = 4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SemDeDup-style semantic dedup END-TO-END (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding near-duplicate pairs (sign-LSH
+    * bucketed candidate generation — never the n² cross product) feed
+    * the distributed connected-components resolver, and every vector
+    * gets its semantic-cluster id plus the keep/drop decision
+    * (canonical = cluster minimum). This is the curation pass that
+    * removes paraphrases and re-encodings exact/minhash dedup cannot
+    * see. Pair volume is bucket-bounded, the CC loop shuffles only the
+    * near-dup VERTEX set (≪ corpus), and the final decision is one
+    * left join back to the corpus — each stage holds at 100 TB. */
+  private def qSemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Vectors.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, bits = 4)
+    val clusters = Dedup.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(clusters, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------- corpus-mixing / serving tier (round 7)
 
   /** Per-domain corpus report (counts, token volume, languages, exact
@@ -2208,6 +2264,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_semdedup" -> (qSemDedup _),
     "q_domain_stats" -> (qDomainStats _),
     "q_domain_divergence" -> (qDomainDivergence _),
     "q_budget_alloc" -> (qBudgetAlloc _),
@@ -2234,6 +2291,7 @@ object SparkEntry {
     "q_url_parse" -> (qUrlParse _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_blocklist" -> (qBlocklist _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

@@ -70,6 +70,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sigs_fp k must be an integer literal, got $other")
         }
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("multi_pattern_count"),
+      new ExpressionInfo(classOf[MultiPatternCount].getName, "multi_pattern_count"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2,
+          "multi_pattern_count expects (text, pattern, pattern, ...)")
+        val pats = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(u, _) if u != null =>
+            u.toString
+          case other => throw new IllegalArgumentException(
+            s"multi_pattern_count patterns must be non-null string literals, got $other")
+        }
+        MultiPatternCount(children.head, pats)
+      }))
     // aggregate: the analyzer wraps a resolved AggregateFunction in an
     // AggregateExpression, so the plain-expression builder suffices
     ext.injectFunction((
