@@ -1709,6 +1709,34 @@ object OracleSql {
          |               CAST(n_inter AS DOUBLE) / cb.n_sh) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Robots longest-prefix policy: rules rebuilt closed-form per
+    // domain; the winner per URL is arg_max over the (unique) matched
+    // prefix length — most-specific-wins, the robots.txt evaluation
+    // order.
+    "q_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (['example','sample','data','corp','site'])[CAST(doc_id % 5 AS INTEGER) + 1] || '.' ||
+        |         (['com','org','net'])[CAST(doc_id % 3 AS INTEGER) + 1] AS reg_domain,
+        |         (CASE WHEN doc_id % 3 = 1 THEN '/img/' ELSE '/p/' END)
+        |           || CAST(doc_id // 3 AS VARCHAR) AS path
+        |  FROM documents),
+        |d AS (SELECT DISTINCT reg_domain FROM u),
+        |r AS (
+        |  SELECT reg_domain, '/' AS rule_path, TRUE AS allow FROM d
+        |  UNION ALL SELECT reg_domain, '/img/', FALSE FROM d
+        |  UNION ALL SELECT reg_domain, '/p/', ord(substr(reg_domain, 1, 1)) % 2 = 0 FROM d
+        |  UNION ALL SELECT reg_domain, '/p/3', TRUE FROM d),
+        |mt AS (
+        |  SELECT u.doc_id, u.reg_domain, u.path, r.rule_path, r.allow,
+        |         length(r.rule_path) AS rlen
+        |  FROM u JOIN r ON r.reg_domain = u.reg_domain
+        |              AND starts_with(u.path, r.rule_path))
+        |SELECT doc_id, reg_domain, path,
+        |       arg_max(rule_path, rlen) AS rule_path,
+        |       arg_max(allow, rlen) AS allowed
+        |FROM mt GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
     // Canonical-URL dedup: the oracle recomputes the expected canonical
     // form and group size straight from the doc_id arithmetic that
     // synthesized the variants — Spark must get there by actually

@@ -612,6 +612,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Robots-policy filtering — the admission decision every crawl
+    * pipeline makes per URL: match the URL's path against its domain's
+    * robots rule group and apply the LONGEST-matching-prefix rule
+    * (most-specific-wins, the documented robots.txt evaluation order).
+    * The rule table is a per-domain dim (|domains|·|rules| rows) built
+    * engine-side from the corpus's own registered domains, so the join
+    * is a BROADCAST prefix-predicate join (equi on domain +
+    * `startswith` residual) — the URL scan never shuffles, and the
+    * winning rule per URL is a deterministic arg-max over an ordered
+    * (prefix-length, rule, allow) struct: two distinct prefixes of the
+    * same path and length must be equal, so the length key alone is
+    * already unique per group. The oracle rebuilds URLs, rules and the
+    * longest-prefix winner from the same closed-form arithmetic. */
+  private def qRobotsFilter(s: SparkSession, d: String): DataFrame = {
+    def m(n: Int): org.apache.spark.sql.Column = pmod(col("doc_id"), lit(n.toLong))
+    val doms = array(Seq("example", "sample", "data", "corp", "site").map(lit(_)): _*)
+    val tlds = array(Seq("com", "org", "net").map(lit(_)): _*)
+    val urls = t(s, d, "documents").select(col("doc_id"),
+      concat(element_at(doms, m(5).cast("int") + 1), lit("."),
+        element_at(tlds, m(3).cast("int") + 1)).as("reg_domain"),
+      concat(when(m(3) === 1, lit("/img/")).otherwise(lit("/p/")),
+        expr("doc_id div 3")).as("path"))
+    // per-domain rule group: default-allow root, blocked image dir, a
+    // domain-keyed policy on /p/ (closed-form: first-letter parity), and
+    // a specific /p/3 override that outranks /p/ by length
+    val rules = urls.select(col("reg_domain")).distinct()
+      .select(col("reg_domain"), explode(array(
+        struct(lit("/").as("rule_path"), lit(true).as("allow")),
+        struct(lit("/img/").as("rule_path"), lit(false).as("allow")),
+        struct(lit("/p/").as("rule_path"),
+          (ascii(substring(col("reg_domain"), 1, 1)) % 2 === 0).as("allow")),
+        struct(lit("/p/3").as("rule_path"), lit(true).as("allow")))).as("r"))
+      .select(col("reg_domain"), col("r.rule_path"), col("r.allow"))
+    urls.as("u").join(broadcast(rules.as("r")),
+        col("u.reg_domain") === col("r.reg_domain") &&
+          col("u.path").startsWith(col("r.rule_path")))
+      .groupBy(col("doc_id"), col("u.reg_domain").as("reg_domain"), col("u.path").as("path"))
+      .agg(max(struct(length(col("r.rule_path")).as("l"),
+        col("r.rule_path").as("p"), col("r.allow").as("a"))).as("w"))
+      .select(col("doc_id"), col("reg_domain"), col("path"),
+        col("w.p").as("rule_path"), col("w.a").as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization + dedup — the crawl-frontier normalization
     * every web pipeline runs before per-URL dedup (tracking params,
     * host case, trailing slashes and fragments all alias the same
@@ -2292,6 +2336,7 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_blocklist" -> (qBlocklist _),
+    "q_robots_filter" -> (qRobotsFilter _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
