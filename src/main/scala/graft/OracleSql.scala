@@ -639,6 +639,26 @@ object OracleSql {
          |FROM t ORDER BY doc_id""".stripMargin
     },
 
+    // Linear classifier margin over exact integer features; weights
+    // inlined closed-form (the engine side carries them as a broadcast
+    // model row — same numbers, so the margins are integer-equal).
+    "q_quality_margin" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CAST($hits AS BIGINT) AS n_stop,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_cns
+         |  FROM documents),
+         |f AS (SELECT doc_id, n_tok, n_stop,
+         |             n_cns * 1000 // n_tok AS mean_tok_len_milli FROM t)
+         |SELECT doc_id, n_tok, n_stop, mean_tok_len_milli,
+         |       CAST(-30000 + 400 * n_tok + 2000 * n_stop
+         |            - mean_tok_len_milli AS BIGINT) AS margin,
+         |       (-30000 + 400 * n_tok + 2000 * n_stop - mean_tok_len_milli) > 0 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
     "q_lang_id" -> {
       val hitCols = TextOps.Stopwords
         .map { case (lang, words) => s"${vocabHits(words)} AS h_$lang" }

@@ -1494,6 +1494,39 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Linear quality-classifier APPLY — the model-based filter tier
+    * (fastText-style classifiers in RedPajama-v2/FineWeb-class
+    * pipelines) as distinct from the rule-based Gopher tier
+    * (`q_quality_filter`): an externally-trained weight vector arrives
+    * as a ONE-ROW broadcast model frame (data, not plan literals — the
+    * plan stays constant across model updates, same seam as the trained
+    * PQ codebooks) and every document scores margin = w·f over exact
+    * integer features (token count, stopword hits, mean token length in
+    * milli-chars). Integer arithmetic end-to-end, so the decision
+    * boundary is engine-exact; scan-linear, shuffle-free, one broadcast.
+    * (The sigmoid is monotone, so thresholding the margin IS
+    * thresholding the probability — no float transcendentals needed.) */
+  private def qQualityMargin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = Seq((-30000L, 400L, 2000L, -1L))
+      .toDF("w0", "w_tok", "w_stop", "w_len")
+    val en = TextOps.Stopwords.toMap.apply("en")
+    val txt = col("text")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(txt).cast("long").as("n_tok"),
+        TextOps.vocabHits(txt, en).cast("long").as("n_stop"),
+        length(regexp_replace(txt, " ", "")).cast("long").as("n_cns"))
+      .withColumn("mean_tok_len_milli", expr("n_cns * 1000 div n_tok"))
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        col("mean_tok_len_milli"),
+        (col("w0") + col("w_tok") * col("n_tok") + col("w_stop") * col("n_stop")
+          + col("w_len") * col("mean_tok_len_milli")).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   private def qLangId(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
     val best = greatest(TextOps.Stopwords.map { case (_, w) => TextOps.vocabHits(txt, w) }: _*)
@@ -2337,6 +2370,7 @@ object SparkEntry {
     "q_anomaly_zscore" -> (qAnomalyZscore _),
     "q_blocklist" -> (qBlocklist _),
     "q_robots_filter" -> (qRobotsFilter _),
+    "q_quality_margin" -> (qQualityMargin _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
