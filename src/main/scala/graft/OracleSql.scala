@@ -985,6 +985,50 @@ object OracleSql {
          |${jaccardSelect(0.7)}""".stripMargin
     },
 
+    // Banding-quality eval: q_minhash_lsh's sigs/buckets CTEs generate
+    // the DISTINCT candidate set; truth = the full quadratic
+    // exact-Jaccard >= 0.7 pairs; integer-permille precision/recall.
+    "q_dedup_eval" -> {
+      val sigs = (1 to 6)
+        .map(i => s"min(h1 + $i * h2) AS sig_$i")
+        .mkString(",\n         ")
+      val bands = (0 until 3)
+        .map(b => s"SELECT id, $b AS band, concat_ws('|', CAST(sig_${2 * b + 1} AS VARCHAR), CAST(sig_${2 * b + 2} AS VARCHAR)) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |sigs AS (
+         |  SELECT id,
+         |         $sigs
+         |  FROM (SELECT id,
+         |               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |               CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |        FROM sh) GROUP BY id),
+         |buckets AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN counts ca ON ca.id = id_a
+         |  JOIN counts cb ON cb.id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.7),
+         |tp AS (SELECT 1 FROM cand JOIN truth USING (id_a, id_b)),
+         |s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |             (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp)
+         |SELECT n_truth, n_cand, n_tp,
+         |       CAST(n_tp * 1000 // n_cand AS BIGINT) AS precision_permille,
+         |       CAST(n_tp * 1000 // n_truth AS BIGINT) AS recall_permille
+         |FROM s""".stripMargin
+    },
+
     "q_posexplode" ->
       """SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos, embedding[t.i] AS component
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)

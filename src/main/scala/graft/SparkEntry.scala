@@ -2076,6 +2076,31 @@ object SparkEntry {
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Banding-quality evaluation — the (k, rowsPerBand) knob study every
+    * MinHash deployment runs before committing band parameters at
+    * corpus scale: raw LSH banding candidates (distinct, BEFORE exact
+    * verification) scored against exact-Jaccard ≥ τ truth (PPJoin —
+    * prefix filtering is lossless, so truth is the full all-pairs
+    * answer). One summary row: candidate precision (how much verify
+    * work the bands waste) and recall (which true pairs the bands can
+    * NEVER recover — the unfixable loss). Integer permille via `div`,
+    * engine-exact; the three count aggregates are single-row frames
+    * joined by broadcast loops, nothing materializes beyond counters. */
+  private def qDedupEval(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2).distinct()
+    val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_truth"), col("n_cand"), col("n_tp"),
+        expr("n_tp * 1000 div n_cand").as("precision_permille"),
+        expr("n_tp * 1000 div n_truth").as("recall_permille"))
+  }
+
   private def qContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       n = 3, tau = 0.8)
@@ -2371,6 +2396,7 @@ object SparkEntry {
     "q_blocklist" -> (qBlocklist _),
     "q_robots_filter" -> (qRobotsFilter _),
     "q_quality_margin" -> (qQualityMargin _),
+    "q_dedup_eval" -> (qDedupEval _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

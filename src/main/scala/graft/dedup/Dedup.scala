@@ -352,6 +352,23 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, rowsPerBand: Int, threshold: Double,
                       maxBucket: Int = 1024): DataFrame = {
+    val sets = persistedSets(docs, idCol, textCol, n)
+    val candidates =
+      minhashCandidatePairs(docs, idCol, textCol, n, k, rowsPerBand, maxBucket)
+    // No distinct before verify: docs agreeing on several bands are
+    // verified once per band (bounded by nBands) and the tiny verified
+    // result is deduped instead — saves the candidate-table shuffle.
+    jaccardFromSets(candidates, sets, threshold).distinct()
+  }
+
+  /** The raw LSH BANDING candidates of [[minhashLshPairs]], before exact
+    * verification — one (id_a, id_b) row per agreeing band (not
+    * distinct). Exposed separately so the banding stage itself can be
+    * evaluated (precision/recall vs exact-Jaccard truth) — the knob
+    * study behind choosing (k, rowsPerBand) for a corpus. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, k: Int, rowsPerBand: Int,
+                            maxBucket: Int = 1024): DataFrame = {
     require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     // Signatures are computed IN-ROW over the per-doc shingle array in a
@@ -396,11 +413,7 @@ object Dedup {
         col("ga.band") === col("gb.band") && col("ga.bucket") === col("gb.bucket") &&
           col("ga.id") < col("gb.id"))
       .select(col("ga.id").as("id_a"), col("gb.id").as("id_b"))
-    val candidates = smallPairs.union(bigPairs)
-    // No distinct before verify: docs agreeing on several bands are
-    // verified once per band (bounded by nBands) and the tiny verified
-    // result is deduped instead — saves the candidate-table shuffle.
-    jaccardFromSets(candidates, sets, threshold).distinct()
+    smallPairs.union(bigPairs)
   }
 
   /** 16-bit SimHash over token frequency: bit j is the sign of
