@@ -1029,6 +1029,62 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Incremental near-dup: same sigs/banding CTEs, but candidates are
+    // batch (id%10==0) × store (id%10<>0) only; exact-Jaccard verify.
+    "q_incremental_neardup" -> {
+      val sigs = (1 to 6)
+        .map(i => s"min(h1 + $i * h2) AS sig_$i")
+        .mkString(",\n         ")
+      val bands = (0 until 3)
+        .map(b => s"SELECT id, $b AS band, concat_ws('|', CAST(sig_${2 * b + 1} AS VARCHAR), CAST(sig_${2 * b + 2} AS VARCHAR)) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |sigs AS (
+         |  SELECT id,
+         |         $sigs
+         |  FROM (SELECT id,
+         |               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |               CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |        FROM sh) GROUP BY id),
+         |buckets AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.id % 10 = 0 AND y.id % 10 <> 0),
+         |inter AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.id = cand.id_a
+         |  JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |${jaccardSelect(0.5)}""".stripMargin
+    },
+
+    // word2phrase lift in integer permille over the pair + unigram
+    // histograms; top-20 with (w1, w2) tie-break (unique per row, so the
+    // cut is deterministic).
+    "q_phrase_mining" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |pr AS (
+        |  SELECT toks, unnest(range(1, len(toks))) AS i FROM tk
+        |  WHERE len(toks) >= 2),
+        |cab AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM pr GROUP BY 1, 2
+        |  HAVING count(*) >= 10),
+        |uni AS (SELECT unnest(toks) AS w FROM tk),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni)
+        |SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |       CAST((c_ab - 5) * 1000 * n.n_tok // (ca.c * cb.c) AS BIGINT) AS score_permille
+        |FROM cab JOIN cu ca ON ca.w = cab.w1
+        |         JOIN cu cb ON cb.w = cab.w2, n
+        |ORDER BY score_permille DESC, w1, w2 LIMIT 20""".stripMargin,
+
     "q_posexplode" ->
       """SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS pos, embedding[t.i] AS component
         |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)

@@ -2101,6 +2101,27 @@ object SparkEntry {
         expr("n_tp * 1000 div n_truth").as("recall_permille"))
   }
 
+  /** Incremental near-dup admission: the day's batch (doc_id%10==0)
+    * screened against the standing corpus — O(batch) signatures join
+    * the store's banded buckets, exact verify, so a daily ingest never
+    * re-pairs the historical corpus against itself. */
+  private def qIncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    Dedup.incrementalMinhashNearDup(
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0),
+      "doc_id", "text", n = 3, k = 6, rowsPerBand = 2, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** word2phrase collocation mining (Search.phraseMining): the
+    * phrase-vocabulary induction step before tokenizer training — lift
+    * score in exact integer permille, top-20 via TakeOrderedAndProject
+    * over the model-sized pair table. */
+  private def qPhraseMining(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.phraseMining(t(s, d, "documents"), "doc_id", "text",
+      delta = 5, minCount = 10, topK = 20)
+
   private def qContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       n = 3, tau = 0.8)
@@ -2397,6 +2418,8 @@ object SparkEntry {
     "q_robots_filter" -> (qRobotsFilter _),
     "q_quality_margin" -> (qQualityMargin _),
     "q_dedup_eval" -> (qDedupEval _),
+    "q_incremental_neardup" -> (qIncrementalNearDup _),
+    "q_phrase_mining" -> (qPhraseMining _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

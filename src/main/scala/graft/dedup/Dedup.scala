@@ -416,6 +416,38 @@ object Dedup {
     smallPairs.union(bigPairs)
   }
 
+  /** Incremental MinHash near-dup — the daily-ingest form of
+    * [[minhashLshPairs]]: only the NEW batch's signatures band-join the
+    * existing corpus's, so the admission check costs O(batch), never
+    * O(corpus²) — the near-dup analogue of [[incrementalExact]]. In a
+    * deployment the store side reads the PERSISTED signature/bucket
+    * table (built once, appended per batch — same artifact the
+    * streaming admission path keeps); here both sides derive from their
+    * doc frames. Returns (id_a = batch doc, id_b = store doc, jaccard ≥
+    * threshold), exact-verified — banding is candidate generation only.
+    */
+  def incrementalMinhashNearDup(batch: DataFrame, store: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int, k: Int, rowsPerBand: Int,
+                                threshold: Double): DataFrame = {
+    require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
+    def sigsOf(sets: DataFrame): DataFrame = {
+      val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
+      sets.withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
+        .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
+        .filter(col("n_sh") > 0)
+    }
+    val bSets = shingleSets(batch, idCol, textCol, n)
+    val sSets = shingleSets(store, idCol, textCol, n)
+    val cand = lshBuckets(sigsOf(bSets), k, rowsPerBand).as("x")
+      .join(lshBuckets(sigsOf(sSets), k, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // verify once per agreeing band, dedupe the tiny verified result
+    // (same trade as minhashLshPairs)
+    jaccardFromSets(cand, bSets.union(sSets), threshold).distinct()
+  }
+
   /** 16-bit SimHash over token frequency: bit j is the sign of
     * Σ_tokens (±1) where the vote is the parity of the j-th hex digit of
     * md5(token). Engine-portable (md5 + substring only) and one

@@ -203,6 +203,39 @@ object Search {
                       minCount: Long): DataFrame =
     bigramModelFromPairs(bigramPairs(docs, idCol, textCol), minCount)
 
+  /** word2phrase collocation mining (Mikolov et al. 2013,
+    * arXiv:1310.4546 §4) — the phrase-vocabulary induction step before
+    * tokenizer/embedding training: score(a,b) = (c_ab − δ)·N / (c_a·c_b)
+    * surfaces token pairs that co-occur far above chance; the top-k
+    * become single units. Exact integer permille (÷ via `div`) so the
+    * ranking is partition-order-free and engine-exact. Scale shape: the
+    * pair histogram is ONE map-side-combining exchange to O(observed
+    * bigrams) rows (vocab²-bounded, Zipf-small in practice); the unigram
+    * histogram re-aggregates the token stream to O(vocab) rows and joins
+    * the PAIR table (model-sized, never the corpus); the corpus-total
+    * join is a one-row broadcast; top-k is TakeOrderedAndProject (k rows
+    * per partition → k global, no sort of the model table). The permille
+    * numerator (c_ab−δ)·1000·N is BIGINT-safe while c_ab·N < 9·10^15 —
+    * beyond that (petascale corpora) rescale N to millions or move the
+    * RANKING to doubles and keep only the threshold integer. */
+  def phraseMining(docs: DataFrame, idCol: String, textCol: String,
+                   delta: Long = 5, minCount: Long = 10, topK: Int = 20): DataFrame = {
+    val cab = bigramPairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tok"))
+    cab
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(s"((c_ab - $delta) * 1000 * n_tok) div (c_a * c_b)").as("score_permille"))
+      .orderBy(col("score_permille").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Bigram-LM fluency scoring — the APPLY side of [[bigramCondProbs]]
     * (the CCNet LM-filter loop with the corpus as its own model: train
     * the n-gram model, score every document, threshold on the score —
