@@ -1272,6 +1272,41 @@ object OracleSql {
          |  AND ${cosineExpr("x", "y")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // kNN graph: bucket-mate scoring mirrored, per-source row_number
+    // with the (cosine DESC, id ASC) contract of TopKByScore.
+    "q_knn_graph" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT src_id, dst_id, cosine, "rank" FROM r WHERE "rank" <= 3
+         |ORDER BY src_id, "rank"""".stripMargin,
+
+    // Skew diagnostics: per-key histogram, top-5 heavy hitters, shape
+    // stats; skew divides by the integer mean to stay BIGINT-safe.
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(c) AS BIGINT) AS n_rows,
+        |             CAST(max(c) AS BIGINT) AS max_c FROM c),
+        |t5 AS (SELECT user_id, c FROM c ORDER BY c DESC, user_id LIMIT 5)
+        |SELECT t5.user_id, t5.c AS n_events,
+        |       CAST(t5.c * 1000 // s.n_rows AS BIGINT) AS share_permille,
+        |       s.n_keys, s.n_rows, s.max_c,
+        |       CAST(s.max_c * 1000 // (s.n_rows // s.n_keys) AS BIGINT) AS skew_milli
+        |FROM t5, s ORDER BY n_events DESC, user_id""".stripMargin,
+
     // SemDeDup apply: the q_embed_neardup pair CTE feeds a recursive
     // transitive closure (component id = min reachable vector over the
     // undirected near-dup edge set), then every vector left-joins its

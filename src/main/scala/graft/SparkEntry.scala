@@ -2175,6 +2175,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Approximate kNN graph over the embedding corpus
+    * (Vectors.knnGraph): bucket equi-self-join + bounded top-k — the
+    * input artifact of graph-based curation. */
+  private def qKnnGraph(s: SparkSession, d: String): DataFrame =
+    Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3, bits = 4)
+      .orderBy(col("src_id"), col("rank"))
+
+  /** Join-key skew diagnostics — the pre-flight a 100 TB join runs
+    * before picking salting/AQE strategy: per-key frequency histogram
+    * (ONE map-side-partial exchange), then the top-5 heavy hitters with
+    * corpus-level shape stats (key count, row count, max frequency,
+    * max/mean skew in milli). The summary is a one-row broadcast onto
+    * the 5-row heavy-hitter table; skew_milli divides by the INTEGER
+    * mean (n_rows div n_keys ≥ 1) so the numerator stays BIGINT-safe at
+    * any scale. */
+  private def qSkewReport(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "events").groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val summary = c
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        expr("max_c * 1000 div (n_rows div n_keys)").as("skew_milli"))
+    c.orderBy(col("c").desc, col("user_id")).limit(5)
+      .crossJoin(broadcast(summary))
+      .select(col("user_id"), col("c").as("n_events"),
+        expr("c * 1000 div n_rows").as("share_permille"),
+        col("n_keys"), col("n_rows"), col("max_c"), col("skew_milli"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
   private def qEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Vectors.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, bits = 4)
@@ -2420,6 +2449,8 @@ object SparkEntry {
     "q_dedup_eval" -> (qDedupEval _),
     "q_incremental_neardup" -> (qIncrementalNearDup _),
     "q_phrase_mining" -> (qPhraseMining _),
+    "q_knn_graph" -> (qKnnGraph _),
+    "q_skew_report" -> (qSkewReport _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

@@ -364,6 +364,32 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Approximate kNN GRAPH build — every vector's top-k neighbors
+    * within its sign-LSH bucket, the input artifact of graph-based
+    * corpus curation (SemDeDup-style cluster refinement, label
+    * propagation, graph-connectivity diversity sampling). Unlike the
+    * serving retrievers, BOTH sides are the corpus, so the shape must
+    * be the bucket equi-SELF-join (nothing broadcasts a corpus): each
+    * vector scores only its bucket-mates, and the per-vector ranking
+    * funnels through the bounded [[graft.functions.TopKByScore]]
+    * aggregate — the exchange moves O(n·k) rows at any corpus size.
+    * Returns (src_id, dst_id, cosine, rank ≤ k), zero vectors excluded.
+    */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, bits: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("nn", normSqFp(col("fv")))
+      .filter(col("nn") > 0)
+    val scored = v.as("x").join(v.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("match_id"),
+        cosineFromNorms(col("x.fv"), col("y.fv"), col("x.nn"), col("y.nn")).as("cosine"))
+    rankTopK(scored, k)
+      .select(col("query_id").as("src_id"), col("match_id").as("dst_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold, candidate-generated through the sign-LSH bucket equi-join
     * (self-join on bucket, never the full n² cross product).
