@@ -83,6 +83,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 4L)))
   }
 
+  test("incrementalMinhashNearDup pairs batch against store only, exact-verified") {
+    val store = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text with no overlap whatsoever here"),
+      (3L, "completely different text with no overlap whatsoever here")  // in-store dup
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),  // dup of store 1
+      (101L, "novel content that matches nothing in the standing corpus")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashNearDup(batch, store, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.9)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    // the in-store (2,3) dup must NOT appear: admission screens the batch
+    // only; id_a is always the batch doc
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((100L, 1L)))
+    assert(out.head._3 == 1.0)
+  }
+
+  test("minhashCandidatePairs banding is a superset of the verified pairs") {
+    val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2)
+      .select($"id_a", $"id_b").distinct().as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 6, rowsPerBand = 2, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cand))
+    assert(cand.contains((1L, 4L)))  // identical docs share every band
+  }
+
   test("simhashNearDupPairs finds low-Hamming pairs through chunk banding") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 1)
       .as[(Long, Long, Int)].collect()

@@ -37,6 +37,19 @@ class VectorsSpec extends SparkSpec {
     assert(out.toSet == Set(1L, 2L))
   }
 
+  test("knnGraph links each vector to its bucket-mates only, ranked by cosine") {
+    val out = Vectors.knnGraph(vecs, "vec_id", "embedding", k = 2, bits = 3)
+      .orderBy($"src_id", $"rank")
+      .select($"src_id", $"dst_id", $"rank").as[(Long, Long, Int)].collect()
+    // bucket "111" holds {0, 1, 2} (id3 differs on the first sign bit,
+    // id4 is the zero vector and must be excluded entirely)
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1), (0L, 2L, 2),   // 0: nearest is 1 (~parallel), then 2
+      (1L, 0L, 1), (1L, 2L, 2),
+      (2L, 1L, 1), (2L, 0L, 2)))  // 2·(0.9,.1,0) cos > 2·(1,0,0) cos? see below
+    // for src 2 = (0,1,0): cos(2,1)=0.1/|(0.9,0.1,0)| ≈ 0.110 > cos(2,0)=0
+  }
+
   test("nearDupPairs finds high-cosine pairs without full cross product") {
     val pairs = Vectors.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9, bits = 1)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()

@@ -108,6 +108,23 @@ class SearchSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 1000L)))
   }
 
+  test("phraseMining surfaces a planted collocation with exact integer lift") {
+    // "new york" always adjacent; "big" and "apple" frequent but never
+    // adjacent to each other more than chance
+    val corpus = Seq(
+      (1L, "new york is big big apple town"),
+      (2L, "the new york big apple skyline"),
+      (3L, "big town apple new york streets")
+    ).toDF("doc_id", "text")
+    val out = Search.phraseMining(corpus, "doc_id", "text",
+      delta = 1, minCount = 3, topK = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // c(new,york)=3, c_new=3, c_york=3, N=7+6+6=19 →
+    // (3-1)*1000*19 div 9 = 4222; no other pair reaches minCount=3
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq(("new", "york")))
+    assert(out.head._6 == 4222L)
+  }
+
   test("bigramCondProbs minCount prunes the hapax tail; single-token docs ignored") {
     val corpus = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
     val out = Search.bigramCondProbs(corpus, "doc_id", "text", minCount = 2L)
