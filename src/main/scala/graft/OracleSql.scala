@@ -818,6 +818,19 @@ object OracleSql {
         |       CAST(h AS INTEGER) AS height
         |FROM dims ORDER BY doc_id""".stripMargin,
 
+    // Image hash-equality dedup: the oracle states the fixture's SPEC
+    // closed-form — identical pixels per 3-doc group (through BMP and
+    // PPM alike) must collapse to ONE hash, and distinct groups must
+    // stay distinct corpus-wide. The engine has to get there through
+    // the real byte-level decode.
+    "q_image_dedup" ->
+      """WITH g AS (SELECT doc_id // 3 AS img_group, doc_id FROM documents)
+        |SELECT img_group, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS BIGINT) AS n_hashes,
+        |       CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_formats
+        |FROM g GROUP BY img_group ORDER BY img_group""".stripMargin,
+
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -1930,6 +1930,31 @@ object SparkEntry {
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
       .orderBy(col("doc_id"))
 
+  /** Image exact-dedup via perceptual-hash equality — the bucket-first
+    * pass of every image dedup pipeline, run end-to-end through the
+    * REAL byte-level decoders: groups of 3 consecutive docs carry
+    * identical pixels but ALTERNATE container formats (BMP vs PPM), so
+    * equal per-group hashes prove the whole decode→gray→aHash path is
+    * format-independent (n_formats = 2 in every full group, yet
+    * n_hashes = 1). The oracle states the spec closed-form — any
+    * decoder or hash regression breaks it. (Corpus-WIDE hash
+    * distinctness is deliberately not asserted: average-hash is
+    * luma-shift invariant by design, so distinct synthetic pixel seeds
+    * can legitimately collide.) Scan-linear decode (one decoder
+    * instance per partition), ONE group-by exchange on the 8-byte
+    * group key. */
+  private def qImageDedup(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractFeatures(
+        graft.multimodal.SynthImages.packSynthGrouped(t(s, d, "documents"), "doc_id", 3L),
+        graft.multimodal.ImageDecoder)
+      .toDF()
+      .groupBy(expr("doc_id div 3").as("img_group"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("phash")).as("n_hashes"),
+        countDistinct(pmod(col("doc_id"), lit(2L))).as("n_formats"))
+      .orderBy(col("img_group"))
+
   /** REAL audio decode under the gate: synthetic WAV payloads (closed-form
     * from doc_id + text, SynthAudio) through the byte-level RIFF/PCM
     * parser; every feature — rate, count, duration, integer mean |amp| —
@@ -2451,6 +2476,7 @@ object SparkEntry {
     "q_phrase_mining" -> (qPhraseMining _),
     "q_knn_graph" -> (qKnnGraph _),
     "q_skew_report" -> (qSkewReport _),
+    "q_image_dedup" -> (qImageDedup _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

@@ -78,6 +78,33 @@ object SynthImages {
     b
   }
 
+  /** Grouped fixture: every doc in a run of `groupDiv` consecutive
+    * doc_ids carries the SAME image content — dimensions and pixels
+    * derive from g = doc_id div groupDiv (pixels g-seeded, text-free) —
+    * while the container format still alternates per doc (even → BMP,
+    * odd → PPM). Identical pixels through two DIFFERENT byte formats
+    * must reach the same perceptual hash, which is exactly what the
+    * hash-equality dedup row verifies. */
+  def packSynthGrouped(docs: DataFrame, idCol: String,
+                       groupDiv: Long): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { rows =>
+        rows.map { docId =>
+          val g = docId / groupDiv
+          val w = widthOf(g); val h = heightOf(g)
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            rgb(i) = (((i * 31L + 7L) * (2L * g + 1L)) % 256L).toByte
+            i += 1
+          }
+          if (docId % 2 == 0) Multimodal.MediaRow(docId, bmp(w, h, rgb), "image/bmp")
+          else Multimodal.MediaRow(docId, ppm(w, h, rgb), "image/x-portable-pixmap")
+        }
+      }
+  }
+
   /** One synthetic image payload per document row — a narrow
     * per-partition transform (no shuffle), mirroring how a real corpus
     * lands: binary payload + mime sidecar. */
