@@ -1076,6 +1076,30 @@ object OracleSql {
          |${jaccardSelect(0.5)}""".stripMargin
     },
 
+    // BPE training, three rounds unrolled CTE-for-CTE: the guard-wrapped
+    // string makes the merge apply a plain leftmost non-overlapping
+    // replace (identical greedy semantics on both engines).
+    "q_bpe_train" -> {
+      def round(t: Int) =
+        s"""p$t AS (
+           |  SELECT toks, unnest(range(1, len(toks))) AS i
+           |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS toks
+           |        FROM s${t - 1})
+           |  WHERE len(toks) >= 2),
+           |c$t AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+           |               CAST(count(*) AS BIGINT) AS c FROM p$t GROUP BY 1, 2),
+           |m$t AS (SELECT w1, w2, c FROM c$t ORDER BY c DESC, w1, w2 LIMIT 1),
+           |s$t AS (SELECT replace(s${t - 1}.s, '(' || m$t.w1 || ')(' || m$t.w2 || ')',
+           |                       '(' || m$t.w1 || ' ' || m$t.w2 || ')') AS s
+           |        FROM s${t - 1}, m$t)""".stripMargin
+      s"""WITH s0 AS (SELECT '(' || replace(text, ' ', ')(') || ')' AS s FROM documents),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT CAST(1 AS INTEGER) AS merge_rank, w1, w2, c AS pair_count FROM m1
+         |UNION ALL SELECT CAST(2 AS INTEGER), w1, w2, c FROM m2
+         |UNION ALL SELECT CAST(3 AS INTEGER), w1, w2, c FROM m3
+         |ORDER BY merge_rank""".stripMargin
+    },
+
     // word2phrase lift in integer permille over the pair + unigram
     // histograms; top-20 with (w1, w2) tie-break (unique per row, so the
     // cut is deterministic).

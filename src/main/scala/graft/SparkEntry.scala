@@ -2143,6 +2143,14 @@ object SparkEntry {
     * phrase-vocabulary induction step before tokenizer training — lift
     * score in exact integer permille, top-20 via TakeOrderedAndProject
     * over the model-sized pair table. */
+  /** BPE merge training under the gate (Search.bpeTrainMerges): three
+    * rounds of most-frequent-adjacent-pair fusion, each applied
+    * corpus-wide through the guarded-string replace before the next
+    * count; the oracle unrolls the rounds CTE-for-CTE. */
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bpeTrainMerges(t(s, d, "documents"), "doc_id", "text", nMerges = 3)
+      .orderBy(col("merge_rank"))
+
   private def qPhraseMining(s: SparkSession, d: String): DataFrame =
     graft.text.Search.phraseMining(t(s, d, "documents"), "doc_id", "text",
       delta = 5, minCount = 10, topK = 20)
@@ -2477,6 +2485,7 @@ object SparkEntry {
     "q_knn_graph" -> (qKnnGraph _),
     "q_skew_report" -> (qSkewReport _),
     "q_image_dedup" -> (qImageDedup _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

@@ -203,6 +203,60 @@ object Search {
                       minCount: Long): DataFrame =
     bigramModelFromPairs(bigramPairs(docs, idCol, textCol), minCount)
 
+  /** BPE merge TRAINING (Sennrich et al. 2016, arXiv:1508.07909) at the
+    * word level — the first `nMerges` merge rules learned from the
+    * corpus, each round taking the most frequent adjacent symbol pair
+    * (count DESC, then lexicographic — a total order, so the learned
+    * table is deterministic) and fusing it corpus-wide before recounting.
+    *
+    * Representation is the whole trick: every document is ONE
+    * guard-wrapped string `(a)(b)(c)`, so applying merge (a,b) is a
+    * plain leftmost non-overlapping `replace` of `(a)(b)` with
+    * `(a b)` — adjacent occurrences share no characters, and for a = b
+    * runs ("(a)(a)(a)") leftmost-non-overlapping IS BPE's greedy
+    * left-to-right apply. That keeps the apply step a scan-linear
+    * codegen expression (zero UDFs, zero explode-regroup round trips:
+    * re-tokenization happens in-row off the merged string).
+    *
+    * Scale shape per round: the pair histogram is ONE map-side-combining
+    * exchange to observed-pair rows; the argmax is TakeOrderedAndProject
+    * (1 row) — the single collected row IS the model artifact for the
+    * round (same bounded-collect contract as the k-means centroids and
+    * PQ codebooks). The corpus string column is re-derived lazily per
+    * round — at petascale, checkpoint the merged corpus every few rounds
+    * exactly as the CC loop truncates its lineage.
+    */
+  def bpeTrainMerges(docs: DataFrame, idCol: String, textCol: String,
+                     nMerges: Int): DataFrame = {
+    val sess = docs.sparkSession
+    require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    var s = docs.select(
+      concat(lit("("), regexp_replace(col(textCol), " ", ")("), lit(")")).as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val pairs = s
+        .select(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val top = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val w1 = top.head.getString(0)
+        val w2 = top.head.getString(1)
+        merges += ((r, w1, w2, top.head.getLong(2)))
+        s = s.select(expr(s"replace(s, '($w1)($w2)', '($w1 $w2)')").as("s"))
+        r += 1
+      }
+    }
+    import sess.implicits._
+    merges.result().toDF("merge_rank", "w1", "w2", "pair_count")
+  }
+
   /** word2phrase collocation mining (Mikolov et al. 2013,
     * arXiv:1310.4546 §4) — the phrase-vocabulary induction step before
     * tokenizer/embedding training: score(a,b) = (c_ab − δ)·N / (c_a·c_b)

@@ -108,6 +108,28 @@ class SearchSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 1000L)))
   }
 
+  test("bpeTrainMerges learns frequency-then-lexicographic merges, greedy apply") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    // r1: (a,b)=3 beats (b,c)=2 → docs become "(a b)(a b)(c)" / "(a b)(c)(c)"
+    // r2: ("a b",c)=2 → "(a b)(a b c)" / "(a b c)(c)"
+    // r3: all pairs count 1 → lexicographic tie-break picks ("a b","a b c")
+    val out = Search.bpeTrainMerges(corpus, "doc_id", "text", nMerges = 3)
+      .orderBy($"merge_rank").as[(Int, String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1, "a", "b", 3L),
+      (2, "a b", "c", 2L),
+      (3, "a b", "a b c", 1L)))
+  }
+
+  test("bpeTrainMerges merges runs left-to-right (leftmost non-overlapping)") {
+    val corpus = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // "(a)(a)(a)" → merge (a,a) counts BOTH adjacent pairs but applies
+    // leftmost-first: "(a a)(a)"; round 2 then sees ("a a", "a") once
+    val out = Search.bpeTrainMerges(corpus, "doc_id", "text", nMerges = 2)
+      .orderBy($"merge_rank").as[(Int, String, String, Long)].collect()
+    assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "a a", "a", 1L)))
+  }
+
   test("phraseMining surfaces a planted collocation with exact integer lift") {
     // "new york" always adjacent; "big" and "apple" frequent but never
     // adjacent to each other more than chance
