@@ -875,6 +875,68 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Dedup ensemble: the three text-method dup sets (exact fingerprint,
+    // minhash jaccard >= 0.7, simhash hamming <= 2) rebuilt from their
+    // own oracle CTEs, merged as (doc, bit) rows into one aggregate.
+    "q_dedup_ensemble" -> {
+      val sigs = (1 to 6)
+        .map(i => s"min(h1 + $i * h2) AS sig_$i")
+        .mkString(",\n         ")
+      val bands = (0 until 3)
+        .map(b => s"SELECT id, $b AS band, concat_ws('|', CAST(sig_${2 * b + 1} AS VARCHAR), CAST(sig_${2 * b + 2} AS VARCHAR)) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val chunks = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+        .map { case (i, start, len) =>
+          s"SELECT id, v2, $i AS chunk, substring(simhash, $start, $len) AS bits FROM vv" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |sigs AS (
+         |  SELECT id,
+         |         $sigs
+         |  FROM (SELECT id,
+         |               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |               CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |        FROM sh) GROUP BY id),
+         |buckets AS (
+         |  $bands),
+         |mcand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+         |minter AS (
+         |  SELECT mcand.id_a, mcand.id_b, count(*) AS n_inter
+         |  FROM mcand
+         |  JOIN sh sa ON sa.id = mcand.id_a
+         |  JOIN sh sb ON sb.id = mcand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |mj AS (
+         |  SELECT id_a, id_b FROM minter
+         |  JOIN counts ca ON ca.id = id_a
+         |  JOIN counts cb ON cb.id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.7),
+         |$simhashCte,
+         |vv AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v2 FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |sp AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v2, b.v2)) <= 2),
+         |fpg AS (SELECT doc_id, $fpExpr AS fp FROM documents),
+         |fk AS (SELECT fp, min(doc_id) AS keep FROM fpg GROUP BY 1),
+         |ex AS (SELECT fpg.doc_id, 1 AS bit FROM fpg JOIN fk USING (fp)
+         |       WHERE doc_id <> keep),
+         |mh AS (SELECT DISTINCT id_b AS doc_id, 2 AS bit FROM mj),
+         |shd AS (SELECT DISTINCT id_b AS doc_id, 4 AS bit FROM sp),
+         |u AS (SELECT * FROM ex UNION ALL SELECT * FROM mh
+         |      UNION ALL SELECT * FROM shd)
+         |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS method_mask,
+         |       CAST(count(*) AS BIGINT) AS n_methods
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q_dedup_clusters" -> {
       // chunk layout mirrors Dedup.chunkBounds(16, 2) = (1,8),(9,8);
       // transitive closure via a recursive CTE (UNION dedups → fixpoint),

@@ -2101,6 +2101,35 @@ object SparkEntry {
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Dedup ENSEMBLE audit — the method-overlap study a production
+    * pipeline runs before choosing its dedup stack: every non-canonical
+    * document flagged by any of the three text methods (exact
+    * fingerprint, MinHash-LSH Jaccard ≥ 0.7, SimHash Hamming ≤ 2) with
+    * a method bitmask (1|2|4), so "what does simhash catch that
+    * minhash misses" is one GROUP BY away. Each method contributes its
+    * already-audited plan; the merge is a 3-way union of (doc, bit)
+    * rows into ONE hash aggregate — flag volume is dup-bounded, never
+    * corpus-bounded. */
+  private def qDedupEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val exactDup = fp
+      .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep")), Seq("fp"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"), lit(1L).as("bit"))
+    val minhashDup = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
+      .select(col("id_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(2L).as("bit"))
+    val simhashDup = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 2)
+      .select(col("id_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(4L).as("bit"))
+    exactDup.union(minhashDup).union(simhashDup)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("method_mask"), count(lit(1)).as("n_methods"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Banding-quality evaluation — the (k, rowsPerBand) knob study every
     * MinHash deployment runs before committing band parameters at
     * corpus scale: raw LSH banding candidates (distinct, BEFORE exact
@@ -2486,6 +2515,7 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_image_dedup" -> (qImageDedup _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
