@@ -2181,7 +2181,7 @@ object SparkEntry {
       .orderBy(col("merge_rank"))
 
   private def qPhraseMining(s: SparkSession, d: String): DataFrame =
-    graft.text.Search.phraseMining(t(s, d, "documents"), "doc_id", "text",
+    graft.text.Search.phraseMining(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       delta = 5, minCount = 10, topK = 20)
 
   private def qContainment(s: SparkSession, d: String): DataFrame =

@@ -175,17 +175,19 @@ object Search {
     * `minCount` prunes the hapax tail (the LM count-cutoff knob).
     */
   /** (id, w1, w2) adjacent-pair expansion — in-row, no shuffle. */
-  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol).as("id"), explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, (i + lit(1)).cast("int")).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
-      .select(col("id"), col("bg.w1"), col("bg.w2"))
-  }
+  /** (id, w1, w2) adjacent-pair expansion — in-row, no shuffle. The
+    * position generator + two `element_at` lookups stay in WHOLE-STAGE
+    * CODEGEN; the earlier `transform(sequence(...), i -> struct(...))`
+    * formulation evaluated its lambda INTERPRETED per element (higher-
+    * order functions have no doGenCode) and cost ~2.5 s of the corpus
+    * scan at sf0.1 — the same landmine the PQ trainer hit. */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("id"), element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
 
   /** Model build from an already-expanded pair stream — the seam that
     * lets [[bigramFluency]] train and apply off ONE persisted expansion
@@ -239,9 +241,9 @@ object Search {
       val pairs = s
         .select(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')").as("tk"))
         .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))")).as("p"))
-        .select(col("p.w1"), col("p.w2"))
+        .select(col("tk"), explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+        .select(element_at(col("tk"), col("i")).as("w1"),
+          element_at(col("tk"), col("i") + 1).as("w2"))
       val top = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w1"), col("w2")).limit(1).collect()
       if (top.isEmpty) exhausted = true
@@ -356,18 +358,14 @@ object Search {
 
   /** (id, w1, w2, w3) adjacent-triple expansion — in-row, no shuffle
     * (the trigram sibling of [[bigramPairs]]). */
-  private def trigramTriples(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol).as("id"), explode(
-        when(size(toks) >= 3,
-          transform(sequence(lit(1), size(toks) - 2),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, (i + lit(1)).cast("int")).as("w2"),
-              element_at(toks, (i + lit(2)).cast("int")).as("w3"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("tg"))
-      .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
-  }
+  private def trigramTriples(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 2)).as("i"))
+      .select(col("id"), element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"),
+        element_at(col("tk"), col("i") + 2).as("w3"))
 
   /** Trigram STUPID-BACKOFF scoring (Brants et al., EMNLP'07 — the
     * web-scale n-gram smoothing: no normalization, a fixed 0.4 penalty
