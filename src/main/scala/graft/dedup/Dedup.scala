@@ -723,14 +723,16 @@ object Dedup {
   def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val toks = TextOps.tokens(col(textCol))
-    val grams = docs.select(col(idCol).as("id"),
-        posexplode(
-          when(size(toks) >= k,
-            transform(sequence(lit(1), size(toks) - (k - 1)),
-              i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
-            .otherwise(array().cast("array<bigint>"))))
-      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("g"))
+    // position generator + slice/hash as ordinary codegen expressions —
+    // the transform(sequence(...)) lambda formulation evaluated the
+    // per-gram hash INTERPRETED (higher-order functions have no
+    // doGenCode; same fix as the LM pair expansion)
+    val grams = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("p"))
+      .select(col("id"), col("p"),
+        xxhash64(concat_ws(" ", slice(col("tk"), col("p"), lit(k)))).as("g"))
     val dupGrams = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
@@ -748,7 +750,8 @@ object Dedup {
         sum(when(col("nxt").isNull, lit(k))
           .otherwise(least(lit(k), col("nxt") - col("p"))).cast("long"))
           .as("dup_tokens"))
-    docs.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+    docs.select(col(idCol).as("id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(spans, Seq("id"))
       .select(col("id"), col("n_dup_grams"), col("n_spans"), col("dup_tokens"),
         col("n_tokens"),
