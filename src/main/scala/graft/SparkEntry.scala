@@ -778,8 +778,9 @@ object SparkEntry {
   }
 
   /** The SQL surface of the REGISTERED native kernels (GraftExtensions:
-    * shingle_array, sorted_intersect_count, dot_fp, quantize_int8,
-    * simhash_fp, minhash_sigs_fp, and the array_sum_fp aggregate) —
+    * shingle_array, sorted_intersect_count, dot_fp, fixed_point,
+    * quantize_int8, simhash_fp, minhash_sigs_fp, multi_pattern_count,
+    * and the array_sum_fp aggregate) —
     * result transparency for the extension registry itself: the oracle
     * recomputes every output from portable SQL (sorted-distinct n-gram
     * strings, list intersection counts, fixed-point dots, the proven
@@ -798,8 +799,8 @@ object SparkEntry {
         WHERE a.doc_id < 50),
       emb AS (
         SELECT ea.vec_id,
-               transform(ea.embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint)) AS fa,
-               transform(eb.embedding, x -> cast(round(cast(x AS double) * 1000000) AS bigint)) AS fb,
+               fixed_point(ea.embedding) AS fa,
+               fixed_point(eb.embedding) AS fb,
                quantize_int8(ea.embedding) AS qa
         FROM embeddings ea JOIN embeddings eb ON eb.vec_id = ea.vec_id + 1
         WHERE ea.vec_id < 50),

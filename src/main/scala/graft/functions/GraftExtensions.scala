@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fixed_point"),
+      new ExpressionInfo(classOf[FixedPointFp].getName, "fixed_point"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "fixed_point expects exactly 1 argument")
+        FixedPointFp(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8Fp].getName, "quantize_int8"),
       (children: Seq[Expression]) => {

@@ -23,8 +23,14 @@ object Vectors {
 
   val Scale = 1000000L
 
-  /** array<float> → array<bigint> fixed-point. */
+  /** array<float> → array<bigint> fixed-point — native codegen kernel
+    * (graft.functions.FixedPointFp); `fixedPointBuiltins` is the
+    * portable Column formulation it is spec-checked against (the lambda
+    * of a higher-order function evaluates interpreted per element). */
   def fixedPoint(v: Column): Column =
+    graft.functions.FixedPointFp(v)
+
+  private[graft] def fixedPointBuiltins(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
   /** Exact integer dot product of two fixed-point vectors — a native

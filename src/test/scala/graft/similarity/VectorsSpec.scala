@@ -227,6 +227,24 @@ class VectorsSpec extends SparkSpec {
     assert(rMulti > 0.5, f"multi-probe recall implausibly low: $rMulti%.3f")
   }
 
+  test("FixedPointFp is bit-identical to the builtin Column formulation") {
+    val rnd = new scala.util.Random(1234)
+    val vecs = (0 until 500).map { i =>
+      val d = 1 + rnd.nextInt(16)
+      (i.toLong, Seq.fill(d)((rnd.nextFloat() - 0.5f) * rnd.nextInt(1000)))
+    } ++ Seq(
+      (2000L, Seq.empty[Float]),
+      (2001L, Seq(-0.0f, 0.0f)),                 // signed zero → 0
+      (2002L, Seq(0.0000005f, -0.0000005f)),     // .5-tie after ×1e6: away from zero
+      (2003L, Seq(1.5e-6f, -1.5e-6f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val native = df.select($"vec_id", Vectors.fixedPoint($"embedding").as("f"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    val builtin = df.select($"vec_id", Vectors.fixedPointBuiltins($"embedding").as("f"))
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(native == builtin)
+  }
+
   test("QuantizeInt8Fp is bit-identical to the builtin Column formulation") {
     val rnd = new scala.util.Random(42)
     val vecs = (0 until 200).map { i =>
