@@ -1162,6 +1162,32 @@ object OracleSql {
          |ORDER BY merge_rank""".stripMargin
     },
 
+    // BPE apply: same unrolled merge chain, with doc_id carried through
+    // the per-round replace; before/after token counts per document.
+    "q_bpe_apply" -> {
+      def round(t: Int) =
+        s"""p$t AS (
+           |  SELECT toks, unnest(range(1, len(toks))) AS i
+           |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS toks
+           |        FROM s${t - 1})
+           |  WHERE len(toks) >= 2),
+           |c$t AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+           |               CAST(count(*) AS BIGINT) AS c FROM p$t GROUP BY 1, 2),
+           |m$t AS (SELECT w1, w2, c FROM c$t ORDER BY c DESC, w1, w2 LIMIT 1),
+           |s$t AS (SELECT s${t - 1}.doc_id, s${t - 1}.text,
+           |               replace(s${t - 1}.s, '(' || m$t.w1 || ')(' || m$t.w2 || ')',
+           |                       '(' || m$t.w1 || ' ' || m$t.w2 || ')') AS s
+           |        FROM s${t - 1}, m$t)""".stripMargin
+      s"""WITH s0 AS (SELECT doc_id, text,
+         |                   '(' || replace(text, ' ', ')(') || ')' AS s
+         |            FROM documents),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_before,
+         |       CAST(len(string_split(substr(s, 2, length(s) - 2), ')(')) AS BIGINT) AS n_tok_after
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+
     // word2phrase lift in integer permille over the pair + unigram
     // histograms; top-20 with (w1, w2) tie-break (unique per row, so the
     // cut is deterministic).

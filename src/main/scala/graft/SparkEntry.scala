@@ -2181,6 +2181,14 @@ object SparkEntry {
     graft.text.Search.bpeTrainMerges(t(s, d, "documents"), "doc_id", "text", nMerges = 3)
       .orderBy(col("merge_rank"))
 
+  /** The trained tokenizer applied corpus-wide (Search.bpeApply):
+    * per-doc token counts before/after the learned merges — the
+    * compression the tokenizer buys, doc by doc. */
+  private def qBpeApply(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bpeApply(t(s, d, "documents"), "doc_id", "text", nMerges = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   private def qPhraseMining(s: SparkSession, d: String): DataFrame =
     graft.text.Search.phraseMining(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       delta = 5, minCount = 10, topK = 20)
@@ -2517,6 +2525,7 @@ object SparkEntry {
     "q_image_dedup" -> (qImageDedup _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_dedup_ensemble" -> (qDedupEnsemble _),
+    "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),

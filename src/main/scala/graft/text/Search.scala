@@ -229,10 +229,32 @@ object Search {
     * exactly as the CC loop truncates its lineage.
     */
   def bpeTrainMerges(docs: DataFrame, idCol: String, textCol: String,
-                     nMerges: Int): DataFrame = {
+                     nMerges: Int): DataFrame =
+    bpeTrainLoop(docs, idCol, textCol, nMerges)._1
+
+  /** The trained BPE tokenizer APPLIED corpus-wide — the production
+    * tokenization step after [[bpeTrainMerges]]: every document's token
+    * count before and after the learned merges fuse (the compression
+    * the tokenizer buys, per doc). The merge chain rides the same
+    * scan-linear guarded-string `replace`s as training; the final
+    * re-tokenization is one in-row split. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    val (_, merged) = bpeTrainLoop(docs, idCol, textCol, nMerges)
+    merged.select(col("id"),
+      size(TextOps.tokens(col("text0"))).cast("long").as("n_tok_before"),
+      size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
+        .cast("long").as("n_tok_after"))
+  }
+
+  /** Shared train loop: returns (merge table, final merged corpus as
+    * (id, text0, s) with `s` the guard-wrapped string after all learned
+    * merges applied). */
+  private def bpeTrainLoop(docs: DataFrame, idCol: String, textCol: String,
+                           nMerges: Int): (DataFrame, DataFrame) = {
     val sess = docs.sparkSession
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
-    var s = docs.select(
+    var s = docs.select(col(idCol).as("id"), col(textCol).as("text0"),
       concat(lit("("), regexp_replace(col(textCol), " ", ")("), lit(")")).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
@@ -251,12 +273,13 @@ object Search {
         val w1 = top.head.getString(0)
         val w2 = top.head.getString(1)
         merges += ((r, w1, w2, top.head.getLong(2)))
-        s = s.select(expr(s"replace(s, '($w1)($w2)', '($w1 $w2)')").as("s"))
+        s = s.select(col("id"), col("text0"),
+          expr(s"replace(s, '($w1)($w2)', '($w1 $w2)')").as("s"))
         r += 1
       }
     }
     import sess.implicits._
-    merges.result().toDF("merge_rank", "w1", "w2", "pair_count")
+    (merges.result().toDF("merge_rank", "w1", "w2", "pair_count"), s)
   }
 
   /** word2phrase collocation mining (Mikolov et al. 2013,

@@ -130,6 +130,16 @@ class SearchSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "a", "a", 2L), (2, "a a", "a", 1L)))
   }
 
+  test("bpeApply reports per-doc token compression from the learned merges") {
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c c")).toDF("doc_id", "text")
+    // merges (a,b) then ("a b", c):
+    //   doc1 → "(a b)(a b c)"  5 tokens → 2
+    //   doc2 → "(a b c)(c)"    4 tokens → 2
+    val out = Search.bpeApply(corpus, "doc_id", "text", nMerges = 2)
+      .orderBy($"id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 5L, 2L), (2L, 4L, 2L)))
+  }
+
   test("phraseMining surfaces a planted collocation with exact integer lift") {
     // "new york" always adjacent; "big" and "apple" frequent but never
     // adjacent to each other more than chance
