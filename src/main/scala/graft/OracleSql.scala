@@ -346,7 +346,7 @@ object OracleSql {
     // q_dpp_scan joins the year-partitioned orders copy with a FILE-backed
     // year dim filtered on tag — the oracle is the same join over the base
     // table with the dim inlined as VALUES (identical content by
-    // construction: keep = {1994, 1996}).
+    // construction: keep = {1996, 1999}).
     "q_dpp_scan" ->
       """WITH dim AS (SELECT * FROM (VALUES (1995, 'dead'), (1996, 'keep'),
         |  (1997, 'dead'), (1998, 'dead'), (1999, 'keep'), (2000, 'dead'),

@@ -469,8 +469,12 @@ object SparkEntry {
       // alone would silently serve a stale export if the dataset at the
       // same path were regenerated (the one cheap aggregate per JVM is
       // the price of that staleness guard).
+      // coalesce: max() is NULL on an empty documents table and
+      // Row.getLong throws on null — a degenerate dataset dir must
+      // still export (as an empty text dir), not crash the fingerprint
       val fpRow = t(s, d, "documents")
-        .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx")).collect()(0)
+        .agg(count(lit(1)).as("n"),
+          coalesce(max(col("doc_id")), lit(-1L)).as("mx")).collect()(0)
       val tag = java.lang.Integer.toHexString(
         (d, fpRow.getLong(0), fpRow.getLong(1)).hashCode)
       val out = new java.io.File(tmp, s"graft_txtlines_$tag").getAbsolutePath

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types._
   * partition-order-free and engine-exact — the same determinism contract
   * as every fixed-point kernel here.
   *
-  * NULL semantics mirror `sum`: NULL arrays are skipped; a group with no
-  * non-null input evaluates to NULL. Mismatched lengths throw loudly —
-  * a silent truncation would corrupt a centroid.
+  * NULL semantics mirror `sum` at the ARRAY level: NULL arrays are
+  * skipped; a group with no non-null input evaluates to NULL. NULL
+  * ELEMENTS inside an array have no sane sum semantics for a centroid
+  * accumulator, so they throw loudly (toLongArray would silently
+  * zero-fill them — corrupting a centroid is exactly the failure this
+  * kernel exists to prevent). Mismatched lengths throw for the same
+  * reason.
   */
 case class ArraySumFp(child: Expression,
                       mutableAggBufferOffset: Int = 0,
@@ -49,7 +53,23 @@ case class ArraySumFp(child: Expression,
 
   override def update(buf: ArraySumBuffer, input: InternalRow): ArraySumBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[ArrayData].toLongArray())
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        // explicit per-element walk instead of toLongArray(): that
+        // helper ZERO-FILLS null slots, silently summing NULL as 0
+        if (arr.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$prettyName: null element at index $i — null vector " +
+              "elements have no defined elementwise-sum semantics")
+        xs(i) = arr.getLong(i)
+        i += 1
+      }
+      buf.add(xs)
+    }
     buf
   }
 

@@ -43,6 +43,19 @@ object Graphs {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Overflow guard: total mass is |V|·scale, so a single hub can
+    // receive aggregate contribution s approaching |V|·scale; the damping
+    // step computes 17·s, which must stay below 2^63 — Spark's non-ANSI
+    // BIGINT multiply would silently WRAP past that (DuckDB promotes to
+    // HUGEINT), breaking the engine-exact contract precisely at web
+    // scale. One count() on the (already reused-per-iteration) node set
+    // is the price of refusing to corrupt silently.
+    val nV = nodes.count()
+    require(nV <= Long.MaxValue / 17L / scale,
+      s"pageRankInt: |V|=$nV with scale=$scale risks 64-bit overflow in " +
+        s"the damping multiply (need |V| <= ${Long.MaxValue / 17L / scale}); " +
+        "pass a smaller scale for graphs this large")
     val base = lit(3L * scale / 20L) // (1−d)·scale with d = 17/20
     var ranks = nodes.select(col("v"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
