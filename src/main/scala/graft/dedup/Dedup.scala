@@ -429,20 +429,46 @@ object Dedup {
   def incrementalMinhashNearDup(batch: DataFrame, store: DataFrame,
                                 idCol: String, textCol: String,
                                 n: Int, k: Int, rowsPerBand: Int,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                maxBucket: Int = 1024): DataFrame = {
     require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
     def sigsOf(sets: DataFrame): DataFrame = {
       val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
       sets.withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
         .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
         .filter(col("n_sh") > 0)
     }
-    val bSets = shingleSets(batch, idCol, textCol, n)
-    val sSets = shingleSets(store, idCol, textCol, n)
-    val cand = lshBuckets(sigsOf(bSets), k, rowsPerBand).as("x")
-      .join(lshBuckets(sigsOf(sSets), k, rowsPerBand).as("y"),
+    // Persisted set tables: each side is consumed TWICE (signature build
+    // here, exact verify below) — without materialization both corpora
+    // re-scan per consumer. Same shared-cache shape as minhashLshPairs.
+    val bSets = persistedSets(batch, idCol, textCol, n)
+    val sSets = persistedSets(store, idCol, textCol, n)
+    val bBuckets = lshBuckets(sigsOf(bSets), k, rowsPerBand)
+    val sBuckets = lshBuckets(sigsOf(sSets), k, rowsPerBand)
+    // Same skew guard as minhashCandidatePairs, two-sided form: the STORE
+    // side (the unbounded one — it grows with the corpus while the batch
+    // is a day's ingest) groups per (band, bucket) under CappedCollect, so
+    // an adversarial batch/store (thousands of near-identical docs landing
+    // in one bucket) never builds an unbounded per-group row. Non-overflow
+    // buckets expand batch×store pairs in-row off the grouped table (ONE
+    // shuffle); overflowed buckets re-derive their rows and stream through
+    // the spilling equi-join. On a well-behaved corpus the big branch is
+    // an empty scan.
+    val grouped = sBuckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.CappedCollect(
+        col("id"), lit(0L), lit(0), maxBucket).as("cc"))
+    val smallPairs = bBuckets
+      .join(grouped.filter(!col("cc.overflow")), Seq("band", "bucket"))
+      .select(col("id").as("id_a"), explode(col("cc.xs")).as("b"))
+      .select(col("id_a"), col("b.id").as("id_b"))
+    val bigKeys = grouped.filter(col("cc.overflow")).select(col("band"), col("bucket"))
+    val bigPairs = bBuckets.join(broadcast(bigKeys), Seq("band", "bucket"), "left_semi").as("x")
+      .join(sBuckets.join(broadcast(bigKeys), Seq("band", "bucket"), "left_semi").as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val cand = smallPairs.union(bigPairs)
     // verify once per agreeing band, dedupe the tiny verified result
     // (same trade as minhashLshPairs)
     jaccardFromSets(cand, bSets.union(sSets), threshold).distinct()

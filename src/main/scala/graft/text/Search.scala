@@ -254,6 +254,17 @@ object Search {
                            nMerges: Int): (DataFrame, DataFrame) = {
     val sess = docs.sparkSession
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
+    // Guard-string precondition: the encoding delimits tokens with
+    // parentheses, so a token CONTAINING '(' or ')' would silently
+    // corrupt the boundaries (wrong merges, wrong n_tok_after). Reject
+    // loudly up front — one filter scan against the corpus the loop is
+    // about to scan nMerges more times. Quotes/backslashes are fine:
+    // merge literals go through Column `lit`s, never SQL text.
+    val nBad = docs.filter(col(textCol).rlike("[()]")).limit(1).count()
+    require(nBad == 0,
+      "bpeTrainLoop: corpus contains '(' or ')' which collide with the " +
+        "guard-string token delimiters; strip or remap them upstream " +
+        "(e.g. TextOps.normalize) before BPE training")
     var s = docs.select(col(idCol).as("id"), col(textCol).as("text0"),
       concat(lit("("), regexp_replace(col(textCol), " ", ")("), lit(")")).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -273,8 +284,14 @@ object Search {
         val w1 = top.head.getString(0)
         val w2 = top.head.getString(1)
         merges += ((r, w1, w2, top.head.getLong(2)))
+        // Column-literal form (functions.replace), NOT string-interpolated
+        // expr(...): corpus-derived tokens must never be spliced into SQL
+        // text — an apostrophe or backslash in a token would throw a parse
+        // error (or worse, let data rewrite the expression). `lit` carries
+        // any byte sequence verbatim.
         s = s.select(col("id"), col("text0"),
-          expr(s"replace(s, '($w1)($w2)', '($w1 $w2)')").as("s"))
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s"($w1)($w2)"), lit(s"($w1 $w2)")).as("s"))
         r += 1
       }
     }
