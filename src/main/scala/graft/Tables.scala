@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver test tables (TESTDATA.md): one parquet file per
   * table under `$dir/`. Reads are plain `spark.read.parquet` so Catalyst
@@ -19,7 +21,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     memo.computeIfAbsent((System.identityHashCode(spark), dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+      _ => normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))
+
+  // Engine-wide contract: `events.ts` surfaces as epoch-NANOS BIGINT.
+  // The driver's parquet has shipped as both TIMESTAMP(NANOS) (arrives
+  // as LongType under the session's nanosAsLong flag — already the
+  // contract) and timestamp[us] (arrives as TIMESTAMP_NTZ / TIMESTAMP).
+  // Normalize the latter here, once, instead of per call site: session
+  // timezone is pinned UTC (Sessions.build), so the NTZ→LTZ cast is the
+  // identity on the wall-clock and unix_micros*1000 is exact.
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(dt) if dt == TimestampNTZType || dt == TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -141,21 +141,28 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 
-  /** Batch view of the driver events table: epoch-nanos `ts` (read via
-    * nanosAsLong) back to a proper timestamp. */
+  /** Batch view of the driver events table with `ts` as a proper
+    * TIMESTAMP, from either parquet vintage: epoch-nanos LongType
+    * (TIMESTAMP(NANOS) under the session's nanosAsLong flag) or
+    * timestamp[us] (arrives TIMESTAMP_NTZ; session tz is UTC so the
+    * cast is the identity on the wall-clock). */
   def batchEvents(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
-  /** Schema for streaming reads of the driver events parquet: the
-    * TIMESTAMP(NANOS) column arrives as epoch-nanos LongType (the
-    * session-wide nanosAsLong contract). */
-  val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema for streaming reads of an events landing dir. The file
+    * source requires a user schema; pinning one would break whenever the
+    * producer's `ts` physical type changes (the driver has shipped both
+    * TIMESTAMP(NANOS)→LongType and timestamp[us]→TIMESTAMP_NTZ, and test
+    * fixtures write epoch-nanos BIGINT). Infer from one batch footer
+    * read of the same dir — a fixed per-stream-setup driver cost —
+    * and let [[batchEvents]] normalize `ts` downstream. */
+  def rawEventSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
 
   /** Run [[windowedCounts]] through the REAL streaming engine — file
     * source → event-time window aggregation → memory sink, Trigger
@@ -194,7 +201,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-    val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+    val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
     val agg = windowedCounts(batchEvents(raw))
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("value_cents"))
@@ -239,7 +246,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val dd = dedupedEvents(batchEvents(raw)).select(col("event_id"))
       val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = dd.writeStream
@@ -286,7 +293,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
       val joined = attributedPurchases(
         ev.filter(col("event_type") === "click"),
@@ -318,7 +325,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val agg = enrichedWindowedCounts(batchEvents(raw), dim, dimKey, dimAttr)
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("segment"), col("n_events"), col("value_cents"))
@@ -355,7 +362,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val raw = spark.readStream.schema(rawEventSchema).parquet(landing.getAbsolutePath)
+      val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
         .withColumn("value", round(col("value") * 100))
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -427,7 +434,7 @@ object EventStream {
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val raw = spark.readStream.schema(rawEventSchema)
+      val raw = spark.readStream.schema(rawEventSchema(spark, landingDir))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(landingDir)
       val events = batchEvents(raw)
