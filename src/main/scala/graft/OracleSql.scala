@@ -1541,6 +1541,49 @@ object OracleSql {
          |FROM q GROUP BY source ORDER BY source""".stripMargin
     },
 
+    // Exponential-clock weighted sample: u = (md5-60-bit + 1) / 2^60 is
+    // a power-of-two scaling (identical IEEE rounding everywhere); the
+    // clock −ln(u)/w is fixed-pointed at 1e9 with id tie-break so a
+    // libm-ulp drift cannot flip the k-smallest selection.
+    "q_weighted_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+        |         (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+        |           / 1152921504606846976.0 AS u
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0)
+        |SELECT doc_id, w,
+        |       CAST(round(-ln(u) / w * 1e9) AS BIGINT) AS clock_fp9
+        |FROM x
+        |ORDER BY clock_fp9, doc_id
+        |LIMIT 50""".stripMargin,
+
+    // Count-min sketch: bucket_j(key) = 60-bit md5 prefix of "j:key"
+    // mod width — integer end to end; the estimate is min over the d
+    // counter rows. Mirrors CountMin.build/estimate exactly.
+    "q_cms_freq" ->
+      """WITH ds AS (SELECT unnest(range(4)) AS depth),
+        |h AS (
+        |  SELECT d.depth,
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS bucket
+        |  FROM events e, ds d),
+        |counters AS (SELECT depth, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+        |probe AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 25),
+        |pb AS (
+        |  SELECT p.user_id, d.depth,
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', CAST(p.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS bucket
+        |  FROM probe p, ds d),
+        |est AS (
+        |  SELECT pb.user_id, min(coalesce(c.c, 0)) AS n_est
+        |  FROM pb LEFT JOIN counters c USING (depth, bucket)
+        |  GROUP BY 1),
+        |ex AS (SELECT user_id, count(*) AS n_exact FROM events
+        |       WHERE user_id <= 25 GROUP BY 1)
+        |SELECT ex.user_id, ex.n_exact, est.n_est
+        |FROM ex JOIN est USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     // Temperature weights use sqrt (IEEE-correctly-rounded in every
     // engine) rather than pow(x, alpha); the md5 percentile is the same
     // portable hash as q_train_test_split. Keep probability = baseFrac ·

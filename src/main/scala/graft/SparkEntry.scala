@@ -2351,6 +2351,34 @@ object SparkEntry {
         col("cum_tok"), col("bin"))
       .orderBy(col("source"), col("shard"), col("doc_id"))
 
+  /** Weighted sampling without replacement (exponential clocks), weight
+    * = token count: the subsample where every TOKEN is equally likely to
+    * survive regardless of document chunking. One scan, zero shuffle —
+    * global selection is TakeOrderedAndProject. */
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.weightedSample(t(s, d, "documents"), "doc_id",
+        text.TextOps.tokenCount(col("text")), k = 50)
+      .orderBy(col("clock_fp9"), col("doc_id"))
+
+  /** Count-min sketch build + probe over event actor frequencies: the
+    * d×w counter table is the whole state (one map-combining exchange,
+    * fixed size at any corpus scale, merges by SUM), probes touch only
+    * the sketch. Estimates verified one-sided against the exact counts:
+    * n_est >= n_exact always, and equality where no bucket collision
+    * lands. */
+  private def qCmsFreq(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val sk = ops.CountMin.build(ev, col("user_id"), depth = 4, width = 512)
+    val probes = ev.filter(col("user_id") <= 25).select(col("user_id")).distinct()
+    val exact = ev.filter(col("user_id") <= 25)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    ops.CountMin.estimate(probes, col("user_id"), sk, depth = 4, width = 512)
+      .select(col("k").cast("long").as("user_id"), col("n_est"))
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("n_exact"), col("n_est"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted
     * with the 1997+ orders, updates winning per customer. */
   private def qUpsert(s: SparkSession, d: String): DataFrame = {
@@ -2496,6 +2524,8 @@ object SparkEntry {
     "q_domain_divergence" -> (qDomainDivergence _),
     "q_budget_alloc" -> (qBudgetAlloc _),
     "q_temperature_sample" -> (qTemperatureSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_cms_freq" -> (qCmsFreq _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

@@ -193,4 +193,40 @@ object Mixing {
       .withColumn("cum_tok", sum(col("n_tok")).over(win))
       .withColumn("bin", ((col("cum_tok") - 1) / budget).cast("long"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
+    * exponential clocks): each row draws clock t = −ln(u)/w from a
+    * deterministic md5-derived uniform u ∈ (0,1], and the k SMALLEST
+    * clocks are a weight-proportional sample without replacement —
+    * e.g. w = token count makes every token equally likely to reach the
+    * sample regardless of how documents chunk it.
+    *
+    * Scale shape: ONE corpus scan and NO shuffle — the global k-smallest
+    * selection is TakeOrderedAndProject (per-partition bounded heaps,
+    * driver merges k·P candidate rows), the same plan as q_topk. This is
+    * the distributed one-pass weighted reservoir: at 100 TB there is no
+    * per-key state, no window, no sort of the corpus.
+    *
+    * Determinism: u = (h+1)/2^60 from the 60-bit md5 prefix — a
+    * power-of-two scaling, so the double rounding is identical IEEE in
+    * any engine. ln() may drift by an ulp across libms, so clocks are
+    * fixed-pointed at 1e9 and ties break by id: a selection flip would
+    * need two clocks within both an ulp AND a rounding boundary. Rows
+    * with w <= 0 are excluded (they can never be sampled). */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = weight.cast("double")
+    // the when() guard keeps the division off w <= 0 rows (ANSI divide-
+    // by-zero) — those rows are unsampleable and filtered out anyway
+    val clock = when(w > 0d, round(-log(u) / w * lit(1e9)).cast("long"))
+    docs
+      .select(col(idCol), w.as("w"), clock.as("clock_fp9"))
+      .filter(col("w") > 0d)
+      .orderBy(col("clock_fp9"), col(idCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a RE-AGGREGATABLE counter table (the frequency
+  * twin of the q_hll_distinct sketch family): d independent hash rows ×
+  * w buckets, each counter the sum of hits hashed into it. Point
+  * frequency estimates are min over the d rows — always >= the true
+  * count, over by at most εN (ε ≈ e/w) with probability 1−(1/2)^d.
+  *
+  * Why this matters at 100 TB: exact per-key frequencies over a
+  * heavy-tailed key space (URLs, n-grams, user ids) need a shuffle of
+  * every distinct key; the CMS build is ONE map-side-combining exchange
+  * to a FIXED d·w-row table regardless of corpus size, counters from
+  * per-day/per-shard builds merge by plain SUM (same contract as the
+  * HLL sketch tables), and any later frequency probe touches only the
+  * tiny counter table — the corpus is never rescanned.
+  *
+  * Determinism: bucket_j(key) = md5("j:" || key) mod w on the 60-bit
+  * hex prefix — pure integer arithmetic, engine-exact, no libm.
+  */
+object CountMin {
+
+  /** Build the d×w counter table over `key` (one row per OCCURRENCE —
+    * weights are unit). ONE exchange: explode to d rows per input row
+    * in-map, hash-aggregate to at most d·w counters with map-side
+    * partials. */
+  def build(rows: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth out of range 1..8")
+    require(width >= 2, s"width=$width must be >= 2")
+    val depths = array((0 until depth).map(lit): _*)
+    rows
+      .select(key.cast("string").as("k"))
+      .select(explode(depths).as("depth"), col("k"))
+      .select(col("depth"), bucketOf(col("depth"), col("k"), width).as("bucket"))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge counter tables built over disjoint shards (per-day partials →
+    * range totals): counters are plain sums, so the merged sketch equals
+    * the single-pass sketch over the union. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Point-frequency estimates for a (small) probe-key table: join each
+    * probe's d buckets against the counter table and take the min. The
+    * counter table is d·w rows — broadcast it; the corpus is not
+    * touched. Keys the sketch never saw still estimate >= 0 via
+    * whatever collided into their buckets (the CMS one-sided-error
+    * contract), so probes absent from EVERY bucket row only happen when
+    * a counter row is missing entirely — coalesce those to 0. */
+  def estimate(probes: DataFrame, key: Column, sketch: DataFrame,
+               depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth out of range 1..8")
+    require(width >= 2, s"width=$width must be >= 2")
+    val depths = array((0 until depth).map(lit): _*)
+    probes
+      .select(key.cast("string").as("k"))
+      .select(col("k"), explode(depths).as("depth"))
+      .select(col("k"), col("depth"),
+        bucketOf(col("depth"), col("k"), width).as("bucket"))
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+  }
+
+  /** Row-j bucket of a key: 60-bit md5 prefix of "j:key", mod width —
+    * integer end to end (engine-exact, no float hashing). */
+  private def bucketOf(depth: Column, key: Column, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat(depth.cast("string"), lit(":"), key)), 1, 15),
+        16, 10).cast("long"),
+      lit(width.toLong))
+}

@@ -62,6 +62,24 @@ class PlanInvariantsSpec extends SparkSpec {
       "bloom row must exercise the shuffle join (broadcast prunes at the hash table instead)")
   }
 
+  test("q_weighted_sample: global selection is TakeOrderedAndProject, no sort of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded per-partition heaps in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "a weighted sample must never global-sort the corpus")
+  }
+
+  test("q_cms_freq: probe side broadcasts against the bounded counter table") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_cms_freq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w counter table should broadcast to the probes in:\n$plan")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"

@@ -102,4 +102,28 @@ class MixingSpec extends SparkSpec {
         "bins must advance by at most one per doc")
     }
   }
+
+  test("weightedSample: k smallest clocks, deterministic, weight-monotone in expectation") {
+    val docs = (1 to 200).map(i => (i.toLong, if (i <= 100) 1.0 else 100.0))
+      .toDF("doc_id", "w")
+    val out = Mixing.weightedSample(docs, "doc_id", $"w", k = 40)
+      .as[(Long, Double, Long)].collect()
+    assert(out.length == 40)
+    // deterministic: second run bit-identical
+    val again = Mixing.weightedSample(docs, "doc_id", $"w", k = 40)
+      .as[(Long, Double, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+    // clocks are the global k smallest: max sampled clock <= min unsampled
+    val all = Mixing.weightedSample(docs, "doc_id", $"w", k = 200)
+      .as[(Long, Double, Long)].collect()
+    val sampledMax = out.map(_._3).max
+    val unsampled = all.map(_._3).sorted.drop(40)
+    assert(unsampled.forall(_ >= sampledMax))
+    // 100x-weighted half dominates the sample (exp-clock proportionality)
+    val heavy = out.count(_._2 == 100.0)
+    assert(heavy >= 30, s"heavy-weight docs got $heavy/40 slots")
+    // zero/negative weights can never be sampled
+    val withZero = (1 to 5).map(i => (i.toLong, 0.0)).toDF("doc_id", "w")
+    assert(Mixing.weightedSample(withZero, "doc_id", $"w", 3).count() == 0)
+  }
 }
