@@ -1541,6 +1541,136 @@ object OracleSql {
          |FROM q GROUP BY source ORDER BY source""".stripMargin
     },
 
+    // Calibration oracle uses the NAIVE percent_rank window — the
+    // engine computes the identical answer through the bounded score
+    // histogram (Mixing.calibrateBySource); c_lt/(n-1) is a single
+    // double division of exact integers, so the two forms are
+    // bit-equal.
+    "q_quality_calibrated" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |         CAST(round(((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |           + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |           + (1.0 - punct_ratio) * 0.2) * 1000000.0) AS BIGINT) AS q_fp6
+         |  FROM t)
+         |SELECT doc_id, source, q_fp6,
+         |       percent_rank() OVER (PARTITION BY source ORDER BY q_fp6) AS pctl
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    // Per-label centroid map: exact fp6 element sums, truncating integer
+    // mean (DuckDB // ≡ Spark div, both toward zero), BIGINT-exact
+    // dot/norms, one correctly-rounded double division over two
+    // correctly-rounded sqrts — bit-equal in any IEEE 754 engine.
+    "q_centroid_cosine" ->
+      """WITH f AS (
+        |  SELECT label, u.i AS ord,
+        |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |s AS (SELECT label, ord, SUM(x) AS sx FROM f GROUP BY label, ord),
+        |nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |c AS (SELECT s.label, ord, sx // n AS cx, n FROM s JOIN nn USING (label))
+        |SELECT a.label AS group_a, b.label AS group_b,
+        |       a.n AS n_a, b.n AS n_b,
+        |       SUM(a.cx * b.cx) AS dot_fp,
+        |       CASE WHEN SUM(a.cx * a.cx) > 0 AND SUM(b.cx * b.cx) > 0
+        |            THEN CAST(SUM(a.cx * b.cx) AS DOUBLE)
+        |                 / (sqrt(CAST(SUM(a.cx * a.cx) AS DOUBLE))
+        |                    * sqrt(CAST(SUM(b.cx * b.cx) AS DOUBLE)))
+        |            END AS cos
+        |FROM c a JOIN c b ON a.ord = b.ord AND a.label < b.label
+        |GROUP BY a.label, b.label, a.n, b.n
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    // Best-duplicate selection: same recursive-CTE cluster closure as
+    // q_dedup_clusters, quality fp6 from the q_quality_calibrated CTEs,
+    // argmax via the packed key q*2^32 + (2^32-1-id) — plain integer
+    // max, totally ordered, engine-exact.
+    "q_dedup_best" -> {
+      val hits = vocabHits(stop("en"))
+      val chunks = Seq((0, 1, 8), (1, 9, 8))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 1),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(round(((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |           + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |           + (1.0 - punct_ratio) * 0.2) * 1000000.0) AS BIGINT) AS q_fp6
+         |  FROM t),
+         |m AS (
+         |  SELECT cl.cluster_id,
+         |         q.q_fp6 * 4294967296 + (4294967295 - cl.id) AS pk
+         |  FROM cl JOIN q ON q.doc_id = cl.id)
+         |SELECT cluster_id,
+         |       4294967295 - (max(pk) % 4294967296) AS best_id,
+         |       max(pk) // 4294967296 AS best_q_fp6,
+         |       count(*) AS n_docs
+         |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+
+    // CDC chunk dedup: boundary after every token whose md5-60-bit ≡ 0
+    // (mod 16); ends = cut positions plus the tail boundary at n (DISTINCT
+    // dedups the case where n is itself a cut); chunk j = tokens
+    // (prev_end, end], reassembled with list_slice (inclusive 1-based,
+    // mirrors Spark slice(toks, prev+1, e-prev)).
+    "q_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.i AS i, toks[u.i] AS w
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, i AS e FROM tok
+        |    WHERE CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 16 = 0
+        |    UNION ALL
+        |    SELECT doc_id, len(toks) AS e FROM t WHERE len(toks) >= 1)),
+        |seq AS (
+        |  SELECT doc_id, e,
+        |         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |  FROM ends),
+        |ch AS (
+        |  SELECT s.doc_id, CAST(s.e - s.prev AS INTEGER) AS n_tok,
+        |         array_to_string(list_slice(t.toks, s.prev + 1, s.e), ' ') AS chunk_text
+        |  FROM seq s JOIN t USING (doc_id))
+        |SELECT md5(chunk_text) AS chunk_hash, min(n_tok) AS n_tok,
+        |       count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
+
     // Exponential-clock weighted sample: u = (md5-60-bit + 1) / 2^60 is
     // a power-of-two scaling (identical IEEE rounding everywhere); the
     // clock −ln(u)/w is fixed-pointed at 1e9 with id tie-break so a

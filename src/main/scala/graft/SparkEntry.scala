@@ -2360,6 +2360,17 @@ object SparkEntry {
         text.TextOps.tokenCount(col("text")), k = 50)
       .orderBy(col("clock_fp9"), col("doc_id"))
 
+  /** Cross-domain quality calibration: per-source percent_rank of the
+    * fixed-point Gopher quality score, computed through the bounded
+    * score histogram (never a per-source window over the corpus) — one
+    * keep-threshold then means the same thing in every domain. */
+  private def qQualityCalibrated(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.Stopwords.toMap.apply("en")
+    corpus.Mixing.calibrateBySource(t(s, d, "documents"), "source", "doc_id",
+        round(TextOps.qualityScore(col("text"), en) * 1e6).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min sketch build + probe over event actor frequencies: the
     * d×w counter table is the whole state (one map-combining exchange,
     * fixed size at any corpus scale, merges by SUM), probes touch only
@@ -2378,6 +2389,44 @@ object SparkEntry {
       .select(col("user_id"), col("n_exact"), col("n_est"))
       .orderBy(col("user_id"))
   }
+
+  /** Per-label embedding centroids + pairwise inter-label cosine — the
+    * "domain map" of the embedded corpus (Vectors.groupCentroidCosines:
+    * one ArraySumFp hash-aggregate to #labels rows, truncating integer
+    * mean so products stay BIGINT-exact at any group size, pairwise
+    * cosine over the tiny centroid table). */
+  private def qCentroidCosine(s: SparkSession, d: String): DataFrame =
+    Vectors.groupCentroidCosines(t(s, d, "embeddings"), "label", "embedding")
+      .orderBy(col("group_a"), col("group_b"))
+
+  /** Keep the BEST duplicate, not the first: near-dup clusters (shared
+    * simhash signature table) resolved to the member with the highest
+    * Gopher quality score — Dedup.clusterRepresentatives' packed-integer
+    * argmax (totally ordered, deterministic; never max_by's unspecified
+    * tie order). */
+  private def qDedupBest(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.Stopwords.toMap.apply("en")
+    val clusters = Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
+    val scored = t(s, d, "documents").select(col("doc_id"),
+      round(TextOps.qualityScore(col("text"), en) * 1e6).cast("long").as("q_fp6"))
+    Dedup.clusterRepresentatives(clusters, scored, "doc_id", "q_fp6")
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Chunk-level dedup over CONTENT-DEFINED chunks (Dedup.cdcChunks —
+    * boundaries from local token hashes, so shared passages keep their
+    * chunk identity under insertions that would shift every fixed-size
+    * chunk): all chunk hashes occurring more than once across the
+    * corpus, with doc-frequency and occurrence counts. The chunker is
+    * in-row (zero exchange); the only shuffle is the final hash
+    * aggregate on chunk_hash. */
+  private def qCdcDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunks(t(s, d, "documents"), "doc_id", "text", avgTokens = 16)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("n_tok")).as("n_tok"),
+        countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("chunk_hash"))
 
   /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted
     * with the 1997+ orders, updates winning per customer. */
@@ -2526,6 +2575,10 @@ object SparkEntry {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_cms_freq" -> (qCmsFreq _),
+    "q_quality_calibrated" -> (qQualityCalibrated _),
+    "q_centroid_cosine" -> (qCentroidCosine _),
+    "q_dedup_best" -> (qDedupBest _),
+    "q_cdc_dedup" -> (qCdcDedup _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

@@ -194,6 +194,42 @@ object Mixing {
       .withColumn("bin", ((col("cum_tok") - 1) / budget).cast("long"))
   }
 
+  /** Cross-domain quality calibration: percent_rank of a (fixed-point)
+    * score WITHIN each source, so one keep-threshold means the same
+    * thing in every domain — raw quality scores are not comparable
+    * across a code corpus and a forum corpus, their PERCENTILES are.
+    *
+    * Scale shape: the naive window formulation
+    * (percent_rank over (partition by source)) sorts an ENTIRE source
+    * in one task chain — a corpus-dominant domain serializes the job.
+    * This computes the identical answer through the score HISTOGRAM:
+    * one hash-aggregate to (source, score, count) rows — bounded by
+    * score cardinality, never corpus size — a prefix-sum window over
+    * that bounded table, and a hash join back to the corpus.
+    * percent_rank = c_lt/(n−1) (ties share the rank of their first
+    * peer), a single double division of exact integers — engine-exact.
+    */
+  def calibrateBySource(docs: DataFrame, sourceCol: String, idCol: String,
+                        score: Column): DataFrame = {
+    val scored = docs.select(col(sourceCol).as("source"), col(idCol),
+      score.as("q_fp6"))
+    val hist = scored.groupBy(col("source"), col("q_fp6"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("q_fp6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("source"))
+    val cum = hist
+      .withColumn("c_le", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wtot))
+      .select(col("source"), col("q_fp6"),
+        (col("c_le") - col("c")).as("c_lt"), col("n"))
+    scored.join(cum, Seq("source", "q_fp6"))
+      .select(col(idCol), col("source"), col("q_fp6"),
+        when(col("n") > 1L,
+          col("c_lt").cast("double") / (col("n") - 1L).cast("double"))
+          .otherwise(0.0).as("pctl"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
     * exponential clocks): each row draws clock t = −ln(u)/w from a
     * deterministic md5-derived uniform u ∈ (0,1], and the k SMALLEST

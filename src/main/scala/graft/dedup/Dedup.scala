@@ -697,6 +697,90 @@ object Dedup {
       .select(col("id"), col("cluster_id"))
   }
 
+  /** Duplicate-cluster REPRESENTATIVE selection by quality — "keep the
+    * BEST duplicate, not the first": within each near-dup cluster, the
+    * survivor is the member with the highest quality score (ties →
+    * smallest id), not the arbitrary minimum id. This is the curation
+    * step real pipelines run between cluster resolution and the dedup
+    * apply — near-dup groups usually contain one clean original and N
+    * boilerplate-wrapped copies, and min-id keeps a random one.
+    *
+    * Scale shape: one hash join of the (tiny) cluster table onto the
+    * per-doc scores, then ONE map-side-combining aggregate per cluster.
+    * The argmax is a plain integer `max` over the packed key
+    * q_fp6·2³² + (2³²−1 − id) — totally ordered, so deterministic in
+    * ANY engine (never `max_by`, whose tie order is unspecified).
+    * Requires q_fp6 ∈ [0, 2³⁰) and id ∈ [0, 2³²) (checked at runtime:
+    * out-of-range rows would silently corrupt the packed order).
+    */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    val two32 = 4294967296L
+    val bad = col("q") < 0 || col("q") >= (two32 / 4) ||
+      col("id") < 0 || col("id") >= two32
+    val key = when(bad, raise_error(format_string(
+        "clusterRepresentatives: packed-key range violated (need " +
+          "0<=score<2^30, 0<=id<2^32), got score=%d id=%d",
+        col("q"), col("id"))).cast("long"))
+      .otherwise(col("q") * two32 + (lit(two32 - 1L) - col("id")))
+    val packed = clusters.join(
+        scored.select(col(idCol).as("id"), col(scoreCol).as("q")), Seq("id"))
+      .select(col("cluster_id"), key.as("key"))
+    packed.groupBy(col("cluster_id"))
+      .agg(max(col("key")).as("mk"), count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"),
+        (lit(two32 - 1L) - pmod(col("mk"), lit(two32))).as("best_id"),
+        expr("mk div 4294967296").as("best_q_fp6"), col("n_docs"))
+  }
+
+  /** CONTENT-DEFINED CHUNKING (CDC) at word granularity — the
+    * shift-resistant chunker (FastCDC/rsync lineage, applied to text
+    * dedup by the SlimPajama-style pipelines): a chunk boundary falls
+    * AFTER every token whose 60-bit md5 ≡ 0 (mod `avgTokens`), so
+    * boundaries depend only on local content. Insert one sentence at the
+    * top of a document and every chunk after it keeps its identity —
+    * fixed-size chunking would shift every boundary and defeat
+    * chunk-hash dedup.
+    *
+    * Scale shape: entirely IN-ROW — boundaries, slicing, and chunk
+    * reassembly are array expressions over the tokens of one document
+    * (linear: cut positions via one `filter` pass, chunk j rebuilt by
+    * ONE `slice` between consecutive cuts — never a per-position
+    * prefix re-scan), then a single `posexplode`. NO exchange at all:
+    * the explode inherits the scan's partitioning, and CDC boundaries
+    * never cross documents. The exploded-token window formulation this
+    * replaces would shuffle the tokenized corpus twice (window by doc,
+    * regroup by chunk).
+    *
+    * Returns (doc_id, chunk_id, n_tok, chunk_text, chunk_hash) — md5
+    * chunk hashes feed cross-document chunk-level dedup.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgTokens: Int): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens=$avgTokens must be >= 2")
+    val toks = graft.text.TextOps.tokens(col(textCol))
+    val n = size(toks)
+    def isCut(w: Column): Column =
+      pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
+        lit(avgTokens.toLong)) === 0L
+    // 1-based positions whose token closes a chunk; a final boundary at n
+    // closes the tail unless position n is already a cut
+    val cuts = filter(sequence(lit(1), n), i => isCut(element_at(toks, i)))
+    val ends = when(size(cuts) > 0 && element_at(cuts, -1) === n, cuts)
+      .otherwise(concat(cuts, array(n)))
+    val chunks = transform(ends, (e, j) => {
+      val prev = when(j === 0, lit(0)).otherwise(element_at(ends, j))
+      struct((e - prev).as("n_tok"),
+        concat_ws(" ", slice(toks, prev + 1, e - prev)).as("chunk_text"))
+    })
+    docs.select(col(idCol).as("doc_id"), chunks.as("cs"))
+      .filter(col("cs").isNotNull && size(col("cs")) > 0)
+      .select(col("doc_id"), posexplode(col("cs")).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.n_tok").as("n_tok"), col("c.chunk_text").as("chunk_text"))
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+  }
+
   /** Even-ish split of `total` bit positions into `n` chunks:
     * (1-based start, length) per chunk; first `total % n` chunks get the
     * extra bit. */

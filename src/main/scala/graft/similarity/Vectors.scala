@@ -412,6 +412,42 @@ object Vectors {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-group embedding CENTROIDS + the pairwise cosine between groups —
+    * the "domain map" of an embedded corpus (which sources/classes are
+    * semantically close, the signal behind mixture re-weighting and
+    * cross-domain contamination triage).
+    *
+    * Scale shape: ONE map-side-combining hash aggregate reduces the
+    * corpus to #groups rows (in-row elementwise sums via
+    * [[graft.functions.ArraySumFp]] — never a posexplode, which would
+    * push d× the rows through the exchange); the pairwise stage is a
+    * self-join of that #groups-row table — trivially broadcast, the
+    * corpus is scanned exactly once.
+    *
+    * Numeric discipline (oracle hash-exactness): per-group sums are
+    * EXACT integers of fp6 elements; the centroid is the truncating
+    * integer mean `s div n` (Spark `div` ≡ DuckDB `//`, both toward
+    * zero), which bounds each element by the fp6 input range REGARDLESS
+    * of group size — so the dot/norm products stay BIGINT-exact at any
+    * corpus scale (d · maxFp6² ≪ 2⁶³). Cosine is then one
+    * correctly-rounded double division over two correctly-rounded sqrts
+    * of exact integers — bit-equal in any IEEE 754 engine. */
+  def groupCentroidCosines(vectors: DataFrame, groupCol: String,
+                           vecCol: String): DataFrame = {
+    val cents = vectors
+      .select(col(groupCol).as("g"), fixedPoint(col(vecCol)).as("v"))
+      .groupBy(col("g"))
+      .agg(graft.functions.ArraySumFp(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), col("n"), expr("transform(s, x -> x div n)").as("c"))
+      .withColumn("nsq", normSqFp(col("c")))
+    cents.as("a").join(cents.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        dotFp(col("a.c"), col("b.c")).as("dot_fp"),
+        cosineFromNorms(col("a.c"), col("b.c"), col("a.nsq"), col("b.nsq"))
+          .as("cos"))
+  }
+
   /** Per-vector int8 SCALAR QUANTIZATION — the standard 4× compression
     * applied to embedding stores before ANN serving (each component maps
     * to round((v − min) · 255 / (max − min)) ∈ [0, 255], with (min, max)

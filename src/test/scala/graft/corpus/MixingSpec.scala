@@ -103,6 +103,24 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("calibrateBySource: histogram formulation equals the naive percent_rank window") {
+    val docs = ((1 to 60).map(i => (i.toLong, (i % 7).toLong, "web")) ++
+      (1 to 9).map(i => ((100 + i).toLong, (i % 3).toLong, "books")) :+
+      (200L, 5L, "solo"))
+      .toDF("doc_id", "q", "source")
+    val out = Mixing.calibrateBySource(docs, "source", "doc_id", $"q")
+      .select($"doc_id", $"pctl").as[(Long, Double)].collect().toMap
+    val naive = docs.select($"doc_id",
+        percent_rank().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"q")).as("p"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == naive, "histogram percent_rank must be bit-equal to the window form")
+    // a single-doc source calibrates to 0 (no peers), not NaN
+    assert(out(200L) == 0.0)
+    // percentiles are within [0, 1] and each source's max is 1 (or 0 for solo)
+    assert(out.values.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
   test("weightedSample: k smallest clocks, deterministic, weight-monotone in expectation") {
     val docs = (1 to 200).map(i => (i.toLong, if (i <= 100) 1.0 else 100.0))
       .toDF("doc_id", "w")

@@ -288,4 +288,57 @@ class DedupSpec extends SparkSpec {
     // bigrams: mn nm mn nm mn — "m n"×3 + "n m"×2 → all 5 duplicated
     assert(out.toSeq == Seq((9L, 5L, 1L, 6L, 6L, 1.0)))
   }
+
+  test("clusterRepresentatives: quality argmax, tie breaks to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "cluster_id")
+    val scored = Seq((1L, 10L), (2L, 90L), (3L, 90L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "q_fp6")
+    val out = Dedup.clusterRepresentatives(clusters, scored, "doc_id", "q_fp6")
+      .orderBy($"cluster_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: q=90 tie between 2 and 3 → 2; cluster 5: tie → 5
+    assert(out == Seq((1L, 2L, 90L, 3L), (5L, 5L, 7L, 2L)))
+  }
+
+  test("clusterRepresentatives: packed-key range guard throws on negative score") {
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val scored = Seq((1L, -5L), (2L, 3L)).toDF("doc_id", "q_fp6")
+    val e = intercept[Exception] {
+      Dedup.clusterRepresentatives(clusters, scored, "doc_id", "q_fp6").collect()
+    }
+    assert(e.getMessage.contains("packed-key range") ||
+      Option(e.getCause).exists(_.getMessage.contains("packed-key range")))
+  }
+
+  test("cdcChunks: chunks reassemble the document exactly and boundaries are content-local") {
+    val base = (1 to 80).map(i => s"w${i % 23}").mkString(" ")
+    val shifted = "zzz qqq " + base // two tokens prepended
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", avgTokens = 8)
+      .orderBy($"doc_id", $"chunk_id")
+      .select($"doc_id", $"chunk_text", $"chunk_hash", $"n_tok")
+      .as[(Long, String, String, Int)].collect()
+    // lossless: concatenating a doc's chunks restores it token-exactly
+    val re1 = ch.filter(_._1 == 1L).map(_._2).mkString(" ")
+    val re2 = ch.filter(_._1 == 2L).map(_._2).mkString(" ")
+    assert(re1 == base && re2 == shifted)
+    // n_tok matches the chunk's own token count
+    ch.foreach { case (_, txt, _, n) => assert(txt.split(" ").length == n) }
+    // shift-resistance: after a 2-token prepend, later chunk hashes
+    // survive (a fixed-size chunker would shift every boundary)
+    val h1 = ch.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty,
+      "content-defined boundaries must keep shared-suffix chunk identity")
+  }
+
+  test("cdcChunks: single-chunk doc when no token hash hits the cut mask") {
+    // avgTokens large → cuts are rare; with 3 tokens almost surely none,
+    // but the invariant checked is structural: exactly covers, ids dense
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", avgTokens = 1 << 20)
+      .select($"chunk_id", $"chunk_text").as[(Long, String)].collect()
+    assert(ch.length == 1 && ch.head == ((0L, "alpha beta gamma")))
+  }
 }

@@ -380,6 +380,34 @@ class VectorsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("groupCentroidCosines: matches a driver-side double computation, bounded pairs") {
+    val vecs = Seq(
+      (1L, 0, Seq(1f, 0f, 0f)), (2L, 0, Seq(1f, 0.2f, 0f)),
+      (3L, 1, Seq(0f, 1f, 0f)), (4L, 1, Seq(0.1f, 1f, 0f)),
+      (5L, 2, Seq(0f, 0f, 0f))  // zero-centroid group → NULL cosine
+    ).toDF("vec_id", "label", "embedding")
+    val out = Vectors.groupCentroidCosines(vecs, "label", "embedding")
+      .orderBy($"group_a", $"group_b")
+      .select($"group_a", $"group_b", $"n_a", $"n_b", $"cos")
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out.map(t => (t._1, t._2)) == Seq((0, 1), (0, 2), (1, 2)))
+    assert(out.map(t => (t._3, t._4)) == Seq((2L, 2L), (2L, 1L), (2L, 1L)))
+    // driver-side reference: fp6 → sum → div n → cosine in double
+    def cent(vs: Seq[Seq[Float]]): Seq[Long] =
+      vs.map(_.map(x => math.round(x.toDouble * 1e6))).transpose
+        .map(_.sum / vs.size)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val c0 = cent(Seq(Seq(1f, 0f, 0f), Seq(1f, 0.2f, 0f)))
+    val c1 = cent(Seq(Seq(0f, 1f, 0f), Seq(0.1f, 1f, 0f)))
+    assert(out(0)._5.contains(cos(c0, c1)))
+    // zero-magnitude centroid yields NULL, never NaN
+    assert(out(1)._5.isEmpty && out(2)._5.isEmpty)
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
