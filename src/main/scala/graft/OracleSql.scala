@@ -1642,6 +1642,16 @@ object OracleSql {
          |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
 
+    // Heavy hitters: the engine's Misra–Gries candidate pass is only an
+    // optimization — the verified OUTPUT is the exact count set, which
+    // plain GROUP BY/HAVING reproduces.
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n_exact
+        |FROM tok GROUP BY tok
+        |HAVING count(*) * 200 > (SELECT count(*) FROM tok)
+        |ORDER BY n_exact DESC, tok""".stripMargin,
+
     // CDC chunk dedup: boundary after every token whose md5-60-bit ≡ 0
     // (mod 16); ends = cut positions plus the tail boundary at n (DISTINCT
     // dedups the case where n is itself a cut); chunk j = tokens

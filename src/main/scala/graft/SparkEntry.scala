@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{ArraySumFp, MultiPatternCount}
+import graft.functions.{ArraySumFp, MisraGries, MultiPatternCount}
 import graft.ops.Relational
 import graft.text.TextOps
 import graft.dedup.Dedup
@@ -2428,6 +2428,28 @@ object SparkEntry {
       .filter(col("n_occ") > 1)
       .orderBy(col("chunk_hash"))
 
+  /** EXACT heavy hitters at unbounded key cardinality — the two-pass
+    * Misra–Gries pattern: pass 1 reduces the token stream to an O(k)
+    * candidate sketch (guarantee: every key with freq > n/(k+1)
+    * survives; k=512 ≫ the 200 threshold divisor), pass 2 exact-counts
+    * ONLY candidate-matching rows via a broadcast semi-join — the full
+    * token key space is never shuffled, which is the entire point when
+    * distinct keys outnumber what one exchange can move. The output is
+    * the exact counts, so it is deterministic even though the sketch
+    * content is partitioning-dependent. */
+  private def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val mg = toks.agg(MisraGries(col("tok"), 512).as("m"))
+      .select(col("m.n").as("n_tot"), explode(col("m.keys")).as("tok"))
+    toks.join(broadcast(mg), Seq("tok"))
+      .groupBy(col("tok"), col("n_tot"))
+      .agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") * 200L > col("n_tot"))
+      .select(col("tok"), col("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted
     * with the 1997+ orders, updates winning per customer. */
   private def qUpsert(s: SparkSession, d: String): DataFrame = {
@@ -2579,6 +2601,7 @@ object SparkEntry {
     "q_centroid_cosine" -> (qCentroidCosine _),
     "q_dedup_best" -> (qDedupBest _),
     "q_cdc_dedup" -> (qCdcDedup _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

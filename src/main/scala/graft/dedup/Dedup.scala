@@ -758,24 +758,46 @@ object Dedup {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 avgTokens: Int): DataFrame = {
     require(avgTokens >= 2, s"avgTokens=$avgTokens must be >= 2")
-    val toks = graft.text.TextOps.tokens(col(textCol))
-    val n = size(toks)
     def isCut(w: Column): Column =
       pmod(conv(substring(md5(w), 1, 15), 16, 10).cast("long"),
         lit(avgTokens.toLong)) === 0L
-    // 1-based positions whose token closes a chunk; a final boundary at n
-    // closes the tail unless position n is already a cut
-    val cuts = filter(sequence(lit(1), n), i => isCut(element_at(toks, i)))
-    val ends = when(size(cuts) > 0 && element_at(cuts, -1) === n, cuts)
-      .otherwise(concat(cuts, array(n)))
-    val chunks = transform(ends, (e, j) => {
-      val prev = when(j === 0, lit(0)).otherwise(element_at(ends, j))
-      struct((e - prev).as("n_tok"),
-        concat_ws(" ", slice(toks, prev + 1, e - prev)).as("chunk_text"))
-    })
-    docs.select(col(idCol).as("doc_id"), chunks.as("cs"))
-      .filter(col("cs").isNotNull && size(col("cs")) > 0)
-      .select(col("doc_id"), posexplode(col("cs")).as(Seq("chunk_id", "c")))
+    // Each intermediate array is STAGED as its own column so lambda
+    // bodies reference attributes, not expression trees: splicing `ends`
+    // into the per-element lambda would re-evaluate the whole
+    // md5-filter pipeline PER CHUNK — O(chunks × tokens) digests per
+    // document (measured 67s at sf0.1 vs <1s staged). CollapseProject
+    // keeps the stage boundary: each alias is non-cheap and referenced
+    // more than once downstream.
+    val chunks = docs
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextOps.tokens(col(textCol)).as("toks"))
+      // 1-based positions whose token closes a chunk
+      .select(col("doc_id"), col("toks"),
+        filter(sequence(lit(1), size(col("toks"))),
+          i => isCut(element_at(col("toks"), i))).as("cuts"))
+      // a final boundary at n closes the tail unless n is already a cut
+      .select(col("doc_id"), col("toks"),
+        when(size(col("cuts")) > 0 &&
+            element_at(col("cuts"), -1) === size(col("toks")), col("cuts"))
+          .otherwise(concat(col("cuts"), array(size(col("toks")))))
+          .as("ends"))
+      .select(col("doc_id"), transform(col("ends"), (e, j) => {
+        val prev = when(j === 0, lit(0)).otherwise(element_at(col("ends"), j))
+        struct((e - prev).as("n_tok"),
+          concat_ws(" ", slice(col("toks"), prev + 1, e - prev))
+            .as("chunk_text"))
+      }).as("cs"))
+    // posexplode_OUTER + a post-Generate null filter, deliberately: with
+    // a plain posexplode, InferFiltersFromGenerate adds
+    // `size(cs)>0 AND isnotnull(cs)` and predicate pushdown then
+    // re-inlines the ENTIRE chunker tree into a per-row Filter at the
+    // scan (pushdown has no expensive-expression guard, unlike
+    // CollapseProject) — measured 35s of the 39s at sf0.1. The rule
+    // skips outer generates, and a filter on a GENERATED attribute can
+    // never push below the Generate.
+    chunks
+      .select(col("doc_id"), posexplode_outer(col("cs")).as(Seq("chunk_id", "c")))
+      .filter(col("c").isNotNull)
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.n_tok").as("n_tok"), col("c.chunk_text").as("chunk_text"))
       .withColumn("chunk_hash", md5(col("chunk_text")))
