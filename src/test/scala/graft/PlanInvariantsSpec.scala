@@ -80,6 +80,40 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the d*w counter table should broadcast to the probes in:\n$plan")
   }
 
+  test("q_cdc_dedup: no optimizer-inferred Filter re-inlines the chunker below the Generate") {
+    val dir = "/root/testdata/sf0.001"
+    val qe = SparkEntry.queries("q_cdc_dedup")(spark, dir).queryExecution
+    // InferFiltersFromGenerate + pushdown would plant a Filter whose
+    // condition contains the whole HOF chunker (measured 35s of 39s at
+    // sf0.1) — posexplode_outer keeps the rule off; nothing may regress
+    val offending = qe.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("lambdafunction") => f
+    }
+    assert(offending.isEmpty,
+      s"HOF expression re-inlined into a Filter:\n${offending.mkString}")
+  }
+
+  test("q_heavy_hitters: candidates broadcast, exact pass never shuffles the key space") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("misra_gries"),
+      s"expected the Misra-Gries partial aggregate in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the O(k) candidate table should broadcast to the token scan in:\n$plan")
+  }
+
+  test("q_centroid_cosine: vectors aggregate in-row, no Generate before the sums") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_centroid_cosine")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("array_sum_fp"),
+      s"expected the in-row elementwise-sum aggregate in:\n$plan")
+    assert(!plan.contains("Generate"),
+      "per-component explode would push d x the rows through the exchange")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
