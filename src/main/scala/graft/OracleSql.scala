@@ -1642,6 +1642,23 @@ object OracleSql {
          |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
 
+    // Character entropy: H = ln(n) − (Σ c·ln(c))/n so ln only ever sees
+    // INTEGER arguments (fixed-pointed at 1e9, the weighted-sample
+    // discipline); the oracle uses the exploded GROUP BY histogram, the
+    // engine the in-row run-length form — identical integers.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |h AS (SELECT doc_id, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |a AS (
+        |  SELECT doc_id, SUM(cnt) AS n, count(*) AS n_uniq,
+        |         SUM(cnt * CAST(round(ln(cnt) * 1000000000) AS BIGINT)) AS sclnc
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars, CAST(n_uniq AS INTEGER) AS n_uniq,
+        |       CAST(round(ln(n) * 1000000000) AS BIGINT) - sclnc // n AS h_fp9
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // Heavy hitters: the engine's Misra–Gries candidate pass is only an
     // optimization — the verified OUTPUT is the exact count set, which
     // plain GROUP BY/HAVING reproduces.

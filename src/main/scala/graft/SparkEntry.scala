@@ -2450,6 +2450,13 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** Per-doc character-entropy quality scoring (TextOps.charEntropyFp9):
+    * the gibberish/low-diversity filter, fully in-row (sort + run-length
+    * + fixed-point ln), zero exchange before the output ordering. */
+  private def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    TextOps.charEntropyFp9(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted
     * with the 1997+ orders, updates winning per customer. */
   private def qUpsert(s: SparkSession, d: String): DataFrame = {
@@ -2602,6 +2609,7 @@ object SparkEntry {
     "q_dedup_best" -> (qDedupBest _),
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_char_entropy" -> (qCharEntropy _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

@@ -225,4 +225,47 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Per-document Shannon CHARACTER ENTROPY in fixed-point nano-nats —
+    * the gibberish/low-diversity filter (keyboard mash has near-zero
+    * entropy per char class; base64 blobs near-max): using
+    * H = ln(n) − (Σ c·ln(c))/n over the per-char counts c, so the only
+    * non-integer steps are ln of INTEGER arguments, each fixed-pointed
+    * at 1e9 (the [[graft.corpus.Mixing.weightedSample]] discipline — a
+    * libm ulp cannot move round(ln(k)·1e9) except exactly on a .5
+    * boundary, which integer arguments don't hit in practice), and one
+    * truncating `div` — engine-exact.
+    *
+    * Scale shape: entirely IN-ROW, zero exchange — sort the doc's chars
+    * (order is irrelevant to entropy; any total order groups equals),
+    * run-starts via one `filter` pass, run lengths by adjacent
+    * difference, Σ c·lnfp(c) via one `aggregate` pass. Every
+    * intermediate array is STAGED as a column (the q_cdc_dedup lesson:
+    * splicing trees into lambdas re-evaluates them per element).
+    * Precondition: ASCII-ish text (split("") is per code unit).
+    *
+    * Returns (doc_id, n_chars, n_uniq, h_fp9); empty docs are dropped.
+    */
+  def charEntropyFp9(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    def lnFp9(x: Column): Column = round(log(x.cast("double")) * 1e9).cast("long")
+    docs.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        array_sort(split(col(textCol), "")).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n"),
+        // 1-based start position of every run of equal chars (the Or
+        // short-circuits, so element_at never sees index 0)
+        filter(sequence(lit(1), size(col("s"))), i =>
+          i === 1 || element_at(col("s"), i) =!= element_at(col("s"), i - 1))
+          .as("bpos"))
+      .select(col("doc_id"), col("n"), size(col("bpos")).as("n_uniq"),
+        transform(col("bpos"), (b, j) =>
+          when(j === size(col("bpos")) - 1, col("n") + 1)
+            .otherwise(element_at(col("bpos"), j + 2)) - b).as("counts"))
+      .select(col("doc_id"), col("n"), col("n_uniq"),
+        aggregate(col("counts"), lit(0L),
+          (acc, c) => acc + c.cast("long") * lnFp9(c)).as("sclnc"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_uniq"),
+        (lnFp9(col("n")) - expr("sclnc div n")).as("h_fp9"))
+  }
 }
