@@ -1642,6 +1642,24 @@ object OracleSql {
          |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
 
+    // JL projection: the ±1 matrix regenerates from md5("j:i") parity in
+    // any engine; components are exact integer dots of fp6 vectors.
+    "q_random_projection" ->
+      """WITH fp AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS fv
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT j.j AS j, i.i AS i,
+        |         CASE WHEN CAST(concat('0x', substring(md5(j.j || ':' || i.i), 1, 15)) AS BIGINT) % 2 = 0
+        |              THEN 1 ELSE -1 END AS s
+        |  FROM range(16) j(j), range(64) i(i)),
+        |e AS (SELECT vec_id, i.i AS i, fv[i.i + 1] AS v FROM fp, range(64) i(i))
+        |SELECT e.vec_id, CAST(m.j AS INTEGER) AS out_dim, SUM(e.v * m.s) AS comp_fp6
+        |FROM e JOIN m ON m.i = e.i
+        |GROUP BY e.vec_id, m.j
+        |ORDER BY vec_id, out_dim""".stripMargin,
+
     // Character entropy: H = ln(n) − (Σ c·ln(c))/n so ln only ever sees
     // INTEGER arguments (fixed-pointed at 1e9, the weighted-sample
     // discipline); the oracle uses the exploded GROUP BY histogram, the

@@ -2450,6 +2450,14 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** Rademacher (JL) random projection of the embedding store to 16
+    * dims (Vectors.rademacherProject): compile-time ±1 sign literals,
+    * one codegen DotProductFp per output dim, zero exchange. */
+  private def qRandomProjection(s: SparkSession, d: String): DataFrame =
+    Vectors.rademacherProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 16)
+      .orderBy(col("vec_id"), col("out_dim"))
+
   /** Per-doc character-entropy quality scoring (TextOps.charEntropyFp9):
     * the gibberish/low-diversity filter, fully in-row (sort + run-length
     * + fixed-point ln), zero exchange before the output ordering. */
@@ -2610,6 +2618,7 @@ object SparkEntry {
     "q_cdc_dedup" -> (qCdcDedup _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_char_entropy" -> (qCharEntropy _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

@@ -448,6 +448,42 @@ object Vectors {
           .as("cos"))
   }
 
+  /** RADEMACHER RANDOM PROJECTION (Johnson–Lindenstrauss with ±1
+    * entries, Achlioptas '01 — public): project d-dim embeddings to
+    * outDim dims with s_ji ∈ {±1} derived from md5("j:i") parity — the
+    * dimensionality-reduction step run before LSH/IVF when the raw
+    * embedding width makes bucket probes memory-bound. Pairwise
+    * distances are preserved within the JL bound in expectation; signs
+    * are DATA-INDEPENDENT and reproducible from the (j, i) index alone,
+    * so any engine regenerates the identical matrix.
+    *
+    * Scale shape: entirely IN-ROW and codegen — the outDim sign rows
+    * are compile-time literal arrays and each output component is one
+    * [[graft.functions.DotProductFp]] over the fp6 input (exact
+    * integers: |out| ≤ d · maxFp6 ≪ 2⁶³), then one `stack` to the long
+    * (vec_id, out_dim, comp_fp6) form. Zero exchange, zero state.
+    */
+  def rademacherProject(vecs: DataFrame, idCol: String, vecCol: String,
+                        inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= 256,
+      s"bad dims: inDim=$inDim outDim=$outDim")
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1L
+      else -1L
+    }
+    val comps = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => sign(j, i))
+      dotFp(col("fv"), typedlit(signs)).as(s"c$j")
+    }
+    val stackExpr = (0 until outDim).map(j => s"$j, c$j")
+      .mkString(s"stack($outDim, ", ", ", ") as (out_dim, comp_fp6)")
+    vecs.select(col(idCol).as("vec_id"), fixedPoint(col(vecCol)).as("fv"))
+      .select(col("vec_id") +: comps: _*)
+      .selectExpr("vec_id", stackExpr)
+  }
+
   /** Per-vector int8 SCALAR QUANTIZATION — the standard 4× compression
     * applied to embedding stores before ANN serving (each component maps
     * to round((v − min) · 255 / (max − min)) ∈ [0, 255], with (min, max)

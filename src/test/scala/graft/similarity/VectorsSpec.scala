@@ -408,6 +408,34 @@ class VectorsSpec extends SparkSpec {
     assert(out(1)._5.isEmpty && out(2)._5.isEmpty)
   }
 
+  test("rademacherProject: exact integer components match a driver-side recomputation") {
+    val vecs = Seq(
+      (1L, Seq(1f, -0.5f, 0.25f, 0f)),
+      (2L, Seq(0f, 0f, 0f, 0f)),
+      (3L, Seq(-1f, -1f, 2f, 0.125f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.rademacherProject(vecs, "vec_id", "embedding", 4, 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, j, c) => ((id, j), c) }.toMap
+    assert(out.size == 9)
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L) 1L else -1L
+    }
+    val fv = Map(
+      1L -> Seq(1000000L, -500000L, 250000L, 0L),
+      2L -> Seq(0L, 0L, 0L, 0L),
+      3L -> Seq(-1000000L, -1000000L, 2000000L, 125000L))
+    for (id <- Seq(1L, 2L, 3L); j <- 0 until 3) {
+      val expect = (0 until 4).map(i => fv(id)(i) * sign(j, i)).sum
+      assert(out((id, j)) == expect, s"vec $id dim $j")
+    }
+    // signs are data-independent: both ±1 values occur across the matrix
+    val signs = for (j <- 0 until 3; i <- 0 until 4) yield sign(j, i)
+    assert(signs.contains(1L) && signs.contains(-1L))
+  }
+
   test("quantizeInt8: known codes, constant-vector guard, bounded reconstruction error") {
     val v = Seq(
       (1L, Seq(0f, 1f, 2f)),
