@@ -46,6 +46,32 @@ class MisraGriesSpec extends SparkSpec {
     assert(back.total == buf.total && back.keys.sorted == buf.keys.sorted)
   }
 
+  test("misra_gries is valid STREAMING state: complete-mode sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().toDF("tok")
+      .agg(MisraGries($"tok", 8).as("m"))
+      .select($"m.n".as("n"), $"m.keys".as("keys"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    // the hot key arrives spread over three micro-batches — the sketch
+    // state must merge through the state store, not within one batch
+    mem.addData(Seq.fill(50)("hot") ++ (1 to 60).map(i => s"a$i"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(50)("hot") ++ (1 to 60).map(i => s"b$i"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(50)("hot") ++ (1 to 60).map(i => s"c$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val (n, keys) = spark.table("mg_stream")
+      .as[(Long, Seq[String])].collect().head
+    spark.catalog.dropTempView("mg_stream")
+    // n exact over all batches; freq(hot)=150 > 330/9 ⇒ must survive
+    assert(n == 330L)
+    assert(keys.contains("hot"))
+    assert(keys.length <= 8)
+  }
+
   test("misra_gries rejects non-string keys") {
     val e = intercept[Exception] {
       Seq(1L, 2L).toDF("k").agg(MisraGries($"k", 4)).collect()
