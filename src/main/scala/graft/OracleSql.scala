@@ -1642,6 +1642,38 @@ object OracleSql {
          |FROM m GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
     },
 
+    // ANN recall eval: both retrievers are deterministic total orders,
+    // so recall@10 is an exact integer ratio.
+    "q_ann_recall" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |bf AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY ${cosineExpr("q", "c")} DESC, c.vec_id ASC) AS rk
+         |    FROM nv q, nv c
+         |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.nn > 0 AND c.nn > 0)
+         |  WHERE rk <= 10),
+         |ls AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY ${cosineExpr("q", "c")} DESC, c.vec_id ASC) AS rk
+         |    FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 5 AND q.nn > 0 AND c.nn > 0)
+         |  WHERE rk <= 10),
+         |nb AS (SELECT query_id, count(*) AS n_bf FROM bf GROUP BY query_id),
+         |ht AS (SELECT bf.query_id, count(*) AS n_hit
+         |       FROM bf JOIN ls ON bf.query_id = ls.query_id AND bf.match_id = ls.match_id
+         |       GROUP BY bf.query_id)
+         |SELECT nb.query_id, nb.n_bf, COALESCE(ht.n_hit, 0) AS n_hit,
+         |       COALESCE(ht.n_hit, 0) * 1000 // nb.n_bf AS recall_permille
+         |FROM nb LEFT JOIN ht ON nb.query_id = ht.query_id
+         |ORDER BY nb.query_id""".stripMargin,
+
     // JL projection: the ±1 matrix regenerates from md5("j:i") parity in
     // any engine; components are exact integer dots of fp6 vectors.
     "q_random_projection" ->

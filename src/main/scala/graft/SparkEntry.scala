@@ -2450,6 +2450,29 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** ANN RECALL evaluation — recall@10 of the sign-LSH retriever
+    * against brute-force truth, per query, in integer permille: the
+    * acceptance gate every approximate index must pass before it
+    * replaces exact scoring in production. Both retrievers are
+    * deterministic (total (cosine DESC, id) order), so the overlap
+    * count is engine-exact; the eval tables are O(queries·k) rows. */
+  private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val bf = Vectors.bruteForceTopK(qs, emb, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("match_id"))
+    val lsh = Vectors.lshTopK(qs, emb, "vec_id", "embedding", 10, bits = 4)
+      .select(col("query_id"), col("match_id"))
+    val nBf = bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_bf"))
+    val hits = bf.join(lsh, Seq("query_id", "match_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nBf.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_bf"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_bf"))
+      .orderBy(col("query_id"))
+  }
+
   /** Rademacher (JL) random projection of the embedding store to 16
     * dims (Vectors.rademacherProject): compile-time ±1 sign literals,
     * one codegen DotProductFp per output dim, zero exchange. */
@@ -2619,6 +2642,7 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_random_projection" -> (qRandomProjection _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
