@@ -190,4 +190,53 @@ class PropertySpec extends SparkSpec {
       got == expected
     })
   }
+
+  test("cdcChunks: lossless reassembly and dense chunk ids on random docs") {
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(8, doc), Gen.oneOf(2, 4, 16)) { (docs, m) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ch = Dedup.cdcChunks(df, "doc_id", "text", m)
+        .select($"doc_id", $"chunk_id", $"chunk_text", $"n_tok")
+        .as[(Long, Long, String, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        val cs = ch.getOrElse(i.toLong, Array.empty[(Long, Long, String, Int)])
+        // every non-null doc reassembles exactly; ids are 0..n-1 dense;
+        // token counts are consistent and positive
+        cs.map(_._3).mkString(" ") == t &&
+          cs.map(_._2).toSeq == cs.indices.map(_.toLong) &&
+          cs.forall(c => c._4 >= 1 && c._3.split(" ", -1).length == c._4)
+      }
+    })
+  }
+
+  test("charEntropyFp9: bounds 0 <= H <= ln(n), extremes only at uniform/distinct") {
+    val chars = Gen.oneOf("aaaa", "abcd", "aabb", "zzzy", "m", "mn", "q w e q")
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(6, chars)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.text.TextOps.charEntropyFp9(df, "doc_id", "text")
+        .as[(Long, Int, Int, Long)].collect()
+      out.forall { case (id, n, u, h) =>
+        val lnN = math.round(math.log(n.toDouble) * 1e9)
+        // h in [0, ln n] (up to div truncation); 0 iff single distinct char
+        h >= 0 && h <= lnN && ((u == 1) == (h == 0L)) && u >= 1 && u <= n
+      }
+    })
+  }
+
+  test("MisraGries survival guarantee under random streams and partitionings") {
+    val key = Gen.frequency(5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+      3 -> Gen.alphaLowerStr.map(s => "t" + s.take(4)))
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(300, key), Gen.choose(1, 6), Gen.choose(4, 12)) {
+      (keys, parts, k) =>
+        val (n, cands) = keys.toDF("tok").repartition(parts)
+          .agg(graft.functions.MisraGries($"tok", k).as("m"))
+          .select($"m.n", $"m.keys").as[(Long, Seq[String])].collect().head
+        val freq = keys.groupBy(identity).view.mapValues(_.size).toMap
+        val mustSurvive = freq.filter { case (_, c) => c.toLong * (k + 1) > n }.keySet
+        n == keys.size.toLong && cands.size <= k &&
+          mustSurvive.subsetOf(cands.toSet)
+    })
+  }
 }
