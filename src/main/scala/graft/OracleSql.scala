@@ -1748,6 +1748,46 @@ object OracleSql {
         |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
 
+    // Incremental CDC admission: the same chunk pipeline as q_cdc_dedup,
+    // run for the standing corpus (store) and the batch; novel fraction
+    // in integer permille.
+    "q_incremental_cdc" ->
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 10 <> 0),
+        |tok_s AS (SELECT doc_id, u.i AS i, toks[u.i] AS w
+        |          FROM ts, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |ends_s AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i AS e FROM tok_s
+        |  WHERE CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 16 = 0
+        |  UNION ALL SELECT doc_id, len(toks) AS e FROM ts WHERE len(toks) >= 1)),
+        |seq_s AS (SELECT doc_id, e,
+        |                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |          FROM ends_s),
+        |store AS (SELECT DISTINCT
+        |            md5(array_to_string(list_slice(t.toks, s.prev + 1, s.e), ' ')) AS chunk_hash
+        |          FROM seq_s s JOIN ts t USING (doc_id)),
+        |tb AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |tok_b AS (SELECT doc_id, u.i AS i, toks[u.i] AS w
+        |          FROM tb, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |ends_b AS (SELECT DISTINCT doc_id, e FROM (
+        |  SELECT doc_id, i AS e FROM tok_b
+        |  WHERE CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % 16 = 0
+        |  UNION ALL SELECT doc_id, len(toks) AS e FROM tb WHERE len(toks) >= 1)),
+        |seq_b AS (SELECT doc_id, e,
+        |                 COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev
+        |          FROM ends_b),
+        |ch_b AS (SELECT s.doc_id,
+        |                md5(array_to_string(list_slice(t.toks, s.prev + 1, s.e), ' ')) AS chunk_hash
+        |         FROM seq_b s JOIN tb t USING (doc_id)),
+        |agg AS (SELECT doc_id, count(*) AS n_chunks,
+        |               count(*) FILTER (WHERE chunk_hash IN (SELECT chunk_hash FROM store)) AS n_dup
+        |        FROM ch_b GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup,
+        |       (n_chunks - n_dup) * 1000 // n_chunks AS novel_permille,
+        |       (n_chunks - n_dup) * 1000 // n_chunks >= 500 AS admit
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // Exponential-clock weighted sample: u = (md5-60-bit + 1) / 2^60 is
     // a power-of-two scaling (identical IEEE rounding everywhere); the
     // clock −ln(u)/w is fixed-pointed at 1e9 with id tie-break so a

@@ -2450,6 +2450,23 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** Incremental CDC-chunk admission (Dedup.incrementalCdcAdmit): the
+    * day's batch (doc_id%10==0) chunked in-row and screened against the
+    * standing corpus's chunk-hash store — admit on ≥500‰ novel chunks.
+    * The store streams through one scan with the batch broadcast; a
+    * shifted near-copy of an old page keeps its old chunks' identities
+    * and is rejected without any exact-fingerprint match. */
+  private def qIncrementalCdc(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val standing = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+    val store = Dedup.cdcChunks(standing, "doc_id", "text", avgTokens = 16)
+      .select(col("chunk_hash"))
+    Dedup.incrementalCdcAdmit(batch, store, "doc_id", "text",
+        avgTokens = 16, admitPermille = 500)
+      .orderBy(col("doc_id"))
+  }
+
   /** ANN RECALL evaluation — recall@10 of the sign-LSH retriever
     * against brute-force truth, per query, in integer permille: the
     * acceptance gate every approximate index must pass before it
@@ -2643,6 +2660,7 @@ object SparkEntry {
     "q_char_entropy" -> (qCharEntropy _),
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_incremental_cdc" -> (qIncrementalCdc _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

@@ -803,6 +803,49 @@ object Dedup {
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
 
+  /** Incremental CDC-chunk ADMISSION — the ingest-side twin of
+    * [[cdcChunks]]: the day's batch is chunked, each chunk checked
+    * against the standing corpus's chunk-hash STORE, and a document is
+    * admitted when at least `admitPermille`/1000 of its chunks are
+    * novel — the boilerplate-resistant dedup gate (a page that is 90%
+    * template + 10% new text is NOT novel, while shifted/extended
+    * near-copies of old pages keep their old chunks' identities and get
+    * rejected even though no exact doc fingerprint matches).
+    *
+    * Scale shape: the batch side is chunked in-row ([[cdcChunks]], zero
+    * exchange) and is the SMALL side — it broadcasts into a hash join
+    * against the store, so the (corpus-scale) store is scanned once and
+    * never shuffled; the per-doc verdict is one map-side-combining
+    * aggregate over the batch's chunk rows. Integer permille via `div`,
+    * engine-exact.
+    *
+    * Returns (doc_id, n_chunks, n_dup, novel_permille, admit).
+    */
+  def incrementalCdcAdmit(batch: DataFrame, storeHashes: DataFrame,
+                          idCol: String, textCol: String, avgTokens: Int,
+                          admitPermille: Int): DataFrame = {
+    require(admitPermille >= 0 && admitPermille <= 1000,
+      s"admitPermille=$admitPermille out of [0, 1000]")
+    val chunks = cdcChunks(batch, idCol, textCol, avgTokens)
+    // The join is written store ⋈ broadcast(batch) — NOT batch LEFT JOIN
+    // store: a left-outer join can only build (broadcast) its right
+    // side, which would broadcast the corpus-scale store. This way the
+    // store streams through one scan, the day's batch is the build side,
+    // and each batch chunk row matches at most once (store hashes are
+    // distinct).
+    val chunkKeys = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val dups = storeHashes.select(col("chunk_hash")).distinct()
+      .join(broadcast(chunkKeys), Seq("chunk_hash"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("novel_permille",
+        expr("(n_chunks - n_dup) * 1000 div n_chunks"))
+      .withColumn("admit", col("novel_permille") >= admitPermille)
+  }
+
   /** Even-ish split of `total` bit positions into `n` chunks:
     * (1-based start, length) per chunk; first `total % n` chunks get the
     * extra bit. */

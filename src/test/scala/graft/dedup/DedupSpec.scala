@@ -333,6 +333,34 @@ class DedupSpec extends SparkSpec {
       "content-defined boundaries must keep shared-suffix chunk identity")
   }
 
+  test("incrementalCdcAdmit: template-heavy docs rejected, novel docs admitted") {
+    // wide vocab so the template contains interior cut tokens (a 17-word
+    // vocab can deterministically miss the mod-8 cut mask entirely)
+    val template = (1 to 200).map(i => s"tpl${i % 97}").mkString(" ")
+    val standing = Seq((1L, template)).toDF("doc_id", "text")
+    val store = Dedup.cdcChunks(standing, "doc_id", "text", 8)
+      .select($"chunk_hash")
+    val batch = Seq(
+      (10L, template + " tiny new bit"),                    // mostly old chunks
+      (20L, (1 to 60).map(i => s"fresh${i % 29}").mkString(" ")), // all novel
+      (30L, template)                                       // exact re-ingest
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalCdcAdmit(batch, store, "doc_id", "text", 8, 500)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // exact re-ingest: every chunk already in the store → 0 novel, rejected
+    assert(byId(30L)._3 == byId(30L)._2 && !byId(30L)._5)
+    // fully fresh doc: zero dup chunks, admitted
+    assert(byId(20L)._3 == 0L && byId(20L)._5)
+    // template + small addition: shares most chunks with the store
+    assert(byId(10L)._3 > 0L)
+    // permille arithmetic is consistent
+    out.foreach { case (_, n, dup, novel, admit) =>
+      assert(novel == (n - dup) * 1000 / n && admit == (novel >= 500))
+    }
+  }
+
   test("cdcChunks: single-chunk doc when no token hash hits the cut mask") {
     // avgTokens large → cuts are rare; with 3 tokens almost surely none,
     // but the invariant checked is structural: exactly covers, ids dense
