@@ -114,6 +114,31 @@ class PlanInvariantsSpec extends SparkSpec {
       "per-component explode would push d x the rows through the exchange")
   }
 
+  test("q_incremental_cdc: the batch side builds, the store side streams") {
+    val dir = "/root/testdata/sf0.001"
+    // AQE off only for the inspection — the adaptive wrapper hides the
+    // exchange subtrees from collect() until stages materialize
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("q_incremental_cdc")(spark, dir).queryExecution
+      val bcast = qe.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      // every broadcast build side must derive from the batch's in-row
+      // chunker (Generate) — the corpus-scale store (the distinct-hash
+      // aggregate over the standing corpus) must never be the build side
+      assert(bcast.nonEmpty, s"no broadcast join planned:\n${qe.executedPlan}")
+      bcast.foreach { b =>
+        val sub = b.child.treeString
+        assert(sub.contains("Generate") && sub.contains("pmod(doc_id"),
+          s"the store must never be the build side:\n$sub")
+        assert(!sub.contains("pmod(doc_id#") || sub.contains("= 0"),
+          s"build side is not the batch partition:\n$sub")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
