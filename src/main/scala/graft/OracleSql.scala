@@ -1748,6 +1748,55 @@ object OracleSql {
         |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
 
+    // PR sweep: margin from the q_quality_margin CTEs, truth from the
+    // q_quality_filter Gopher CASE, counts per threshold exact.
+    "q_quality_pr" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         CAST($hits AS BIGINT) AS n_stop,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_cns
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         -30000 + 400 * n_tok + 2000 * n_stop
+         |           - (n_cns * 1000 // n_tok) AS margin,
+         |         CAST(n_tok AS INTEGER) AS n_tokens,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct,
+         |         CASE WHEN len(toks) >= 2
+         |              THEN list_transform(range(1, len(toks)),
+         |                     i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |              ELSE [] END AS bg,
+         |         CAST($hits AS BIGINT) AS hits
+         |  FROM t),
+         |r AS (
+         |  SELECT margin,
+         |         (CASE WHEN n_tokens < 20 THEN 'too_short'
+         |               WHEN n_tokens > 1000 THEN 'too_long'
+         |               WHEN punct > 0.2 THEN 'punct_soup'
+         |               WHEN len(bg) > 0 AND
+         |                    CAST(list_max(list_transform(list_distinct(bg),
+         |                      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+         |                      / len(bg) > 0.08 THEN 'repetition'
+         |               WHEN hits = 0 THEN 'no_stopwords'
+         |          END) IS NULL AS truth
+         |  FROM m),
+         |th AS (SELECT unnest(range(-20000, 30000, 5000)) AS thr),
+         |agg AS (
+         |  SELECT thr,
+         |         count(*) FILTER (WHERE margin >= thr AND truth) AS n_tp,
+         |         count(*) FILTER (WHERE margin >= thr AND NOT truth) AS n_fp,
+         |         count(*) FILTER (WHERE margin < thr AND truth) AS n_fn
+         |  FROM r, th GROUP BY thr)
+         |SELECT thr, n_tp, n_fp, n_fn,
+         |       CASE WHEN n_tp + n_fp > 0 THEN n_tp * 1000 // (n_tp + n_fp) END AS precision_permille,
+         |       CASE WHEN n_tp + n_fn > 0 THEN n_tp * 1000 // (n_tp + n_fn) END AS recall_permille
+         |FROM agg ORDER BY thr""".stripMargin
+    },
+
     // Incremental CDC admission: the same chunk pipeline as q_cdc_dedup,
     // run for the standing corpus (store) and the batch; novel fraction
     // in integer permille.

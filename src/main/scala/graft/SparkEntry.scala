@@ -2450,6 +2450,45 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** PRECISION/RECALL operating-point sweep of the linear quality
+    * classifier against the Gopher composite filter as truth — how a
+    * keep-threshold is actually chosen before deploying the cheap
+    * classifier in place of the full rule set. Ten thresholds, exact
+    * integer TP/FP/FN per threshold, precision/recall in integer
+    * permille. ONE corpus scan: the 10-row threshold table broadcasts
+    * into a cross join and map-side partials collapse to 10 rows per
+    * partition before the only exchange. */
+  private def qQualityPr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val en = TextOps.Stopwords.toMap.apply("en")
+    val txt = col("text")
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"), txt.as("text"),
+        TextOps.tokenCount(txt).cast("long").as("n_tok"),
+        TextOps.vocabHits(txt, en).cast("long").as("n_stop"),
+        length(regexp_replace(txt, " ", "")).cast("long").as("n_cns"))
+      .withColumn("mean_tok_len_milli", expr("n_cns * 1000 div n_tok"))
+      .withColumn("margin", lit(-30000L) + lit(400L) * col("n_tok")
+        + lit(2000L) * col("n_stop") - col("mean_tok_len_milli"))
+      .withColumn("truth", TextOps.gopherReason(col("text"), en).isNull)
+      .select(col("margin"), col("truth"))
+    val th = (-20000L to 25000L by 5000L).toDF("thr")
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("margin") >= col("thr") && col("truth"), 1L)
+          .otherwise(0L)).as("n_tp"),
+        sum(when(col("margin") >= col("thr") && !col("truth"), 1L)
+          .otherwise(0L)).as("n_fp"),
+        sum(when(col("margin") < col("thr") && col("truth"), 1L)
+          .otherwise(0L)).as("n_fn"))
+      .withColumn("precision_permille",
+        expr("CASE WHEN n_tp + n_fp > 0 THEN n_tp * 1000 div (n_tp + n_fp) END"))
+      .withColumn("recall_permille",
+        expr("CASE WHEN n_tp + n_fn > 0 THEN n_tp * 1000 div (n_tp + n_fn) END"))
+      .orderBy(col("thr"))
+  }
+
   /** Incremental CDC-chunk admission (Dedup.incrementalCdcAdmit): the
     * day's batch (doc_id%10==0) chunked in-row and screened against the
     * standing corpus's chunk-hash store — admit on ≥500‰ novel chunks.
@@ -2661,6 +2700,7 @@ object SparkEntry {
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_incremental_cdc" -> (qIncrementalCdc _),
+    "q_quality_pr" -> (qQualityPr _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
