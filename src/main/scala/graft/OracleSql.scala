@@ -1748,6 +1748,38 @@ object OracleSql {
         |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
 
+    // Split-leakage audit: the q_simhash_pairs closure joined to the
+    // q_train_test_split md5-percent sides; pairs straddling the split
+    // are the leaks.
+    "q_split_leakage" -> {
+      val chunks = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      val pct = "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+      s"""WITH $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         CAST(bit_count(xor(a.v, b.v)) AS INTEGER) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 2),
+         |sides AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $pct < 80 THEN 'train'
+         |              WHEN $pct < 90 THEN 'valid'
+         |              ELSE 'test' END AS side
+         |  FROM documents)
+         |SELECT p.id_a, p.id_b, sa.side AS side_a, sb.side AS side_b, p.hamming
+         |FROM p JOIN sides sa ON sa.doc_id = p.id_a
+         |       JOIN sides sb ON sb.doc_id = p.id_b
+         |WHERE sa.side <> sb.side
+         |ORDER BY p.id_a, p.id_b""".stripMargin
+    },
+
     // PR sweep: margin from the q_quality_margin CTEs, truth from the
     // q_quality_filter Gopher CASE, counts per threshold exact.
     "q_quality_pr" -> {

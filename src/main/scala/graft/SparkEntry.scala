@@ -2450,6 +2450,31 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** TRAIN/TEST SPLIT LEAKAGE audit — near-dup pairs that STRADDLE the
+    * deterministic split: the eval-contamination failure mode a plain
+    * per-doc split cannot see (a test doc whose near-copy sits in train
+    * inflates every benchmark number). Pairs come off the shared
+    * persisted simhash signature table (no new corpus scan); the split
+    * side is the same md5-percent rule as q_train_test_split; the two
+    * side lookups are broadcast joins of the (doc_id, side) projection.
+    * Clean pipelines return ZERO rows — the audit's pass state. */
+  private def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val side = when(pct < 80, "train").when(pct < 90, "valid").otherwise("test")
+    val sides = t(s, d, "documents").select(col("doc_id"), side.as("side"))
+    pairs
+      .join(broadcast(sides.select(col("doc_id").as("id_a"), col("side").as("side_a"))),
+        Seq("id_a"))
+      .join(broadcast(sides.select(col("doc_id").as("id_b"), col("side").as("side_b"))),
+        Seq("id_b"))
+      .filter(col("side_a") =!= col("side_b"))
+      .select(col("id_a"), col("id_b"), col("side_a"), col("side_b"),
+        col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** PRECISION/RECALL operating-point sweep of the linear quality
     * classifier against the Gopher composite filter as truth — how a
     * keep-threshold is actually chosen before deploying the cheap
@@ -2701,6 +2726,7 @@ object SparkEntry {
     "q_ann_recall" -> (qAnnRecall _),
     "q_incremental_cdc" -> (qIncrementalCdc _),
     "q_quality_pr" -> (qQualityPr _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
