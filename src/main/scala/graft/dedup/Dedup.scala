@@ -823,7 +823,8 @@ object Dedup {
     */
   def incrementalCdcAdmit(batch: DataFrame, storeHashes: DataFrame,
                           idCol: String, textCol: String, avgTokens: Int,
-                          admitPermille: Int): DataFrame = {
+                          admitPermille: Int,
+                          broadcastBatch: Boolean = true): DataFrame = {
     require(admitPermille >= 0 && admitPermille <= 1000,
       s"admitPermille=$admitPermille out of [0, 1000]")
     val chunks = cdcChunks(batch, idCol, textCol, avgTokens)
@@ -832,10 +833,14 @@ object Dedup {
     // side, which would broadcast the corpus-scale store. This way the
     // store streams through one scan, the day's batch is the build side,
     // and each batch chunk row matches at most once (store hashes are
-    // distinct).
+    // distinct). `broadcastBatch = false` drops the hint for
+    // BACKFILL-sized batches (a month of re-ingest is not
+    // driver-memory-sized) — the join then shuffles both sides on
+    // chunk_hash instead of building a driver hash table.
     val chunkKeys = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_hash"))
+    val buildSide = if (broadcastBatch) broadcast(chunkKeys) else chunkKeys
     val dups = storeHashes.select(col("chunk_hash")).distinct()
-      .join(broadcast(chunkKeys), Seq("chunk_hash"))
+      .join(buildSide, Seq("chunk_hash"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
       .join(dups, Seq("doc_id"), "left")
