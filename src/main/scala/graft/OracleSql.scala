@@ -1748,6 +1748,31 @@ object OracleSql {
         |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
 
+    // Zipf slope: logs fixed-pointed at 1e3, exact integer sums, slope
+    // and R² as correctly-rounded double ops on exactly-representable
+    // inputs — identical bits in any IEEE 754 engine.
+    "q_zipf_slope" ->
+      """WITH vocab AS (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |xy AS (
+        |  SELECT CAST(round(ln(row_number() OVER (ORDER BY freq DESC, tok ASC)) * 1000) AS BIGINT) AS x,
+        |         CAST(round(ln(freq) * 1000) AS BIGINT) AS y
+        |  FROM vocab),
+        |s AS (
+        |  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM xy)
+        |SELECT n,
+        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS slope_fp6,
+        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                  * CAST(n * sxy - sx * sy AS DOUBLE)
+        |                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |                     * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT) AS r2_permille
+        |FROM s""".stripMargin,
+
     // Split-leakage audit: the q_simhash_pairs closure joined to the
     // q_train_test_split md5-percent sides; pairs straddling the split
     // are the leaks.

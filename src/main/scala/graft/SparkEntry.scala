@@ -2450,6 +2450,41 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** ZIPF rank-frequency SLOPE — the vocabulary-health diagnostic
+    * (natural corpora fit slope ≈ −1; a slope collapsing toward 0 means
+    * boilerplate/dedup failure upstream, a cliff past −2 means a
+    * degenerate generator): OLS of ln(freq) on ln(rank) over the vocab
+    * table. Numeric discipline: logs fixed-pointed at 1e3 (Σx·y then
+    * bounded by vocab < 3.5e10 in BIGINT), all sums EXACT integers, the
+    * slope/R² finale a handful of correctly-rounded double ops on
+    * exactly-representable inputs — engine-exact. The rank window runs
+    * over the VOCAB table (model-sized, the q_vocab_build precedent),
+    * never the corpus. */
+  private def qZipfSlope(s: SparkSession, d: String): DataFrame = {
+    def lnFp3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(c.cast("double")) * 1e3).cast("long")
+    val vocab = t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val xy = vocab
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok").asc))
+          .cast("long"))
+      .select(lnFp3(col("rank")).as("x"), lnFp3(col("freq")).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1e6).cast("long").as("slope_fp6"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+          * 1e3).cast("long").as("r2_permille"))
+  }
+
   /** TRAIN/TEST SPLIT LEAKAGE audit — near-dup pairs that STRADDLE the
     * deterministic split: the eval-contamination failure mode a plain
     * per-doc split cannot see (a test doc whose near-copy sits in train
@@ -2727,6 +2762,7 @@ object SparkEntry {
     "q_incremental_cdc" -> (qIncrementalCdc _),
     "q_quality_pr" -> (qQualityPr _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),
