@@ -1748,6 +1748,23 @@ object OracleSql {
         |FROM ch GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
 
+    // N-gram novelty: test-split grams against the distinct train gram
+    // set; same md5-percent split as q_train_test_split.
+    "q_ngram_novelty" -> {
+      val pct = "CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+      s"""WITH $shinglesCte,
+         |tr AS (SELECT DISTINCT shingle FROM sh WHERE $pct < 80),
+         |te AS (SELECT id, shingle FROM sh WHERE $pct >= 80),
+         |tot AS (SELECT id, count(*) AS n_grams FROM te GROUP BY id),
+         |seen AS (SELECT te.id, count(*) AS n_seen
+         |         FROM te JOIN tr ON te.shingle = tr.shingle GROUP BY te.id)
+         |SELECT tot.id AS doc_id, tot.n_grams,
+         |       COALESCE(seen.n_seen, 0) AS n_seen,
+         |       (tot.n_grams - COALESCE(seen.n_seen, 0)) * 1000 // tot.n_grams AS novel_permille
+         |FROM tot LEFT JOIN seen ON tot.id = seen.id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Zipf slope: logs fixed-pointed at 1e3, exact integer sums, slope
     // and R² as correctly-rounded double ops on exactly-representable
     // inputs — identical bits in any IEEE 754 engine.

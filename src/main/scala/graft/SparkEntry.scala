@@ -2450,6 +2450,20 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  /** N-gram novelty of the held-out split vs train
+    * (Dedup.ngramNovelty): per test doc, the fraction of its distinct
+    * 3-grams never seen in train — near-zero novelty means the test set
+    * is memorized training data. Split = the q_train_test_split
+    * md5-percent rule (pct ≥ 80 is held out). */
+  private def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Dedup.ngramNovelty(docs.filter(pct >= 80), docs.filter(pct < 80),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** ZIPF rank-frequency SLOPE — the vocabulary-health diagnostic
     * (natural corpora fit slope ≈ −1; a slope collapsing toward 0 means
     * boilerplate/dedup failure upstream, a cliff past −2 means a
@@ -2763,6 +2777,7 @@ object SparkEntry {
     "q_quality_pr" -> (qQualityPr _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_zipf_slope" -> (qZipfSlope _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

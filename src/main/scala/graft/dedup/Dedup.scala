@@ -803,6 +803,37 @@ object Dedup {
       .withColumn("chunk_hash", md5(col("chunk_text")))
   }
 
+  /** N-GRAM NOVELTY of a held-out split against the train split — the
+    * memorization/generalization diagnostic (the inverse of
+    * [[contamination]]): per test document, the fraction of its distinct
+    * word n-grams that NEVER occur in train. A test set whose docs score
+    * near zero novelty is effectively memorized training data and its
+    * perplexity numbers are meaningless.
+    *
+    * Scale shape: both gram tables hash-partition on the shingle for
+    * ONE equi-join — neither side broadcasts by construction (at corpus
+    * scale both splits are huge; AQE may still broadcast a genuinely
+    * small side at runtime); per-doc totals and hits are map-side-
+    * combining aggregates. Per-doc grams are already distinct
+    * (ShingleArray dedupes), so counts are distinct-gram counts.
+    *
+    * Returns (doc_id, n_grams, n_seen, novel_permille).
+    */
+  def ngramNovelty(test: DataFrame, train: DataFrame, idCol: String,
+                   textCol: String, n: Int): DataFrame = {
+    val testGrams = shingles(test, idCol, textCol, n)
+    val trainGrams = shingles(train, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val totals = testGrams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val seen = testGrams.join(trainGrams, Seq("shingle"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novel_permille",
+        expr("(n_grams - n_seen) * 1000 div n_grams"))
+  }
+
   /** Incremental CDC-chunk ADMISSION — the ingest-side twin of
     * [[cdcChunks]]: the day's batch is chunked, each chunk checked
     * against the standing corpus's chunk-hash STORE, and a document is
