@@ -361,6 +361,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramNovelty: disjoint docs score 1000, memorized docs 0, mixtures in between") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c d"),          // all 3-grams seen in train → 0 novel
+      (20L, "x y z w"),          // fully disjoint → 1000
+      (30L, "a b c q r s")       // 1 of 4 grams seen ("a b c") → 750
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(test, train, "doc_id", "text", 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 2L, 2L, 0L), (20L, 2L, 0L, 1000L),
+      (30L, 4L, 1L, 750L)))
+  }
+
   test("cdcChunks: single-chunk doc when no token hash hits the cut mask") {
     // avgTokens large → cuts are rare; with 3 tokens almost surely none,
     // but the invariant checked is structural: exactly covers, ids dense
