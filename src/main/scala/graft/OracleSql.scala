@@ -1575,9 +1575,11 @@ object OracleSql {
       """WITH f AS (
         |  SELECT label, u.i AS ord,
         |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE embedding IS NOT NULL),
         |s AS (SELECT label, ord, SUM(x) AS sx FROM f GROUP BY label, ord),
-        |nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |nn AS (SELECT label, count(*) AS n FROM embeddings
+        |       WHERE embedding IS NOT NULL GROUP BY label),
         |c AS (SELECT s.label, ord, sx // n AS cx, n FROM s JOIN nn USING (label))
         |SELECT a.label AS group_a, b.label AS group_b,
         |       a.n AS n_a, b.n AS n_b,

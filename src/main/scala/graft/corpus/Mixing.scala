@@ -211,8 +211,14 @@ object Mixing {
     */
   def calibrateBySource(docs: DataFrame, sourceCol: String, idCol: String,
                         score: Column): DataFrame = {
+    // NULL scores are EXCLUDED up front (a doc the scorer could not
+    // score has no percentile) — without the explicit filter they would
+    // be dropped silently by the histogram equi-join anyway, but null
+    // ordering inside a percent_rank differs across engines, so the
+    // operator's contract is: score first, calibrate non-null scores.
     val scored = docs.select(col(sourceCol).as("source"), col(idCol),
       score.as("q_fp6"))
+      .filter(col("q_fp6").isNotNull)
     val hist = scored.groupBy(col("source"), col("q_fp6"))
       .agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("q_fp6"))

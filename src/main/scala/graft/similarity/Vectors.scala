@@ -434,7 +434,12 @@ object Vectors {
     * of exact integers — bit-equal in any IEEE 754 engine. */
   def groupCentroidCosines(vectors: DataFrame, groupCol: String,
                            vecCol: String): DataFrame = {
+    // NULL vectors are excluded so `n` is the count of vectors that
+    // actually entered the sum (an all-null group then vanishes instead
+    // of surfacing a NULL centroid) — mirrors the oracle's unnest
+    // semantics, where a null list contributes no component rows.
     val cents = vectors
+      .filter(col(vecCol).isNotNull)
       .select(col(groupCol).as("g"), fixedPoint(col(vecCol)).as("v"))
       .groupBy(col("g"))
       .agg(graft.functions.ArraySumFp(col("v")).as("s"), count(lit(1)).as("n"))
