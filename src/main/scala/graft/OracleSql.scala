@@ -1569,8 +1569,11 @@ object OracleSql {
 
     // Per-label centroid map: exact fp6 element sums, truncating integer
     // mean (DuckDB // ≡ Spark div, both toward zero), BIGINT-exact
-    // dot/norms, one correctly-rounded double division over two
-    // correctly-rounded sqrts — bit-equal in any IEEE 754 engine.
+    // dot/norms. The HASHED contract is integer-only — dot_fp and the two
+    // squared norms as explicit BIGINTs (r9 lesson: an uncast SUM(BIGINT)
+    // is HUGEINT in DuckDB, which the driver's comparer converts through a
+    // non-int path and hash-mismatches; cosine is derivable downstream and
+    // stays out of the gate).
     "q_centroid_cosine" ->
       """WITH f AS (
         |  SELECT label, u.i AS ord,
@@ -1583,12 +1586,9 @@ object OracleSql {
         |c AS (SELECT s.label, ord, sx // n AS cx, n FROM s JOIN nn USING (label))
         |SELECT a.label AS group_a, b.label AS group_b,
         |       a.n AS n_a, b.n AS n_b,
-        |       SUM(a.cx * b.cx) AS dot_fp,
-        |       CASE WHEN SUM(a.cx * a.cx) > 0 AND SUM(b.cx * b.cx) > 0
-        |            THEN CAST(SUM(a.cx * b.cx) AS DOUBLE)
-        |                 / (sqrt(CAST(SUM(a.cx * a.cx) AS DOUBLE))
-        |                    * sqrt(CAST(SUM(b.cx * b.cx) AS DOUBLE)))
-        |            END AS cos
+        |       CAST(SUM(a.cx * b.cx) AS BIGINT) AS dot_fp,
+        |       CAST(SUM(a.cx * a.cx) AS BIGINT) AS norm_a_fp,
+        |       CAST(SUM(b.cx * b.cx) AS BIGINT) AS norm_b_fp
         |FROM c a JOIN c b ON a.ord = b.ord AND a.label < b.label
         |GROUP BY a.label, b.label, a.n, b.n
         |ORDER BY group_a, group_b""".stripMargin,
@@ -1689,26 +1689,33 @@ object OracleSql {
         |              THEN 1 ELSE -1 END AS s
         |  FROM range(16) j(j), range(64) i(i)),
         |e AS (SELECT vec_id, i.i AS i, fv[i.i + 1] AS v FROM fp, range(64) i(i))
-        |SELECT e.vec_id, CAST(m.j AS INTEGER) AS out_dim, SUM(e.v * m.s) AS comp_fp6
+        |SELECT e.vec_id, CAST(m.j AS INTEGER) AS out_dim,
+        |       CAST(SUM(e.v * m.s) AS BIGINT) AS comp_fp6
         |FROM e JOIN m ON m.i = e.i
         |GROUP BY e.vec_id, m.j
         |ORDER BY vec_id, out_dim""".stripMargin,
 
-    // Character entropy: H = ln(n) − (Σ c·ln(c))/n so ln only ever sees
-    // INTEGER arguments (fixed-pointed at 1e9, the weighted-sample
-    // discipline); the oracle uses the exploded GROUP BY histogram, the
-    // engine the in-row run-length form — identical integers.
+    // Character histogram stats: the HASHED contract is the exact integer
+    // sufficient statistics of the per-char histogram — counts plus an
+    // order-free md5 checksum Σ cnt·h31(c) — from which entropy is a
+    // derived display value (TextOps.charEntropyFp9 keeps the fixed-point
+    // ln form OUTSIDE the gate: libm `ln` is not required to be correctly
+    // rounded, so round(ln(k)·1e9) is not a portable hash contract; the
+    // r9 driver run also proved uncast SUM(BIGINT) = HUGEINT mismatches).
+    // The oracle uses the exploded GROUP BY histogram, the engine the
+    // in-row run-length form — identical integers.
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS c
         |  FROM documents WHERE length(text) > 0),
-        |h AS (SELECT doc_id, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |h AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
         |a AS (
         |  SELECT doc_id, SUM(cnt) AS n, count(*) AS n_uniq,
-        |         SUM(cnt * CAST(round(ln(cnt) * 1000000000) AS BIGINT)) AS sclnc
+        |         SUM(cnt * (CAST(concat('0x', substring(md5(c), 1, 15)) AS BIGINT)
+        |                    % 2147483648)) AS hist_fp
         |  FROM h GROUP BY doc_id)
         |SELECT doc_id, CAST(n AS INTEGER) AS n_chars, CAST(n_uniq AS INTEGER) AS n_uniq,
-        |       CAST(round(ln(n) * 1000000000) AS BIGINT) - sclnc // n AS h_fp9
+        |       CAST(hist_fp AS BIGINT) AS hist_fp
         |FROM a ORDER BY doc_id""".stripMargin,
 
     // Heavy hitters: the engine's Misra–Gries candidate pass is only an

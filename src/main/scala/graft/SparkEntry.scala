@@ -2394,9 +2394,12 @@ object SparkEntry {
     * "domain map" of the embedded corpus (Vectors.groupCentroidCosines:
     * one ArraySumFp hash-aggregate to #labels rows, truncating integer
     * mean so products stay BIGINT-exact at any group size, pairwise
-    * cosine over the tiny centroid table). */
+    * cosine over the tiny centroid table). The gated output is the exact
+    * integer triple (dot_fp, norm_a_fp, norm_b_fp); the derived `cos`
+    * double stays out of the hash contract (round-9 portability lesson). */
   private def qCentroidCosine(s: SparkSession, d: String): DataFrame =
     Vectors.groupCentroidCosines(t(s, d, "embeddings"), "label", "embedding")
+      .drop("cos")
       .orderBy(col("group_a"), col("group_b"))
 
   /** Keep the BEST duplicate, not the first: near-dup clusters (shared
@@ -2611,11 +2614,16 @@ object SparkEntry {
         inDim = 64, outDim = 16)
       .orderBy(col("vec_id"), col("out_dim"))
 
-  /** Per-doc character-entropy quality scoring (TextOps.charEntropyFp9):
-    * the gibberish/low-diversity filter, fully in-row (sort + run-length
-    * + fixed-point ln), zero exchange before the output ordering. */
+  /** Per-doc character-histogram quality stats (TextOps.charEntropyFp9):
+    * the gibberish/low-diversity filter, fully in-row (sort + run-length,
+    * zero exchange before the output ordering). The gated output is the
+    * exact integer sufficient statistics (n_chars, n_uniq, md5 histogram
+    * checksum); the fixed-point entropy h_fp9 itself is a derived display
+    * value kept out of the hash gate — libm ln is not cross-engine
+    * portable (round-9 lesson). */
   private def qCharEntropy(s: SparkSession, d: String): DataFrame =
     TextOps.charEntropyFp9(t(s, d, "documents"), "doc_id", "text")
+      .drop("h_fp9")
       .orderBy(col("doc_id"))
 
   /** SCD1 MERGE: the pre-1997 latest-order-per-customer snapshot upserted

@@ -429,9 +429,12 @@ object Vectors {
     * integer mean `s div n` (Spark `div` ≡ DuckDB `//`, both toward
     * zero), which bounds each element by the fp6 input range REGARDLESS
     * of group size — so the dot/norm products stay BIGINT-exact at any
-    * corpus scale (d · maxFp6² ≪ 2⁶³). Cosine is then one
-    * correctly-rounded double division over two correctly-rounded sqrts
-    * of exact integers — bit-equal in any IEEE 754 engine. */
+    * corpus scale (d · maxFp6² ≪ 2⁶³). The ORACLE CONTRACT is the
+    * integer triple (dot_fp, norm_a_fp, norm_b_fp); `cos` is a DERIVED
+    * display column (division over sqrts of those exact integers) that
+    * consumers read but the cross-engine hash gate must not cover —
+    * round 9 proved double/HUGEINT columns are not portable through the
+    * driver's comparer. */
   def groupCentroidCosines(vectors: DataFrame, groupCol: String,
                            vecCol: String): DataFrame = {
     // NULL vectors are excluded so `n` is the count of vectors that
@@ -449,6 +452,7 @@ object Vectors {
       .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         dotFp(col("a.c"), col("b.c")).as("dot_fp"),
+        col("a.nsq").as("norm_a_fp"), col("b.nsq").as("norm_b_fp"),
         cosineFromNorms(col("a.c"), col("b.c"), col("a.nsq"), col("b.nsq"))
           .as("cos"))
   }

@@ -231,10 +231,8 @@ object TextOps {
     * entropy per char class; base64 blobs near-max): using
     * H = ln(n) − (Σ c·ln(c))/n over the per-char counts c, so the only
     * non-integer steps are ln of INTEGER arguments, each fixed-pointed
-    * at 1e9 (the [[graft.corpus.Mixing.weightedSample]] discipline — a
-    * libm ulp cannot move round(ln(k)·1e9) except exactly on a .5
-    * boundary, which integer arguments don't hit in practice), and one
-    * truncating `div` — engine-exact.
+    * at 1e9, and one truncating `div` — deterministic WITHIN one engine
+    * build, but NOT a cross-engine contract (see the return note).
     *
     * Scale shape: entirely IN-ROW, zero exchange — sort the doc's chars
     * (order is irrelevant to entropy; any total order groups equals),
@@ -244,15 +242,24 @@ object TextOps {
     * splicing trees into lambdas re-evaluates them per element).
     * Precondition: ASCII-ish text (split("") is per code unit).
     *
-    * Returns (doc_id, n_chars, n_uniq, h_fp9); empty docs are dropped.
-    */
+    * Returns (doc_id, n_chars, n_uniq, hist_fp, h_fp9); empty docs are
+    * dropped. `hist_fp` = Σ cnt·h31(c) (h31 = md5-60-bit-prefix mod 2³¹)
+    * is the order-free EXACT-INTEGER histogram checksum — the portable
+    * oracle contract (any engine with md5 + integer ops reproduces it
+    * bit-for-bit). `h_fp9` is the entropy itself and is a DERIVED DISPLAY
+    * value: libm `ln` is not required to be correctly rounded by IEEE 754,
+    * so round(ln(k)·1e9) can differ by a digit across engine builds — it
+    * must never re-enter a cross-engine hash gate (round-9 lesson). */
   def charEntropyFp9(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     def lnFp9(x: Column): Column = round(log(x.cast("double")) * 1e9).cast("long")
+    def h31(c: Column): Column =
+      conv(substring(md5(encode(c, "UTF-8")), 1, 15), 16, 10).cast("long") %
+        2147483648L
     docs.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         array_sort(split(col(textCol), "")).as("s"))
-      .select(col("doc_id"), size(col("s")).as("n"),
+      .select(col("doc_id"), col("s"), size(col("s")).as("n"),
         // 1-based start position of every run of equal chars (the Or
         // short-circuits, so element_at never sees index 0)
         filter(sequence(lit(1), size(col("s"))), i =>
@@ -261,11 +268,15 @@ object TextOps {
       .select(col("doc_id"), col("n"), size(col("bpos")).as("n_uniq"),
         transform(col("bpos"), (b, j) =>
           when(j === size(col("bpos")) - 1, col("n") + 1)
-            .otherwise(element_at(col("bpos"), j + 2)) - b).as("counts"))
+            .otherwise(element_at(col("bpos"), j + 2)) - b).as("counts"),
+        transform(col("bpos"), b => element_at(col("s"), b)).as("chars"))
       .select(col("doc_id"), col("n"), col("n_uniq"),
+        aggregate(zip_with(col("counts"), col("chars"),
+            (c, ch) => c.cast("long") * h31(ch)),
+          lit(0L), (acc, x) => acc + x).as("hist_fp"),
         aggregate(col("counts"), lit(0L),
           (acc, c) => acc + c.cast("long") * lnFp9(c)).as("sclnc"))
       .select(col("doc_id"), col("n").as("n_chars"), col("n_uniq"),
-        (lnFp9(col("n")) - expr("sclnc div n")).as("h_fp9"))
+        col("hist_fp"), (lnFp9(col("n")) - expr("sclnc div n")).as("h_fp9"))
   }
 }

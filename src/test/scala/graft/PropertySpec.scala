@@ -216,6 +216,7 @@ class PropertySpec extends SparkSpec {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val out = graft.text.TextOps.charEntropyFp9(df, "doc_id", "text")
+        .select($"doc_id", $"n_chars", $"n_uniq", $"h_fp9")
         .as[(Long, Int, Int, Long)].collect()
       out.forall { case (id, n, u, h) =>
         val lnN = math.round(math.log(n.toDouble) * 1e9)

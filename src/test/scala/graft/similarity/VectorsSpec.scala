@@ -406,6 +406,16 @@ class VectorsSpec extends SparkSpec {
     assert(out(0)._5.contains(cos(c0, c1)))
     // zero-magnitude centroid yields NULL, never NaN
     assert(out(1)._5.isEmpty && out(2)._5.isEmpty)
+    // the gated integer triple is exact: dot and both squared norms
+    val ints = Vectors.groupCentroidCosines(vecs, "label", "embedding")
+      .orderBy($"group_a", $"group_b")
+      .select($"dot_fp", $"norm_a_fp", $"norm_b_fp")
+      .as[(Long, Long, Long)].collect().toSeq
+    def dotL(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(ints(0) == ((dotL(c0, c1), dotL(c0, c0), dotL(c1, c1))))
+    assert(ints(1) == ((0L, dotL(c0, c0), 0L)) &&
+      ints(2) == ((0L, dotL(c1, c1), 0L)))
   }
 
   test("rademacherProject: exact integer components match a driver-side recomputation") {

@@ -117,19 +117,29 @@ class TextOpsSpec extends SparkSpec {
 
   test("charEntropyFp9: closed-form values, empty docs dropped, matches exploded histogram") {
     def lnFp9(x: Long): Long = math.round(math.log(x.toDouble) * 1e9)
+    // driver-side mirror of the portable checksum: md5-60-bit-prefix mod 2^31
+    def h31(c: Char): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483648L
+    }
+    def histFp(t: String): Long =
+      t.groupBy(identity).map { case (c, run) => run.length * h31(c) }.sum
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, ""), (4L, "abcd"),
       (5L, "mississippi river basin")).toDF("doc_id", "text")
     val out = TextOps.charEntropyFp9(docs, "doc_id", "text")
       .orderBy($"doc_id")
-      .as[(Long, Int, Int, Long)].collect().toSeq
+      .as[(Long, Int, Int, Long, Long)].collect().toSeq
     assert(out.map(_._1) == Seq(1L, 2L, 4L, 5L)) // empty doc 3 dropped
     // uniform "aaaa": H = 0 exactly
-    assert(out(0) == ((1L, 4, 1, 0L)))
+    assert(out(0) == ((1L, 4, 1, histFp("aaaa"), 0L)))
     // "abab": H = ln(4) − (2·lnfp(2)·2) div 4 nano-nats
-    assert(out(1) == ((2L, 4, 2, lnFp9(4L) - (4L * lnFp9(2L)) / 4L)))
+    assert(out(1) == ((2L, 4, 2, histFp("abab"),
+      lnFp9(4L) - (4L * lnFp9(2L)) / 4L)))
     // "abcd": max entropy ln(4) (each count 1, ln(1)=0)
-    assert(out(2) == ((4L, 4, 4, lnFp9(4L))))
-    // general doc: equals the exploded-histogram formulation
+    assert(out(2) == ((4L, 4, 4, histFp("abcd"), lnFp9(4L))))
+    // general doc: checksum + entropy equal the exploded-histogram form
+    assert(out(3)._4 == histFp("mississippi river basin"))
     val hist = docs.filter(length($"text") > 0)
       .select($"doc_id", explode(split($"text", "")).as("c"))
       .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
@@ -138,6 +148,6 @@ class TextOpsSpec extends SparkSpec {
       .select($"doc_id",
         (round(log($"n".cast("double")) * 1e9).cast("long") - expr("s div n")).as("h"))
       .as[(Long, Long)].collect().toMap
-    out.foreach { case (id, _, _, h) => assert(hist(id) == h, s"doc $id") }
+    out.foreach { case (id, _, _, _, h) => assert(hist(id) == h, s"doc $id") }
   }
 }
