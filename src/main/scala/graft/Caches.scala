@@ -69,6 +69,12 @@ object Caches {
   /** Number of tracked handles (may exceed distinct cache entries). */
   def size: Int = synchronized(frames.size)
 
+  /** Number of DISTINCT artifacts eagerly built this release() epoch —
+    * one per canonicalized plan. The cache-reuse invariant specs assert
+    * on this: if two pipelines that should share one persisted artifact
+    * drift to different plans, the build count exposes it. */
+  def builtCount: Int = synchronized(built.size)
+
   /** Unpersist every tracked frame and clear the registry. In-flight
     * build markers are left alone: their builders' finally blocks remove
     * them and release their waiters regardless of epoch. */

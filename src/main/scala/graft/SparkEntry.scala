@@ -2143,18 +2143,22 @@ object SparkEntry {
     * answer). One summary row: candidate precision (how much verify
     * work the bands waste) and recall (which true pairs the bands can
     * NEVER recover — the unfixable loss). Integer permille via `div`,
-    * engine-exact; the three count aggregates are single-row frames
-    * joined by broadcast loops, nothing materializes beyond counters. */
+    * engine-exact. All three counters come out of ONE full-outer join of
+    * the two (tiny, dup-bounded) pair tables — each expensive subtree
+    * (PPJoin truth, banding candidates) is evaluated exactly once,
+    * instead of once per counter (the r9 form re-ran the candidate
+    * pipeline for n_cand and again for n_tp — half of the 2.3→5.0 s
+    * driver regression; the persisted bucket table was the other half). */
   private def qDedupEval(s: SparkSession, d: String): DataFrame = {
     val docs = spread(t(s, d, "documents"), "doc_id")
     val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
     val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       n = 3, k = 6, rowsPerBand = 2).distinct()
-    val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+    cand.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(count(col("t")).as("n_truth"), count(col("c")).as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1))).as("n_tp"))
       .select(col("n_truth"), col("n_cand"), col("n_tp"),
         expr("n_tp * 1000 div n_cand").as("precision_permille"),
         expr("n_tp * 1000 div n_truth").as("recall_permille"))

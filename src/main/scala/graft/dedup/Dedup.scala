@@ -361,6 +361,30 @@ object Dedup {
     jaccardFromSets(candidates, sets, threshold).distinct()
   }
 
+  /** The persisted LSH bucket table (id, band, bucket) over a persisted
+    * set table — signatures computed IN-ROW in a single codegen pass
+    * (graft.functions.MinHashSigsFp: md5 once per shingle, all k mins
+    * together), banded, then MATERIALIZED. This is the second dedup
+    * artifact of a minhash deployment (alongside the shingle-set table):
+    * the skew-guarded candidate generation below consumes the bucket
+    * rows TWICE (the capped aggregation plus the overflowed-bucket
+    * re-derivation), and the banding-eval row consumes the whole
+    * candidate table twice more — without materialization every
+    * consumer re-pays the per-shingle md5 signature pass, which profiled
+    * as the r9 q_dedup_eval 2.3→5.0 s regression. Bounded at nBands
+    * rows per doc. */
+  private[graft] def persistedLshBuckets(sets: DataFrame, k: Int,
+                                         rowsPerBand: Int): DataFrame = {
+    val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
+    val sigs = sets
+      .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
+      .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
+      .filter(col("n_sh") > 0)
+    graft.Caches.materialize(
+      lshBuckets(sigs, k, rowsPerBand)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** The raw LSH BANDING candidates of [[minhashLshPairs]], before exact
     * verification — one (id_a, id_b) row per agreeing band (not
     * distinct). Exposed separately so the banding stage itself can be
@@ -371,19 +395,8 @@ object Dedup {
                             maxBucket: Int = 1024): DataFrame = {
     require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    // Signatures are computed IN-ROW over the per-doc shingle array in a
-    // single codegen pass (graft.functions.MinHashSigsFp: md5 once per
-    // shingle, all k mins together — replaces 6k+3 interpreted array
-    // materializations per doc). They are derived NARROWLY on top of the
-    // shared persisted set table (same plan the Jaccard pipeline persists
-    // — one cache entry feeds both), so signature construction adds no
-    // shuffle and no second materialization.
     val sets = persistedSets(docs, idCol, textCol, n)
-    val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
-    val sigs = sets
-      .withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
-      .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
-    val buckets = lshBuckets(sigs.filter(col("n_sh") > 0), k, rowsPerBand)
+    val buckets = persistedLshBuckets(sets, k, rowsPerBand)
     // Candidates by grouping per (band, bucket) and expanding pairs
     // in-row — the pairs a bucket self-join would emit, at ONE shuffle
     // instead of two join sides plus an exchange. Bucket sizes are small
@@ -433,19 +446,16 @@ object Dedup {
                                 maxBucket: Int = 1024): DataFrame = {
     require(k <= 7, s"k=$k: h1 + k*h2 must stay below 2^63 (60-bit halves allow k <= 7)")
     require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
-    def sigsOf(sets: DataFrame): DataFrame = {
-      val sigCols = (1 to k).map(i => element_at(col("__sigs"), i).as(s"sig_$i"))
-      sets.withColumn("__sigs", graft.functions.MinHashSigsFp(col("sh_arr"), k))
-        .select(Seq(col("id"), col("n_sh")) ++ sigCols: _*)
-        .filter(col("n_sh") > 0)
-    }
     // Persisted set tables: each side is consumed TWICE (signature build
     // here, exact verify below) — without materialization both corpora
     // re-scan per consumer. Same shared-cache shape as minhashLshPairs.
+    // Bucket tables are persisted too (persistedLshBuckets): each side's
+    // bucket rows feed both the capped aggregation and the overflow
+    // branch, and the md5 signature pass must not run per consumer.
     val bSets = persistedSets(batch, idCol, textCol, n)
     val sSets = persistedSets(store, idCol, textCol, n)
-    val bBuckets = lshBuckets(sigsOf(bSets), k, rowsPerBand)
-    val sBuckets = lshBuckets(sigsOf(sSets), k, rowsPerBand)
+    val bBuckets = persistedLshBuckets(bSets, k, rowsPerBand)
+    val sBuckets = persistedLshBuckets(sSets, k, rowsPerBand)
     // Same skew guard as minhashCandidatePairs, two-sided form: the STORE
     // side (the unbounded one — it grows with the corpus while the batch
     // is a day's ingest) groups per (band, bucket) under CappedCollect, so

@@ -139,6 +139,26 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q_dedup_eval: shared dedup artifacts build exactly once across the eval pair") {
+    // The truth (PPJoin) and candidate (LSH banding) pipelines must ride
+    // the SAME persisted shingle-set table, and the md5 signature pass
+    // must materialize into ONE bucket table — if either pipeline drifts
+    // to its own plan, the artifact count exposes it (the r9 regression
+    // shape: every consumer re-paying the signature pass).
+    spark.catalog.clearCache()
+    Caches.release()
+    SparkEntry.queries("q_dedup_eval")(spark, "/root/testdata/sf0.001").count()
+    // exactly: shingle sets + PPJoin order index + LSH bucket table
+    assert(Caches.builtCount == 3,
+      s"expected 3 distinct persisted artifacts, got ${Caches.builtCount}")
+    spark.catalog.clearCache()
+    Caches.release()
+    SparkEntry.queries("q_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
+    // exactly: shingle sets + LSH bucket table (no order index on this path)
+    assert(Caches.builtCount == 2,
+      s"expected 2 distinct persisted artifacts, got ${Caches.builtCount}")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
