@@ -1790,14 +1790,19 @@ object OracleSql {
         |  SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
         |         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
         |  FROM xy)
+        |, d AS (
+        |  SELECT n,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dn,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dd,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS de
+        |  FROM s)
         |SELECT n,
-        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS slope_fp6,
-        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |                  * CAST(n * sxy - sx * sy AS DOUBLE)
-        |                  / (CAST(n * sxx - sx * sx AS DOUBLE)
-        |                     * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT) AS r2_permille
-        |FROM s""".stripMargin,
+        |       CAST(round(dn / dd * 1000000) AS BIGINT) AS slope_fp6,
+        |       CAST(round(dn * dn / (dd * de) * 1000) AS BIGINT) AS r2_permille
+        |FROM d""".stripMargin,
 
     // Split-leakage audit: the q_simhash_pairs closure joined to the
     // q_train_test_split md5-percent sides; pairs straddling the split

@@ -2475,12 +2475,15 @@ object SparkEntry {
     * (natural corpora fit slope ≈ −1; a slope collapsing toward 0 means
     * boilerplate/dedup failure upstream, a cliff past −2 means a
     * degenerate generator): OLS of ln(freq) on ln(rank) over the vocab
-    * table. Numeric discipline: logs fixed-pointed at 1e3 (Σx·y then
-    * bounded by vocab < 3.5e10 in BIGINT), all sums EXACT integers, the
-    * slope/R² finale a handful of correctly-rounded double ops on
-    * exactly-representable inputs — engine-exact. The rank window runs
-    * over the VOCAB table (model-sized, the q_vocab_build precedent),
-    * never the corpus. */
+    * table. Numeric discipline: logs fixed-pointed at 1e3, the six SUMS
+    * exact BIGINTs (Σx·y ≤ V·5.9e8 holds to V ≈ 1.5e10 distinct tokens),
+    * and the FINALE — n·Σxy − Σx·Σy and friends — computed in DOUBLE:
+    * the integer form wraps BIGINT silently around V ≈ 10⁶ (n·sxy ≈
+    * V²·6e8 > 2⁶³), exactly the vocab size a real corpus hits. Each
+    * sum→double cast and product is one correctly-rounded IEEE op in a
+    * fixed order, so both engines still agree bit-for-bit at any V. The
+    * rank window runs over the VOCAB table (model-sized, the
+    * q_vocab_build precedent), never the corpus. */
   private def qZipfSlope(s: SparkSession, d: String): DataFrame = {
     def lnFp3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       round(log(c.cast("double")) * 1e3).cast("long")
@@ -2492,18 +2495,16 @@ object SparkEntry {
         row_number().over(Window.orderBy(col("freq").desc, col("tok").asc))
           .cast("long"))
       .select(lnFp3(col("rank")).as("x"), lnFp3(col("freq")).as("y"))
-    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .select(col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-          * 1e6).cast("long").as("slope_fp6"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
-          * 1e3).cast("long").as("r2_permille"))
+    val agg = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    def dbl(name: String) = col(name).cast("double")
+    val dn = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val dd = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val de = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    agg.select(col("n"),
+      round(dn / dd * 1e6).cast("long").as("slope_fp6"),
+      round(dn * dn / (dd * de) * 1e3).cast("long").as("r2_permille"))
   }
 
   /** TRAIN/TEST SPLIT LEAKAGE audit — near-dup pairs that STRADDLE the

@@ -20,8 +20,10 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(spark), dir, name),
-      _ => normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, name), { _ =>
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") normalizeTs(raw) else raw
+    })
 
   // Engine-wide contract: `events.ts` surfaces as epoch-NANOS BIGINT.
   // The driver's parquet has shipped as both TIMESTAMP(NANOS) (arrives
@@ -29,7 +31,10 @@ object Tables {
   // contract) and timestamp[us] (arrives as TIMESTAMP_NTZ / TIMESTAMP).
   // Normalize the latter here, once, instead of per call site: session
   // timezone is pinned UTC (Sessions.build), so the NTZ→LTZ cast is the
-  // identity on the wall-clock and unix_micros*1000 is exact.
+  // identity on the wall-clock and unix_micros*1000 is exact. Scoped to
+  // the EVENTS table only — a future driver table with a legitimate
+  // timestamp column named `ts` must keep its type and wall-clock
+  // semantics (matching on column name alone would silently rewrite it).
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(dt) if dt == TimestampNTZType || dt == TimestampType =>

@@ -216,9 +216,17 @@ object Mixing {
     // be dropped silently by the histogram equi-join anyway, but null
     // ordering inside a percent_rank differs across engines, so the
     // operator's contract is: score first, calibrate non-null scores.
-    val scored = docs.select(col(sourceCol).as("source"), col(idCol),
-      score.as("q_fp6"))
-      .filter(col("q_fp6").isNotNull)
+    // The scored projection is PERSISTED: it feeds both the histogram
+    // aggregate and the join back, and the score expression is the
+    // expensive part (the Gopher quality score runs an Aho-Corasick
+    // pass over the text) — without materialization every consumer
+    // re-scores the corpus. Three narrow columns per doc, the same
+    // artifact a deployment writes before calibrating.
+    val scored = graft.Caches.materialize(
+      docs.select(col(sourceCol).as("source"), col(idCol),
+          score.as("q_fp6"))
+        .filter(col("q_fp6").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = scored.groupBy(col("source"), col("q_fp6"))
       .agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(col("source")).orderBy(col("q_fp6"))

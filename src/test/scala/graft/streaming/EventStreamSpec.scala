@@ -103,6 +103,18 @@ class EventStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, 4L), (200L, 1L)))
   }
 
+  test("rawEventSchema: empty landing dir falls back to the epoch-nanos pin") {
+    val dir = java.nio.file.Files.createTempDirectory("es-empty").toString
+    val schema = EventStream.rawEventSchema(spark, dir)
+    assert(schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // a populated dir still infers from footers (the primary path)
+    val inferred =
+      EventStream.rawEventSchema(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(inferred.fieldNames.contains("ts"))
+  }
+
   test("batchEvents converts nanos ts and reads the driver table") {
     val df = EventStream.batchEvents(graft.Tables(spark, "/root/testdata/sf0.001", "events"))
     assert(df.schema("ts").dataType.typeName == "timestamp")
