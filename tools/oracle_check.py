@@ -54,6 +54,20 @@ def main(out_dir, sf_dir):
             scols, srows = canon(sdf.fetchall(), sdf.columns)
             odf = con.sql(oracle[name])
             ocols, orows = canon(odf.fetchall(), odf.columns)
+            # PORTABILITY PRE-FLIGHT (round-9 lesson): an uncast
+            # SUM(BIGINT) output is HUGEINT, which this harness's
+            # fetchall() compares as a plain int (pass) while an
+            # arrow/pandas-path comparer converts through a non-int
+            # representation (driver hash mismatch). Fail the type here
+            # even when the values match.
+            huge = [c for c, t in zip(odf.columns, map(str, odf.types))
+                    if "HUGEINT" in t or "INT128" in t]
+            if huge:
+                print(f"FAIL {name}: oracle output columns {huge} are "
+                      f"HUGEINT - CAST them to BIGINT (driver comparers "
+                      f"do not round-trip int128)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
