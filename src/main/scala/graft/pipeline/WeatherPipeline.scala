@@ -179,6 +179,15 @@ object WeatherPipeline {
     def acceptedTemperatureCategories(fct: DataFrame): DataFrame =
       Relational.acceptedValuesViolations(fct, "temperature_category", TemperatureCategories)
 
+    /** Source-tier tests (`dbt/models/staging/_staging__sources.yml`:
+      * raw.weather id unique + not_null, city not_null, extracted_at
+      * not_null) — the gate the DAG runs as `dbt test --select staging`
+      * (step 4) BEFORE `dbt run --select marts` (step 5): a source-tier
+      * failure must short-circuit the chain before any mart is built. */
+    def sourceTests(raw: DataFrame): Map[String, DataFrame] = Map(
+      "unique_raw_weather_id" -> Relational.duplicates(raw, Seq("id")),
+      "not_null_raw_weather" -> notNull(raw, Seq("id", "city", "extracted_at")))
+
     /** All gates; pipeline proceeds iff every frame is empty. */
     def all(dim: DataFrame, fct: DataFrame): Map[String, DataFrame] = Map(
       "unique_dim_locations_location_key" -> uniqueLocationKey(dim),
@@ -230,17 +239,25 @@ object WeatherPipeline {
     */
   def runBatch(payloads: DataFrame, dataIntervalStart: Timestamp, now: Timestamp,
                outDir: String): Unit = {
+    def gate(tests: Map[String, DataFrame]): Unit =
+      tests.foreach { case (name, violations) =>
+        val n = violations.limit(1).count()
+        require(n == 0, s"data-quality test failed: $name")
+      }
     val raw = ingest(payloads, dataIntervalStart, now)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       raw.write.mode("append").parquet(s"$outDir/raw/weather")
+      // GATE 1 — source-tier tests (DAG step 4): a failure short-circuits
+      // here, before any mart is BUILT, mirroring dbt_test >> dbt_run_marts.
+      gate(Tests.sourceTests(raw))
       val stg = stgWeather(raw)
       val dim = dimLocations(stg)
       val fct = fctWeatherObservations(stg)
-      Tests.all(dim, fct).foreach { case (name, violations) =>
-        val n = violations.limit(1).count()
-        require(n == 0, s"data-quality test failed: $name")
-      }
+      // GATE 2 — marts-tier tests (DAG step 6). Stricter than the DAG by
+      // design: dbt writes the marts in step 5 and validates after; here
+      // the tests gate the WRITES, so a failing mart never goes live.
+      gate(Tests.all(dim, fct))
       dim.write.mode("overwrite").parquet(s"$outDir/marts/dim_locations")
       graft.sources.IO.writePartitioned(fct, Seq("extraction_date"),
         s"$outDir/marts/fct_weather_observations")

@@ -122,6 +122,49 @@ class WeatherPipelineSpec extends SparkSpec {
       .listFiles().exists(_.getName.startsWith("extraction_date=")))
   }
 
+  test("scheduled-run E2E: the full DAG chain fetch→ingest→stg→assert→marts→assert, " +
+    "with per-city retry/skip and failing-test short-circuit") {
+    import graft.pipeline.WeatherFetcher.FakeFetcher
+    // --- happy path: one scheduled run end to end (DAG :172 chain) ---
+    val dir = java.nio.file.Files.createTempDirectory("wp-dag").toString
+    val fetcher = new FakeFetcher(
+      canned = Map(
+        "Paris" -> payload("Paris", "France", 18, "Partly sunny"),
+        "London" -> payload("London", "United Kingdom", -3, "light rain")),
+      failFirst = Map("London" -> 1)) // transient failure, retried
+    val logs = scala.collection.mutable.ListBuffer.empty[String]
+    val results = WeatherPipeline.runDaily(spark, fetcher,
+      Seq("Paris", "London", "Atlantis"), t0, now, dir, retries = 2, logs += _)
+    // per-city semantics: London recovered on retry, Atlantis skipped
+    // after exhausting attempts without failing the batch (ref :115-116)
+    assert(results.find(_.city === "London").get.rawJson.isDefined)
+    assert(fetcher.attempts("London") == 2)
+    val atlantis = results.find(_.city === "Atlantis").get
+    assert(atlantis.rawJson.isEmpty && atlantis.attempts == 3)
+    assert(logs.exists(_.contains("Atlantis")))
+    // chain completed: raw landed, both marts written and consistent
+    assert(spark.read.parquet(s"$dir/raw/weather").count() == 2)
+    val dim = spark.read.parquet(s"$dir/marts/dim_locations")
+    val fct = spark.read.parquet(s"$dir/marts/fct_weather_observations")
+    assert(dim.count() == 2 && fct.count() == 2)
+    assert(fct.join(dim, Seq("location_key")).count() == 2)
+
+    // --- source-tier short-circuit (DAG step 4 gating step 5): a
+    // double-fetched city collides on the deterministic raw id, the
+    // staging-tier test fails, and NO mart output exists ---
+    val dir2 = java.nio.file.Files.createTempDirectory("wp-dag-fail").toString
+    val dup = Seq(
+      ("Paris", payload("Paris", "France", 18, "sunny")),
+      ("Paris", payload("Paris", "France", 19, "sunny"))).toDF("city", "raw_json")
+    val e = intercept[IllegalArgumentException] {
+      WeatherPipeline.runBatch(dup, t0, now, dir2)
+    }
+    assert(e.getMessage.contains("unique_raw_weather_id"))
+    assert(new java.io.File(s"$dir2/raw/weather").exists()) // raw landed (step 2 ran)
+    assert(!new java.io.File(s"$dir2/marts").exists(),
+      "a failing staging test must short-circuit before any mart write")
+  }
+
   test("re-running a day overwrites only that extraction_date partition") {
     val dir = java.nio.file.Files.createTempDirectory("wp-dyn").toString
     val day2 = Timestamp.valueOf("2024-06-03 09:00:00")
