@@ -105,6 +105,57 @@ class PortabilitySpec extends SparkSpec {
     ("q_anomaly_zscore", "z") -> "fixed-tree-exact-int",
     ("q_domain_divergence", "hellinger_sq") -> "fixed-tree-exact-int")
 
+  /** Queries whose OPTIMIZED plan legitimately contains a libm
+    * transcendental, with the justification for why the gate still
+    * holds. Everything else must be transcendental-free after column
+    * pruning — e.g. q_char_entropy computes a fixed-point-ln display
+    * column, but the gated projection drops it, so the optimizer must
+    * prune the `log` out of the plan entirely (this lint proves the
+    * drop is real, not cosmetic). */
+  private val approvedTranscendental: Map[String, String] = Map(
+    "q_weighted_sample" -> ("clock_fp9 = round(-ln(u)/w*1e9): a selection flip " +
+      "needs two clocks within both a libm ulp AND a rounding boundary; " +
+      "ties break by id (docstring-audited)"),
+    "q_zipf_slope" -> ("x,y = round(ln(k)*1e3) of small integer ranks/freqs " +
+      "feed integer sums; an ulp flip requires ln(k)*1e3 within 2^-40 of " +
+      ".5 — no k below 10^12 hits it (swept)"),
+    "q_tfidf_topterms" -> ("score_fp = round(tf*ln(N/df)*1e6): a flip needs " +
+      "the product within a libm ulp of a .5 quantization boundary; ranks " +
+      "tie-break by term"),
+    "q_bm25_search" -> ("per-term w_fp quantized from the op-for-op-mirrored " +
+      "BM25 tree (idf the only transcendental), summed as exact integers; " +
+      "ranks tie-break by id"),
+    "q_hybrid_search" -> ("fuses the q_bm25_search retriever (same idf " +
+      "tree) with integer reciprocal ranks — transcendental exposure " +
+      "identical to q_bm25_search"))
+
+  test("no gated plan carries an unapproved transcendental after pruning") {
+    import org.apache.spark.sql.catalyst.expressions.{Exp, Expression, Log, Log10, Log1p, Log2, Logarithm, Pow}
+    val dir = "/root/testdata/sf0.001"
+    def transcendental(e: Expression): Boolean = e match {
+      case _: Log | _: Logarithm | _: Log10 | _: Log2 | _: Log1p | _: Exp |
+           _: Pow => true
+      case _ => false
+    }
+    val names = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream_")).toSeq.sorted
+    val found = names.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val hits = plan.collect { case node =>
+        node.expressions.flatMap(_.collect { case e if transcendental(e) => e.prettyName })
+      }.flatten.distinct
+      if (hits.nonEmpty) Some(name -> hits.mkString(",")) else None
+    }.toMap
+    val unapproved = found.keys.filterNot(approvedTranscendental.contains)
+    assert(unapproved.isEmpty,
+      s"gated plans with unapproved transcendentals (libm is not a " +
+        s"cross-engine contract — keep it out of hashed outputs or " +
+        s"justify): ${unapproved.map(n => s"$n[${found(n)}]").mkString(", ")}")
+    val stale = approvedTranscendental.keys.filterNot(found.contains)
+    assert(stale.isEmpty,
+      s"stale transcendental approvals (plan no longer carries one): " +
+        stale.mkString(", "))
+  }
+
   test("every Double/Float column in a gated output carries a portability tag") {
     val dir = "/root/testdata/sf0.001"
     // streaming rows execute a real lifecycle on invocation; their
