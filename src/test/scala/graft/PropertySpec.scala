@@ -226,6 +226,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("charEntropyFp9: stats are order-free and the checksum separates histograms") {
+    val chars = Gen.oneOf("aabbcc", "abcdef", "zzzzzz", "m n m n", "qqqwe")
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(4, chars), Gen.choose(1L, 1e9.toLong)) {
+      (texts, seed) =>
+        // permute each doc's characters deterministically from the seed:
+        // every column of the gated contract must be invariant (entropy
+        // and the histogram are order-free by definition)
+        val rnd = new scala.util.Random(seed)
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val perm = docs.map { case (i, t) => (i, rnd.shuffle(t.toList).mkString) }
+        def run(rows: Seq[(Long, String)]) =
+          graft.text.TextOps.charEntropyFp9(
+              rows.toDF("doc_id", "text"), "doc_id", "text")
+            .orderBy($"doc_id")
+            .as[(Long, Int, Int, Long, Long)].collect().toSeq
+        val (a, b) = (run(docs), run(perm))
+        // different histograms must get different checksums (md5-backed;
+        // a collision here would be a 2^-31-class accident); the sorted
+        // char string IS the canonical histogram key
+        val nHist = texts.map(_.toSeq.sorted.mkString).distinct.size
+        a == b && a.map(_._4).distinct.size == nHist
+    })
+  }
+
+  test("qDedupEval full-outer counters equal the naive three-aggregate form") {
+    // the r10 single-pass rewrite must be COUNT-identical to the three
+    // independent aggregates it replaced, on corpora with real dups
+    val base = Gen.oneOf("spark table scan", "fast join row", "slow query plan")
+    checkProp(10)(Prop.forAll(Gen.listOfN(12, base), Gen.choose(0, 5)) {
+      (texts, nDup) =>
+        val docs = (texts ++ texts.take(nDup)).zipWithIndex
+          .map { case (t, i) => (i.toLong, t + " tail" + (i % 3)) }
+          .toDF("doc_id", "text")
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)
+          .select($"id_a", $"id_b")
+        val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text", 3, 6, 2)
+          .distinct()
+        val nTruth = truth.count()
+        val nCand = cand.count()
+        val nTp = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+        val fused = cand.select($"id_a", $"id_b", lit(1L).as("c"))
+          .join(truth.withColumn("t", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+          .agg(count($"t").as("nt"), count($"c").as("nc"),
+            count(when($"t".isNotNull && $"c".isNotNull, lit(1))).as("ntp"))
+          .as[(Long, Long, Long)].collect().head
+        fused == ((nTruth, nCand, nTp))
+    })
+  }
+
   test("MisraGries survival guarantee under random streams and partitionings") {
     val key = Gen.frequency(5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
       3 -> Gen.alphaLowerStr.map(s => "t" + s.take(4)))
