@@ -257,10 +257,17 @@ object Dedup {
       .filter(col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-    // verify-then-distinct, as in ngramJaccardPairs: a pair re-verifies
-    // once per shared prefix shingle (bounded by the prefix length) and
-    // the bit-identical verified rows collapse in the tiny final distinct
-    containmentFromSets(cand, sets, tau).distinct()
+    // DISTINCT BEFORE verify — deliberately the opposite trade from
+    // ngramJaccardPairs. The Jaccard prefix⋈prefix join regenerates a
+    // pair once per shingle shared WITHIN both short prefixes (factor
+    // ~1-3), so re-verifying beats an extra exchange. This prefix⋈FULL
+    // join regenerates a pair once per A-prefix shingle contained in B —
+    // on duplicate-heavy corpora that is the whole prefix, ~(1−τ)·|A|+1
+    // rows per pair, each paying an O(|A|+|B|) merge-walk verify:
+    // measured 22× wall-clock at 4× corpus (quadratic) without the
+    // distinct, ~linear with it. The deduped candidate table is two
+    // BIGINTs per row, so the exchange is the cheap side of the trade.
+    containmentFromSets(cand.distinct(), sets, tau)
   }
 
   /** Exact containment verification for candidate pairs against the
