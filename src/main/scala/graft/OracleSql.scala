@@ -1804,6 +1804,146 @@ object OracleSql {
         |       CAST(round(dn * dn / (dd * de) * 1000) AS BIGINT) AS r2_permille
         |FROM d""".stripMargin,
 
+    // Heaps'-law growth: first-occurrence doc per token, decile doc-id
+    // checkpoints off one max(id) scalar; LEFT JOIN + COALESCE mirrors
+    // the Spark side's empty-checkpoint handling.
+    "q_vocab_growth" ->
+      """WITH b AS (SELECT max(doc_id) + 1 AS bound FROM documents),
+        |cps AS (
+        |  SELECT CAST(u.k AS BIGINT) AS cp_idx,
+        |         CAST(u.k * b.bound // 10 AS BIGINT) AS cp_doc_bound
+        |  FROM b, unnest(range(1, 11)) AS u(k)),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |first AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+        |v AS (
+        |  SELECT c.cp_idx, CAST(count(*) AS BIGINT) AS n_vocab
+        |  FROM cps c JOIN first f ON f.first_doc < c.cp_doc_bound
+        |  GROUP BY c.cp_idx),
+        |dd AS (
+        |  SELECT c.cp_idx, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM cps c JOIN documents ON doc_id < c.cp_doc_bound
+        |  GROUP BY c.cp_idx)
+        |SELECT c.cp_idx, c.cp_doc_bound,
+        |       COALESCE(dd.n_docs, 0) AS n_docs,
+        |       COALESCE(dd.n_tokens, 0) AS n_tokens,
+        |       COALESCE(v.n_vocab, 0) AS n_vocab
+        |FROM cps c LEFT JOIN dd ON dd.cp_idx = c.cp_idx
+        |           LEFT JOIN v ON v.cp_idx = c.cp_idx
+        |ORDER BY c.cp_idx""".stripMargin,
+
+    // Cluster-size histogram off the q_dedup_clusters recursive closure
+    // (Hamming <= 1 → 2 chunks of 8 bits), plus the singleton row from
+    // the two scalar counts.
+    "q_cluster_sizes" -> {
+      val chunks = Seq((0, 1, 8), (1, 9, 8))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 1),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM cl GROUP BY cluster_id),
+         |h AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY size),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |clu AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered FROM cl)
+         |SELECT size, n_clusters, CAST(size * n_clusters AS BIGINT) AS n_docs FROM h
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS size, n_total - n_clustered AS n_clusters,
+         |       n_total - n_clustered AS n_docs
+         |FROM tot, clu
+         |ORDER BY size""".stripMargin
+    },
+
+    // Cross-source overlap matrix: the q_split_leakage pair closure
+    // (Hamming <= 2 → 3 chunks) joined to sources, canonicalized
+    // undirected via least/greatest.
+    "q_source_overlap" -> {
+      val chunks = Seq((0, 1, 6), (1, 7, 5), (2, 12, 5))
+        .map { case (i, start, len) =>
+          s"SELECT id, v, $i AS chunk, substring(simhash, $start, $len) AS bits FROM v" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $simhashCte,
+         |v AS (SELECT id, simhash, CAST(concat('0b', simhash) AS BIGINT) AS v FROM sh16),
+         |chunks AS (
+         |  $chunks),
+         |p AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |  WHERE bit_count(xor(a.v, b.v)) <= 2)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN documents sa ON sa.doc_id = p.id_a
+         |       JOIN documents sb ON sb.doc_id = p.id_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin
+    },
+
+    // Per-(label, dim) scatter sufficient statistics: fp6 HALF_UP round
+    // then one truncating // 1000 (both toward zero in both engines);
+    // n/Σq/Σq² exact BIGINTs.
+    "q_embed_dispersion" ->
+      """WITH q AS (
+        |  SELECT label, CAST(u.i - 1 AS INTEGER) AS dim,
+        |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) // 1000 AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE embedding IS NOT NULL)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(qv) AS BIGINT) AS sx,
+        |       CAST(sum(qv * qv) AS BIGINT) AS sxx
+        |FROM q GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
+    // Tokenizer fertility per language: the q_bpe_apply 3-round merge
+    // CTEs grouped by lang; ratios via truncating // on BIGINT-cast
+    // sums (HUGEINT never reaches the output).
+    "q_token_fertility" -> {
+      def round(t: Int) =
+        s"""p$t AS (
+           |  SELECT toks, unnest(range(1, len(toks))) AS i
+           |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS toks
+           |        FROM s${t - 1})
+           |  WHERE len(toks) >= 2),
+           |c$t AS (SELECT toks[i] AS w1, toks[i + 1] AS w2,
+           |               CAST(count(*) AS BIGINT) AS c FROM p$t GROUP BY 1, 2),
+           |m$t AS (SELECT w1, w2, c FROM c$t ORDER BY c DESC, w1, w2 LIMIT 1),
+           |s$t AS (SELECT s${t - 1}.doc_id, s${t - 1}.text,
+           |               replace(s${t - 1}.s, '(' || m$t.w1 || ')(' || m$t.w2 || ')',
+           |                       '(' || m$t.w1 || ' ' || m$t.w2 || ')') AS s
+           |        FROM s${t - 1}, m$t)""".stripMargin
+      s"""WITH s0 AS (SELECT doc_id, text,
+         |                   '(' || replace(text, ' ', ')(') || ')' AS s
+         |            FROM documents),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |agg AS (
+         |  SELECT d.lang,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(length(s3.text)) AS BIGINT) AS n_chars,
+         |         CAST(sum(len(string_split(s3.text, ' '))) AS BIGINT) AS n_tok_word,
+         |         CAST(sum(len(string_split(substr(s3.s, 2, length(s3.s) - 2), ')('))) AS BIGINT) AS n_tok_bpe
+         |  FROM s3 JOIN documents d ON d.doc_id = s3.doc_id
+         |  GROUP BY d.lang)
+         |SELECT lang, n_docs, n_chars, n_tok_word, n_tok_bpe,
+         |       CAST(n_tok_bpe * 1000 // n_tok_word AS BIGINT) AS fertility_permille,
+         |       CAST(n_chars * 1000 // n_tok_bpe AS BIGINT) AS chars_per_bpe_permille
+         |FROM agg ORDER BY lang""".stripMargin
+    },
+
     // Split-leakage audit: the q_simhash_pairs closure joined to the
     // q_train_test_split md5-percent sides; pairs straddling the split
     // are the leaks.

@@ -2571,6 +2571,99 @@ object SparkEntry {
       .orderBy(col("thr"))
   }
 
+  /** HEAPS'-LAW vocabulary-growth curve (TextOps.vocabGrowth): distinct
+    * vocab vs cumulative corpus size at ten doc-id checkpoints — the
+    * companion corpus-health diagnostic to the Zipf slope (early
+    * flattening = templated corpus, near-linear = ID/noise flood). One
+    * O(V) exchange; the 10-row checkpoint table broadcasts. */
+  private def qVocabGrowth(s: SparkSession, d: String): DataFrame =
+    TextOps.vocabGrowth(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
+        nCheckpoints = 10)
+      .orderBy(col("cp_idx"))
+
+  /** Near-dup CLUSTER-SIZE histogram — the dedup report card: how much
+    * of the corpus sits in how-large duplicate families (mass in big
+    * clusters = mirror/template blowup; the singleton row is the clean
+    * remainder). Sizes come off the same shared persisted signature
+    * table as every simhash consumer; the histogram is two tiny
+    * aggregations over the O(clustered-docs) cluster table, and the
+    * singleton count is total − clustered from two one-row aggregates
+    * (never a corpus anti-join). */
+  private def qClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.simhashClusters(simhashShared(s, d), maxDist = 1)
+    val hist = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+    val singletons = t(s, d, "documents").agg(count(lit(1)).as("n_total"))
+      .crossJoin(clusters.agg(count(lit(1)).as("n_clustered")))
+      .select(lit(1L).as("size"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"),
+        (col("n_total") - col("n_clustered")).as("n_docs"))
+    hist.unionByName(singletons).orderBy(col("size"))
+  }
+
+  /** CROSS-SOURCE near-dup overlap matrix — which sources copy which:
+    * the mirror-site/content-farm detector that decides whether a
+    * whole source gets down-weighted before training (the per-PAIR
+    * form of what q_domain_rank aggregates per domain). Pairs ride the
+    * shared simhash signature table; the bounded pair table is the
+    * BROADCAST side of both source lookups (the corpus-sized
+    * projection streams, it is never broadcast), and the canonical
+    * least/greatest fold makes the matrix undirected. */
+  private def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
+    val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+    src.select(col("doc_id").as("id_a"), col("source").as("src_a"))
+      .join(broadcast(pairs), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Per-label embedding DISPERSION sufficient statistics
+    * (Vectors.labelScatterStats): exact integer (n, Σq, Σq²) per
+    * (label, dim) over fp3-quantized components — the intra-class
+    * scatter audit behind SemDeDup-style pruning and label-noise
+    * triage; variance/trace are derived display values outside the
+    * hash gate. One aggregate to #labels rows; posexplode runs after
+    * aggregation. */
+  private def qEmbedDispersion(s: SparkSession, d: String): DataFrame =
+    Vectors.labelScatterStats(t(s, d, "embeddings"), "label", "embedding")
+      .orderBy(col("label"), col("dim"))
+
+  /** TOKENIZER FERTILITY per language — tokens-per-word and
+    * tokens-per-char of the trained BPE (3 merges) by language bucket:
+    * the tokenizer-fairness diagnostic (a language whose fertility runs
+    * hot pays more sequence length per sentence and trains/serves
+    * worse). Reuses the guarded-string BPE train+apply chain; the
+    * per-doc counts join back to the corpus on doc_id (co-partitioned
+    * equi-join) and collapse to #languages rows. Ratios are integer
+    * permille via truncating div — exact in both engines. */
+  private def qTokenFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    val applied = graft.text.Search.bpeApply(docs, "doc_id", "text", nMerges = 3)
+      .withColumnRenamed("id", "doc_id")
+    applied
+      .join(t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok_before")).as("n_tok_word"),
+        sum(col("n_tok_after")).as("n_tok_bpe"))
+      .withColumn("fertility_permille",
+        expr("n_tok_bpe * 1000 div n_tok_word"))
+      .withColumn("chars_per_bpe_permille",
+        expr("n_chars * 1000 div n_tok_bpe"))
+      .orderBy(col("lang"))
+  }
+
   /** Incremental CDC-chunk admission (Dedup.incrementalCdcAdmit): the
     * day's batch (doc_id%10==0) chunked in-row and screened against the
     * standing corpus's chunk-hash store — admit on ≥500‰ novel chunks.
@@ -2791,6 +2884,11 @@ object SparkEntry {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_ngram_novelty" -> (qNgramNovelty _),
+    "q_vocab_growth" -> (qVocabGrowth _),
+    "q_cluster_sizes" -> (qClusterSizes _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_embed_dispersion" -> (qEmbedDispersion _),
+    "q_token_fertility" -> (qTokenFertility _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_upsert" -> (qUpsert _),
     "q_quantize_embed" -> (qQuantizeEmbed _),

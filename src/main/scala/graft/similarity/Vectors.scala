@@ -498,6 +498,45 @@ object Vectors {
       .selectExpr("vec_id", stackExpr)
   }
 
+  /** Per-label embedding SCATTER sufficient statistics — the
+    * intra-class dispersion audit of an embedded corpus (tight classes
+    * embed well; a class whose per-dimension variance rivals the global
+    * spread is mislabeled/noisy and is what SemDeDup-style pruning
+    * keys on). One row per (label, dim) carrying the EXACT integer
+    * sufficient statistics (n, Σq, Σq²) of the fp3-quantized
+    * component; mean/variance/trace are DERIVED display values
+    * consumers compute in whatever precision they like — keeping the
+    * division/finale OUT of the hashed contract is the round-9
+    * portability lesson.
+    *
+    * Numeric discipline: q = fp6(x) div 1000 — the proven
+    * [[graft.functions.FixedPointFp]] HALF_UP kernel followed by one
+    * truncating integer div (Spark `div` ≡ DuckDB `//`, both toward
+    * zero), so |q| ≤ 10³·|x| and Σq² wraps BIGINT only past ~9·10¹²
+    * vectors per label — integer-exact at any realistic corpus scale
+    * (the per-dim form deliberately avoids the Σ_d(Σq)² cross-dim
+    * square, which wraps at ~7·10⁵ rows).
+    *
+    * Scale shape: ONE map-side-combining hash aggregate to #labels
+    * rows (in-row elementwise sums via [[graft.functions.ArraySumFp]];
+    * the d-fold posexplode runs AFTER aggregation, over #labels rows,
+    * never over the corpus). */
+  def labelScatterStats(vectors: DataFrame, labelCol: String,
+                        vecCol: String): DataFrame = {
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), fixedPoint(col(vecCol)).as("fv"))
+      .select(col("label"), expr("transform(fv, x -> x div 1000)").as("q"))
+      .select(col("label"), col("q"), expr("transform(q, x -> x * x)").as("qq"))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ArraySumFp(col("q")).as("sx"),
+        graft.functions.ArraySumFp(col("qq")).as("sxx"))
+      .select(col("label"), col("n"),
+        posexplode(arrays_zip(col("sx"), col("sxx"))))
+      .select(col("label"), col("pos").cast("integer").as("dim"),
+        col("n"), col("col.sx").as("sx"), col("col.sxx").as("sxx"))
+  }
+
   /** Per-vector int8 SCALAR QUANTIZATION — the standard 4× compression
     * applied to embedding stores before ANN serving (each component maps
     * to round((v − min) · 255 / (max − min)) ∈ [0, 255], with (min, max)

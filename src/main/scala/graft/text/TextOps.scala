@@ -250,6 +250,57 @@ object TextOps {
     * value: libm `ln` is not required to be correctly rounded by IEEE 754,
     * so round(ln(k)·1e9) can differ by a digit across engine builds — it
     * must never re-enter a cross-engine hash gate (round-9 lesson). */
+  /** HEAPS'-LAW vocabulary-growth curve — the companion diagnostic to
+    * the Zipf slope (X153): distinct-vocabulary size as a function of
+    * cumulative corpus size at `nCheckpoints` evenly spaced doc-id
+    * checkpoints. Natural corpora grow V ≈ K·nᵝ with β ≈ 0.4–0.6; a
+    * curve that flattens early means a TEMPLATED/boilerplate corpus
+    * (new docs add no new words — generation or dedup failure
+    * upstream), a near-linear curve means noise/IDs flooding the vocab.
+    *
+    * Scale shape: ONE exchange to the O(V) first-occurrence table
+    * (`groupBy(token).min(docId)` — the same model-sized table as
+    * q_vocab_build), then the checkpoint table (nCheckpoints rows,
+    * derived from one max(id) scalar) broadcasts into both
+    * checkpoint-assignment cross joins, whose map-side partials
+    * collapse to nCheckpoints rows per partition before their
+    * aggregates (the q_quality_pr shape). The corpus is scanned twice
+    * (token explode + per-doc token counts), never shuffled whole.
+    *
+    * Contract: all columns are exact BIGINT counts — cumulative docs,
+    * cumulative tokens, and cumulative vocab below each checkpoint
+    * bound (checkpoint k covers doc_id < k·(max_id+1) div nCheckpoints,
+    * so the last checkpoint covers the whole corpus). */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  nCheckpoints: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(nCheckpoints >= 1, s"nCheckpoints=$nCheckpoints must be >= 1")
+    val sess = docs.sparkSession
+    val bound = docs.agg((max(col(idCol)) + 1L).as("bound"))
+    val cps = sess.range(1, nCheckpoints + 1L).toDF("cp_idx")
+      .crossJoin(bound)
+      .select(col("cp_idx"),
+        expr(s"cp_idx * bound div $nCheckpoints").as("cp_doc_bound"))
+    val first = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabAt = first.crossJoin(broadcast(cps))
+      .filter(col("first_doc") < col("cp_doc_bound"))
+      .groupBy(col("cp_idx")).agg(count(lit(1)).as("n_vocab"))
+    val docsAt = docs
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .crossJoin(broadcast(cps))
+      .filter(col("doc_id") < col("cp_doc_bound"))
+      .groupBy(col("cp_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    cps.join(docsAt, Seq("cp_idx"), "left")
+      .join(vocabAt, Seq("cp_idx"), "left")
+      .select(col("cp_idx"), col("cp_doc_bound"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+  }
+
   def charEntropyFp9(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     def lnFp9(x: Column): Column = round(log(x.cast("double")) * 1e9).cast("long")

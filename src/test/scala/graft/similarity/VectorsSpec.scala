@@ -468,4 +468,26 @@ class VectorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("labelScatterStats: exact per-(label,dim) stats, toward-zero fp3, null vectors dropped") {
+    val v = Seq(
+      (10, Array(1.0f, -1.0f)),
+      (10, Array(0.5f, 0.25f)),
+      (20, Array(-0.0005f, 0.0015f)), // fp6 = -500, 1500 → div 1000 = 0, 1 (toward zero)
+      (30, null.asInstanceOf[Array[Float]])
+    ).toDF("label", "embedding")
+    val out = Vectors.labelScatterStats(v, "label", "embedding")
+      .orderBy($"label", $"dim")
+      .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // label 10: dim0 q = 1000, 500; dim1 q = -1000, 250
+      (10, 0, 2L, 1500L, 1250000L),
+      (10, 1, 2L, -750L, 1062500L),
+      // label 20: toward-zero truncation of -500 // 1000 is 0, not -1
+      (20, 0, 1L, 0L, 0L),
+      (20, 1, 1L, 1L, 1L)))
+    // Cauchy–Schwarz over the sufficient statistics: n·Σq² ≥ (Σq)²
+    out.foreach { case (l, d, n, sx, sxx) =>
+      assert(n * sxx >= sx * sx, s"label $l dim $d") }
+  }
 }

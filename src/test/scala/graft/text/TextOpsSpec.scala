@@ -115,6 +115,33 @@ class TextOpsSpec extends SparkSpec {
       "repetition", "no_stopwords", null))
   }
 
+  test("vocabGrowth: closed-form curve, empty checkpoints zero-filled, final row = whole corpus") {
+    // ids 0..3, 2 checkpoints → bounds 2 and 4
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "c d d"), (3L, "e")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text", nCheckpoints = 2)
+      .orderBy($"cp_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 5L, 3L),   // docs 0,1: 5 tokens, vocab {a,b,c}
+      (2L, 4L, 4L, 9L, 5L)))  // whole corpus: vocab {a,b,c,d,e}
+    // sparse ids: first checkpoint covers no docs → zero-filled row
+    val sparse = Seq((8L, "x y"), (9L, "y z")).toDF("doc_id", "text")
+    val out2 = TextOps.vocabGrowth(sparse, "doc_id", "text", nCheckpoints = 2)
+      .orderBy($"cp_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2 == Seq((1L, 5L, 0L, 0L, 0L), (2L, 10L, 2L, 4L, 3L)))
+    // growth is monotone in every cumulative column
+    Seq(out, out2).foreach { rows =>
+      rows.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 <= b._3 && a._4 <= b._4 && a._5 <= b._5)
+        case _ =>
+      }
+    }
+  }
+
   test("charEntropyFp9: closed-form values, empty docs dropped, matches exploded histogram") {
     def lnFp9(x: Long): Long = math.round(math.log(x.toDouble) * 1e9)
     // driver-side mirror of the portable checksum: md5-60-bit-prefix mod 2^31
