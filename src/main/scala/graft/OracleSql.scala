@@ -3275,5 +3275,167 @@ object OracleSql {
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
         |       c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // DSIR importance selection: hashed-bigram (md5 mod 64) smoothed
+    // probability contrast of the src0 target slice vs the raw corpus;
+    // HUGEINT intermediates mirror the engine's DECIMAL(38,0) promotion,
+    // every output aggregate cast to BIGINT. Floor-div on nonnegative
+    // operands, so // ≡ Spark div.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, source = 'src0' AS is_target,
+        |         string_split(text, ' ') AS tk
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |pos AS (SELECT id, is_target, tk, unnest(range(1, len(tk))) AS i FROM tok),
+        |bg AS (
+        |  SELECT id, is_target,
+        |         CAST(concat('0x', substring(md5(concat(tk[i], ' ', tk[i + 1])), 1, 15)) AS BIGINT) % 64 AS feat
+        |  FROM pos),
+        |df AS (SELECT id, is_target, feat, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |dist AS (
+        |  SELECT feat, sum(n) AS c_r,
+        |         sum(CASE WHEN is_target THEN n ELSE 0 END) AS c_t
+        |  FROM df GROUP BY feat),
+        |tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM dist),
+        |w AS (
+        |  SELECT feat,
+        |         CAST(CAST(c_t + 1 AS HUGEINT) * 1000000000 // (tot_t + 64) AS BIGINT)
+        |         - CAST(CAST(c_r + 1 AS HUGEINT) * 1000000000 // (tot_r + 64) AS BIGINT) AS w_fp
+        |  FROM dist, tot),
+        |scored AS (
+        |  SELECT id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(n * w_fp) AS BIGINT) AS score_fp
+        |  FROM df JOIN w USING (feat) GROUP BY id),
+        |top AS (SELECT id FROM scored ORDER BY score_fp DESC, id LIMIT 40)
+        |SELECT scored.id AS doc_id, n_bigrams, score_fp,
+        |       top.id IS NOT NULL AS selected
+        |FROM scored LEFT JOIN top ON scored.id = top.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style per-language LM buckets: value-tertile boundaries from
+    // the per-(lang, score) histogram — ties never split, windows only
+    // over the histogram.
+    "q_lm_bucket" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |hist AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |scored AS (
+        |  SELECT id, lang, CAST((1000 * sum(freq)) // count(*) AS BIGINT) AS score
+        |  FROM tok JOIN hist USING (term) GROUP BY id, lang),
+        |sh AS (SELECT lang, score, count(*) AS c FROM scored GROUP BY lang, score),
+        |cum AS (
+        |  SELECT lang, score,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ge,
+        |         sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM sh),
+        |bnd AS (
+        |  SELECT lang,
+        |         max(CASE WHEN c_ge >= (n + 2) // 3 THEN score END) AS b1,
+        |         max(CASE WHEN c_ge >= (2 * n + 2) // 3 THEN score END) AS b2
+        |  FROM cum GROUP BY lang)
+        |SELECT id AS doc_id, lang, score,
+        |       CASE WHEN score >= b1 THEN 'head'
+        |            WHEN score >= b2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM scored JOIN bnd USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // MMR diversified rerank, greedy selection UNROLLED (k = 4 picks from
+    // the 8-candidate cosine pool of query 42, λ = 0.5 ⇒ order by
+    // rel − maxSim). Comparisons run on doubles built from exact
+    // integers by correctly-rounded ops with the engine's expression
+    // tree; the hashed output is integer-only.
+    "q_mmr_rerank" -> {
+      def pick(sel: String, rem: String) =
+        s"""  SELECT vec_id, rel_dot, nnb, rel FROM (
+           |    SELECT r.vec_id, r.rel_dot, r.nnb, r.rel, r.rel - max(s.cs) AS mmr
+           |    FROM $rem r JOIN sims s ON s.ia = r.vec_id
+           |                JOIN $sel ss ON s.ib = ss.vec_id
+           |    GROUP BY r.vec_id, r.rel_dot, r.nnb, r.rel)
+           |  ORDER BY mmr DESC, vec_id LIMIT 1""".stripMargin
+      s"""WITH $fpVecCte,
+         |q AS (SELECT fv, nn FROM nv WHERE vec_id = 42),
+         |pool AS (
+         |  SELECT c.vec_id, c.fv, CAST(c.nn AS BIGINT) AS nnb,
+         |         CAST(list_sum(list_transform(range(1, len(c.fv) + 1), i -> c.fv[i] * q.fv[i])) AS BIGINT) AS rel_dot,
+         |         CAST(list_sum(list_transform(range(1, len(c.fv) + 1), i -> c.fv[i] * q.fv[i])) AS DOUBLE)
+         |           / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE))) AS rel
+         |  FROM nv c, q WHERE c.vec_id <> 42 AND c.nn > 0
+         |  ORDER BY rel DESC, c.vec_id LIMIT 8),
+         |sims AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         CAST(list_sum(list_transform(range(1, len(a.fv) + 1), i -> a.fv[i] * b.fv[i])) AS DOUBLE)
+         |           / (sqrt(CAST(a.nnb AS DOUBLE)) * sqrt(CAST(b.nnb AS DOUBLE))) AS cs
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel_dot, nnb, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+         |s2 AS (
+         |${pick("s1", "(SELECT * FROM pool WHERE vec_id NOT IN (SELECT vec_id FROM s1))")}),
+         |sel12 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+         |s3 AS (
+         |${pick("sel12", "(SELECT * FROM pool WHERE vec_id NOT IN (SELECT vec_id FROM sel12))")}),
+         |sel123 AS (SELECT vec_id FROM sel12 UNION ALL SELECT vec_id FROM s3),
+         |s4 AS (
+         |${pick("sel123", "(SELECT * FROM pool WHERE vec_id NOT IN (SELECT vec_id FROM sel123))")}),
+         |sel AS (
+         |  SELECT 1 AS mmr_rank, vec_id, rel_dot, nnb FROM s1
+         |  UNION ALL SELECT 2, vec_id, rel_dot, nnb FROM s2
+         |  UNION ALL SELECT 3, vec_id, rel_dot, nnb FROM s3
+         |  UNION ALL SELECT 4, vec_id, rel_dot, nnb FROM s4)
+         |SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id,
+         |       rel_dot AS rel_dot_fp, nnb AS norm_fp
+         |FROM sel ORDER BY mmr_rank""".stripMargin
+    },
+
+    // kNN-graph triangle census: the q_knn_graph edge set (rank <= 3)
+    // canonicalized to distinct low<high pairs, triangles via the
+    // ordered two-join enumeration, per-vertex corner counts.
+    "q_knn_triangles" ->
+      s"""WITH bk AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN bk ON nv.vec_id = bk.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |ed AS (
+         |  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS z
+         |  FROM r WHERE "rank" <= 3),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT a AS v FROM ed UNION ALL SELECT z AS v FROM ed)
+         |  GROUP BY v),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.z AS y, e2.z AS w
+         |  FROM ed e1 JOIN ed e2 ON e1.z = e2.a
+         |             JOIN ed e3 ON e3.a = e1.a AND e3.z = e2.z),
+         |pv AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+         |        UNION ALL SELECT w AS v FROM tri)
+         |  GROUP BY v)
+         |SELECT deg.v AS vec_id, degree,
+         |       CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM deg LEFT JOIN pv ON deg.v = pv.v
+         |ORDER BY vec_id""".stripMargin,
+
+    // One-row corpus dataset card: volumes, diversity, exact-dup rate.
+    "q_dataset_card" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(count(DISTINCT $fpExpr) AS BIGINT) AS n_distinct_fp,
+         |       CAST((1000 * (count(*) - count(DISTINCT $fpExpr))) // count(*) AS BIGINT) AS dup_permille
+         |FROM documents""".stripMargin)
 }

@@ -2784,9 +2784,74 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** DSIR-style importance selection (X160 — see corpus.Mixing
+    * .dsirWeights): hashed-bigram feature contrast of the src0 target
+    * slice against the raw corpus, top-40 selected. 64 feature buckets
+    * puts multiple bigram types in every bucket at sf0.01 (the hashing
+    * regime the estimator actually runs in). */
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.corpus.Mixing.dsirWeights(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", targetPred = col("source") === "src0",
+        nBuckets = 64, topK = 40)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style per-language head/middle/tail LM buckets (X161 — see
+    * text.Search.lmBuckets): value-tertile boundaries off the score
+    * histogram, never a per-language window. */
+  private def qLmBucket(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.lmBuckets(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", "lang")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** MMR diversified rerank (X162 — see similarity.Vectors.mmrRerank):
+    * top-8 cosine pool for query vector 42, greedy λ=0.5 selection of
+    * 4; hashed contract is integer-only (rank, id, rel dot, norm). */
+  private def qMmrRerank(s: SparkSession, d: String): DataFrame =
+    Vectors.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 42L, poolK = 8, k = 4)
+      .orderBy(col("mmr_rank"))
+
+  /** kNN-graph triangle census (X163 — see ops.Graphs.triangleCounts):
+    * local clustering of the q_knn_graph edge set (k=3, 4-bit
+    * sign-LSH candidates), per-vertex degree + exact triangle count. */
+  private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graphs.triangleCounts(
+        Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 3, bits = 4),
+        "src_id", "dst_id")
+      .withColumnRenamed("v", "vec_id")
+      .orderBy(col("vec_id"))
+
+  /** One-row corpus dataset card (X164): the header block of a
+    * datasheet — volumes, diversity counts, and the exact-dup rate —
+    * each an O(1)-output aggregate over one documents scan (the
+    * fingerprint distinct is the only exchange). */
+  private def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("n_distinct_fp"),
+        expr("(1000 * (n_docs - n_distinct_fp)) div n_docs").as("dup_permille"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> (qDsirWeights _),
+    "q_lm_bucket" -> (qLmBucket _),
+    "q_mmr_rerank" -> (qMmrRerank _),
+    "q_knn_triangles" -> (qKnnTriangles _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_scan" -> (qScan _),
     "q_project" -> (qProject _),
     "q_filter_null" -> (qFilterNull _),

@@ -279,4 +279,74 @@ object Mixing {
       .orderBy(col("clock_fp9"), col(idCol))
       .limit(k)
   }
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023, "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169): score every document by how much more its
+    * hashed-bigram feature profile resembles a TARGET slice than the raw
+    * corpus, then select the top-K — the data-selection step that builds
+    * a domain-matched pretraining subset from a web-scale crawl. The
+    * published estimator weights feature f by log p̂_t(f) − log p̂_r(f);
+    * this operator uses the Laplace-smoothed PROBABILITY CONTRAST
+    * p̂_t(f) − p̂_r(f) at fixed-point 1e9 — same selection signal shape,
+    * but transcendental-free, so the whole contract is exact integer
+    * arithmetic end to end and survives the cross-engine hash gate
+    * (round-9 lesson: libm `ln` is not portable across oracle builds).
+    *
+    * Scale shape: features hash into a FIXED space of `nBuckets` ids
+    * (md5 — engine-portable, unlike murmur3), so both distribution
+    * tables are O(nBuckets) rows regardless of corpus size and ride as
+    * broadcasts; the corpus token stream is expanded in-row (the
+    * codegen'd sequence→element_at bigram pattern, no shuffle) and
+    * aggregated ONCE to the doc×bucket profile, which feeds counting and
+    * scoring off a single persisted artifact (`Caches.materialize`).
+    * Selection is a TakeOrderedAndProject top-K (bounded partial top-k,
+    * never a global window) whose K ids broadcast back for the flag.
+    *
+    * Numeric discipline: the ×1e9 numerators are promoted to
+    * DECIMAL(38,0) before the multiply — exact base-10 arithmetic, no
+    * BIGINT overflow even at 100 TB token totals (the oracle mirrors via
+    * HUGEINT intermediates; both floor-divide nonnegative operands, so
+    * `div` ≡ `//`). Per-doc scores are Σ n·w_fp with n ≤ doc tokens and
+    * |w_fp| ≤ 1e9 — BIGINT-safe for any document under ~9e9 tokens. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int, topK: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be >= 1")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val feats = docs
+      .select(col(idCol).as("id"), targetPred.as("is_target"),
+        TextOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"), col("is_target"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(col("id"), col("is_target"),
+        (conv(substring(md5(concat_ws(" ",
+            element_at(col("tk"), col("i")),
+            element_at(col("tk"), col("i") + 1))), 1, 15), 16, 10)
+          .cast("long") % nBuckets).as("feat"))
+    val docFeat = graft.Caches.materialize(
+      feats.groupBy(col("id"), col("is_target"), col("feat"))
+        .agg(count(lit(1)).as("n"))
+        .persist())
+    val dist = docFeat.groupBy(col("feat"))
+      .agg(sum(col("n")).as("c_r"),
+        sum(when(col("is_target"), col("n")).otherwise(0L)).as("c_t"))
+    val tot = dist.agg(sum(col("c_r")).as("tot_r"), sum(col("c_t")).as("tot_t"))
+    val w = dist.crossJoin(broadcast(tot))
+      .select(col("feat"),
+        (expr(s"CAST(c_t + 1 AS DECIMAL(38,0)) * ${Fp9}L div (tot_t + ${nBuckets}L)") -
+          expr(s"CAST(c_r + 1 AS DECIMAL(38,0)) * ${Fp9}L div (tot_r + ${nBuckets}L)"))
+          .as("w_fp"))
+    val scored = docFeat.join(broadcast(w), "feat")
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("w_fp")).as("score_fp"))
+    val top = scored.orderBy(col("score_fp").desc, col("id")).limit(topK)
+      .select(col("id").as("sel_id"))
+    scored.join(broadcast(top), scored("id") === top("sel_id"), "left")
+      .select(col("id"), col("n_bigrams"), col("score_fp"),
+        col("sel_id").isNotNull.as("selected"))
+  }
+
+  private val Fp9 = 1000000000L
 }

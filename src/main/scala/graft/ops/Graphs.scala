@@ -73,4 +73,41 @@ object Graphs {
     }
     ranks
   }
+
+  /** Per-vertex TRIANGLE COUNT + degree over a directed edge list,
+    * undirected semantics — the local-clustering diagnostic of a kNN
+    * graph (a healthy near-neighbor graph is highly clustered; a
+    * near-random one says the embedding space or the candidate
+    * generator is broken). Exact integers end to end.
+    *
+    * Shape: edges canonicalize to distinct (a < b) pairs, then the
+    * classic two-join enumeration e(a,b)⋈e(b,c)⋈e(a,c) with a < b < c —
+    * each triangle counted exactly once, then unnested to its three
+    * corners for the per-vertex aggregate. The ordered-pair orientation
+    * IS the scale story (Suri & Vassilvitskii, WWW 2011): orienting
+    * every edge low→high id caps the join fan-out per vertex by its
+    * forward-degree, and all three joins are plain hash equi-joins on a
+    * vertex key — no cross product, skew handled by AQE like any other
+    * key join. Vertices in no triangle still report (count 0) via the
+    * left join from the degree table. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = graft.Caches.materialize(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perVertex = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

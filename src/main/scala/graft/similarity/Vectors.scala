@@ -401,6 +401,77 @@ object Vectors {
         col("cosine"), col("rank"))
   }
 
+  /** MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998): greedy
+    * maximal-marginal-relevance selection of `k` results from the
+    * `poolK`-candidate cosine pool of one query — the retrieval stage
+    * that trades raw relevance for coverage (near-duplicate hits crowd
+    * out distinct ones under plain top-k). λ is fixed at 0.5, where the
+    * MMR objective λ·rel − (1−λ)·maxSim orders identically to
+    * rel − maxSim, so the scalar drops out of the arithmetic entirely.
+    *
+    * Scale shape: candidate generation is the distributed part — one
+    * corpus scan scored against the broadcast query vector, trimmed to
+    * `poolK` rows by TakeOrderedAndProject (bounded partial top-k). The
+    * greedy selection itself is inherently sequential and runs on the
+    * driver over the ≤ poolK collected candidates — bounded by
+    * construction, the BPE-argmax precedent, and O(poolK²·k) flops on
+    * ~10 rows no matter the corpus size.
+    *
+    * Numeric discipline: the HASHED contract is integer-only
+    * (selection rank, id, exact fixed-point relevance dot, squared
+    * norm). The greedy comparisons run on doubles, but every one is a
+    * correctly-rounded IEEE op over exact integers (long→double
+    * conversion, sqrt, multiply, divide, subtract) with the identical
+    * expression tree on both engines — so the selection ORDER is
+    * bit-reproducible even though no double ships in the output. Ties
+    * break by id ascending at every step. */
+  def mmrRerank(vectors: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, poolK: Int, k: Int): DataFrame = {
+    require(poolK >= k && k >= 1, s"need poolK=$poolK >= k=$k >= 1")
+    val v = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+      .withColumn("nn", normSqFp(col("fv")))
+      .filter(col("nn") > 0)
+    val qRows = v.filter(col("id") === queryId).select(col("fv"), col("nn")).collect()
+    require(qRows.length == 1, s"queryId=$queryId must match exactly one nonzero vector")
+    val (qfv, qn) = (qRows.head.getSeq[Long](0), qRows.head.getLong(1))
+    val qLit = array(qfv.map(lit(_)): _*)
+    val pool = v.filter(col("id") =!= queryId)
+      .select(col("id"), col("fv"), col("nn"), dotFp(col("fv"), qLit).as("rel_dot"))
+      .withColumn("rel", col("rel_dot").cast("double") /
+        (sqrt(lit(qn).cast("double")) * sqrt(col("nn").cast("double"))))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolK)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    def cos(a: (Long, Array[Long], Long, Long, Double),
+            b: (Long, Array[Long], Long, Long, Double)): Double = {
+      var d = 0L; var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      d.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Long], Long, Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      // mmr = rel − max cos to the already-selected set (rel alone on
+      // the first pick); argmax with id-ascending tie-break
+      val best = remaining.minBy { c =>
+        val mmr =
+          if (selected.isEmpty) c._5
+          else c._5 - selected.iterator.map(s => cos(c, s)).max
+        (-mmr, c._1)
+      }
+      selected += best
+      remaining -= best
+    }
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, c._1, c._4, c._3) }
+      .toDF("mmr_rank", "vec_id", "rel_dot_fp", "norm_fp")
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold, candidate-generated through the sign-LSH bucket equi-join
     * (self-join on bucket, never the full n² cross product).

@@ -143,6 +143,55 @@ object Search {
         expr("(1000 * sum_freq) div n_tokens").as("mean_freq_milli"))
   }
 
+  /** CCNet-style per-language LM-score bucketing (Wenzek et al., LREC
+    * 2020, arXiv:1911.00359): within each language, split documents into
+    * head / middle / tail thirds by corpus-frequency LM score — the
+    * pretraining-mix knob that keeps the fluent third of every language
+    * rather than the fluent third of the corpus (which would be all
+    * English).
+    *
+    * Contract is VALUE-TERTILE, not row-tertile: the boundaries are the
+    * ⌈n/3⌉-th and ⌈2n/3⌉-th highest scores per language, computed from
+    * the per-(lang, score) HISTOGRAM, and docs bucket by comparing
+    * against them — so score ties never split across buckets (an
+    * `ntile` would split them by an engine-private row order) and no
+    * window ever partitions a whole language stratum: the only windows
+    * here run over the score histogram, bounded by score cardinality
+    * (the calibrateBySource reasoning), never by corpus size. All
+    * arithmetic is exact integers (the unigram score is an integer
+    * permille; boundary ranks are ceil via `(n+2) div 3`).
+    *
+    * Scale shape: the scored projection persists once
+    * (`Caches.materialize`) and feeds both the histogram and the final
+    * bucket join; boundaries are O(#langs) rows and broadcast. */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val hist = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+    val scored = graft.Caches.materialize(
+      toks.join(sizeGated(hist, None), "term")
+        .groupBy("id", "lang")
+        .agg(expr("(1000 * sum(freq)) div count(1)").as("score"))
+        .persist())
+    val scoreHist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val cum = scoreHist.withColumn("c_ge",
+      sum(col("c")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val bounds = cum.groupBy(col("lang")).agg(
+      max(when(col("c_ge") >= expr("(n + 2) div 3"), col("score"))).as("b1"),
+      max(when(col("c_ge") >= expr("(2 * n + 2) div 3"), col("score"))).as("b2"))
+    scored.join(broadcast(bounds), "lang")
+      .select(col("id"), col("lang"), col("score"),
+        when(col("score") >= col("b1"), lit("head"))
+          .when(col("score") >= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Frequency-ranked vocabulary build — the first stage of tokenizer
     * training (top-V types by corpus count, deterministic lexicographic
     * tie-break, dense ids in rank order). One map-side-combining

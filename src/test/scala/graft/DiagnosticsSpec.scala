@@ -78,4 +78,64 @@ class DiagnosticsSpec extends SparkSpec {
       .distinct().count()
     assert(rows.last == ((10L, nDocs, nTok, nVocab)))
   }
+
+  test("q_lm_bucket: buckets are value-monotone and head/middle hold their tertile mass") {
+    val rows = run("q_lm_bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("head", "middle", "tail").contains(r._4)))
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length.toLong
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      // value-monotone: every head score >= every middle >= every tail
+      if (h.nonEmpty && m.nonEmpty) assert(h.min >= m.max, lang)
+      if (m.nonEmpty && t.nonEmpty) assert(m.min >= t.max, lang)
+      if (h.nonEmpty && t.nonEmpty) assert(h.min >= t.max, lang)
+      // the k1-th/k2-th-highest boundary semantics: head holds at least
+      // ceil(n/3) docs (ties inflate, never deflate), head+middle >= ceil(2n/3)
+      assert(h.length >= (n + 2) / 3, s"$lang head ${h.length} of $n")
+      assert(h.length + m.length >= (2 * n + 2) / 3, s"$lang head+middle")
+    }
+  }
+
+  test("q_knn_triangles: counts bounded by degree choose 2; corner sum divisible by 3") {
+    val rows = run("q_knn_triangles")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, deg, tri) =>
+      assert(deg >= 1, s"vertex $v listed without an edge")
+      assert(tri >= 0 && tri <= deg * (deg - 1) / 2,
+        s"vertex $v: $tri triangles exceeds C($deg,2)")
+    }
+    assert(rows.map(_._3).sum % 3 == 0, "each triangle contributes 3 corners")
+  }
+
+  test("q_dataset_card: volumes tie out against direct corpus aggregates") {
+    val row = run("q_dataset_card").head
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    assert(row.getLong(0) == docs.count())
+    assert(row.getLong(1) ==
+      docs.select(sum(size(split(col("text"), " ")))).head.getLong(0))
+    assert(row.getLong(3) == docs.select(col("lang")).distinct().count())
+    assert(row.getLong(4) == docs.select(col("source")).distinct().count())
+    val nFp = row.getLong(5)
+    assert(nFp <= row.getLong(0))
+    assert(row.getLong(6) == 1000L * (row.getLong(0) - nFp) / row.getLong(0))
+  }
+
+  test("q_dsir_weights: selection flag marks exactly the top-K scores") {
+    val rows = run("q_dsir_weights")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val sel = rows.filter(_._4).map(_._1).toSet
+    assert(sel.size == math.min(40, rows.length))
+    val expected = rows.sortBy(r => (-r._3, r._1)).take(sel.size).map(_._1).toSet
+    assert(sel == expected)
+    rows.foreach { case (id, nBg, score, _) =>
+      assert(nBg >= 1, s"doc $id with no bigrams must be absent")
+      assert(math.abs(score) <= nBg * 1000000000L, s"doc $id score out of range")
+    }
+  }
 }

@@ -144,4 +144,48 @@ class MixingSpec extends SparkSpec {
     val withZero = (1 to 5).map(i => (i.toLong, 0.0)).toDF("doc_id", "w")
     assert(Mixing.weightedSample(withZero, "doc_id", $"w", 3).count() == 0)
   }
+
+  test("dsirWeights: target-matched docs outrank, selection is exactly top-K, single-token docs drop") {
+    // target slice speaks vocabulary A, the raw bulk vocabulary B; two
+    // probe docs (one per vocabulary) must rank on opposite ends
+    val rows =
+      (0 until 5).map(i => (i.toLong, "alpha beta gamma alpha beta", true)) ++
+        (10 until 30).map(i => (i.toLong, "delta epsilon zeta delta epsilon", false)) ++
+        Seq((100L, "alpha beta gamma", false),   // matches target profile
+          (101L, "delta epsilon zeta", false),   // matches raw bulk
+          (102L, "solo", false))                 // < 2 tokens: no features
+    val docs = rows.toDF("doc_id", "text", "is_t")
+    val out = Mixing.dsirWeights(docs, "doc_id", "text", col("is_t"),
+        nBuckets = 64, topK = 7)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId.contains(102L), "featureless doc must be absent")
+    assert(byId(100L)._3 > byId(101L)._3,
+      "target-vocabulary probe must outscore raw-vocabulary probe")
+    // exactly topK selected, and they are the score-ordered head
+    val sel = out.filter(_._4).map(_._1).toSet
+    assert(sel.size == 7)
+    val expected = out.sortBy(r => (-r._3, r._1)).take(7).map(_._1).toSet
+    assert(sel == expected, "selected flag must mark exactly the top-K")
+    // target docs + the target-matched probe fill the selection head
+    assert(sel.contains(100L) && (0L until 5L).forall(sel.contains))
+  }
+
+  test("dsirWeights: score algebra ties out against hand-computed distributions") {
+    // one target doc "a b", one raw-only doc "c d" → features f_ab, f_cd
+    // (md5 buckets; collision-free with high probability at B = 64 for
+    // these two literals — asserted via distinct scores below).
+    // c_t(f_ab)=1, tot_t=1; c_r: each 1, tot_r=2.
+    // w(f_ab) = (2*1e9) div (1+64) − (2*1e9) div (2+64)
+    // w(f_cd) = (1*1e9) div 65     − (2*1e9) div 66
+    val docs = Seq((1L, "a b", true), (2L, "c d", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = Mixing.dsirWeights(docs, "doc_id", "text", col("is_t"), 64, 1)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val wAb = 2000000000L / 65L - 2000000000L / 66L
+    val wCd = 1000000000L / 65L - 2000000000L / 66L
+    assert(out(1L)._3 == wAb && out(2L)._3 == wCd)
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L) // one bigram each
+    assert(out(1L)._4 && !out(2L)._4)            // topK=1 → target doc wins
+  }
 }

@@ -37,4 +37,26 @@ class GraphsSpec extends SparkSpec {
       "src", "dst", iters = 3).as[(Long, Long)].collect().toMap
     assert(expect == clean)
   }
+
+  // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus pendant 4—5:
+  // degrees 3,3,3,4,1; triangle counts 3,3,3,3,0. Direction, duplicate
+  // edges, and self-loops must not change the undirected census.
+  test("triangleCounts: K4 + pendant, direction/dup/self-loop invariant") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 5L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((4L, 3L)), 5L -> ((1L, 0L))))
+  }
+
+  test("triangleCounts: triangle-free graph reports zero everywhere") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.triangleCounts(path, "src", "dst")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 4 && got.forall(_._3 == 0L))
+  }
 }

@@ -490,4 +490,40 @@ class VectorsSpec extends SparkSpec {
     out.foreach { case (l, d, n, sx, sxx) =>
       assert(n * sxx >= sx * sx, s"label $l dim $d") }
   }
+
+  test("mmrRerank diversifies: near-duplicate of the top hit is displaced by a distinct vector") {
+    // query q = e1; a at +45° (rel .707), a' ≈ a (rel .700), b at −47.7°
+    // on the OTHER side (rel .673). Plain top-2 = {a, a'}; MMR λ=0.5:
+    //   mmr(a') = .700 − cos(a', a) ≈ .700 − 1.0 ≈ −.300
+    //   mmr(b)  = .673 − cos(b, a)  ≈ .673 + .048 ≈ +.720  → b displaces a'.
+    val v = Seq(
+      (42L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),     // a
+      (2L, Array(1.0f, 1.02f)),    // a' — near-dup of a
+      (3L, Array(1.0f, -1.1f)),    // b — diverse (opposite side of q)
+      (9L, Array(0.0f, 0.0f))      // zero vector: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.mmrRerank(v, "vec_id", "embedding", queryId = 42L,
+        poolK = 3, k = 2)
+      .orderBy("mmr_rank").as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1, 2))
+    assert(out(0)._2 == 1L, "first pick is the relevance argmax (tie → lower id)")
+    assert(out(1)._2 == 3L, "second pick must be the diverse vector, not the near-dup")
+    // exact integer contract columns: dot of fp6 vectors and squared norm
+    assert(out(0)._3 == 1000000L * 1000000L && out(0)._4 > 0L)
+  }
+
+  test("mmrRerank degrades to relevance order when k exhausts the pool") {
+    val v = Seq(
+      (42L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.mmrRerank(v, "vec_id", "embedding", 42L, poolK = 3, k = 3)
+      .orderBy("mmr_rank").as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L), "pool exhausted → all selected")
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out(0)._2 == 1L, "rank 1 is still the relevance argmax")
+  }
 }
