@@ -159,6 +159,55 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected 2 distinct persisted artifacts, got ${Caches.builtCount}")
   }
 
+  test("q_dsir_weights: bounded top-K selection, broadcast weight table, one profile build") {
+    val dir = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()
+    Caches.release()
+    val before = Caches.builtCount
+    val q = SparkEntry.queries("q_dsir_weights")(spark, dir)
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K selection must be bounded per-partition heaps in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the O(nBuckets) weight table must broadcast onto the doc profile")
+    // the doc×bucket profile is ONE persisted artifact shared by the
+    // distribution build and the scoring pass
+    assert(Caches.builtCount - before == 1,
+      s"expected exactly one materialized artifact, got ${Caches.builtCount - before}")
+    spark.catalog.clearCache()
+    Caches.release()
+  }
+
+  test("q_lm_bucket: every window runs over the score histogram, never a language stratum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    val lp = SparkEntry.queries("q_lm_bucket")(spark, dir)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the tertile boundaries come from windowed cumulative sums")
+    wins.foreach { w =>
+      // immediately below each window there must be the (lang, score)
+      // histogram aggregate — the window input is score-cardinality-
+      // bounded, not corpus-bounded
+      val histBelow = w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 2 => a
+      }
+      assert(histBelow.isDefined,
+        s"window not anchored on the 2-key histogram aggregate:\n$w")
+    }
+    spark.catalog.clearCache()
+    Caches.release()
+  }
+
+  test("q_dataset_card: the whole card derives from a single documents scan") {
+    val dir = "/root/testdata/sf0.001"
+    val scans = SparkEntry.queries("q_dataset_card")(spark, dir)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(scans.length == 1,
+      s"expected one corpus relation leaf, got ${scans.length}:\n$scans")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
