@@ -289,4 +289,71 @@ class PropertySpec extends SparkSpec {
           mustSurvive.subsetOf(cands.toSet)
     })
   }
+
+  test("dsirWeights is partitioning-invariant and equals a plain-Scala reference") {
+    import java.security.MessageDigest
+    def feat(bg: String): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(bg.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 64
+    }
+    val token = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.listOfN(6, token).map(_.mkString(" "))
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(12, docGen), Gen.choose(1, 5)) {
+      (texts, parts) =>
+        val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, i % 3 == 0) }
+        val df = rows.toDF("doc_id", "text", "is_t").repartition(parts)
+        val got = graft.corpus.Mixing
+          .dsirWeights(df, "doc_id", "text", $"is_t", 64, 4)
+          .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toList
+        Caches.release()
+        // plain-Scala reference of the whole estimator
+        val docFeats = rows.map { case (id, t, tgt) =>
+          val tk = t.split(" ", -1)
+          (id, tgt, tk.sliding(2).filter(_.length == 2)
+            .map(p => feat(p.mkString(" "))).toList)
+        }.filter(_._3.nonEmpty)
+        val cr = docFeats.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ct = docFeats.filter(_._2).flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (totR, totT) = (cr.values.sum, ct.values.sum)
+        def w(f: Long): Long =
+          (BigInt(ct.getOrElse(f, 0L) + 1) * 1000000000L / (totT + 64)).toLong -
+            (BigInt(cr.getOrElse(f, 0L) + 1) * 1000000000L / (totR + 64)).toLong
+        val scored = docFeats.map { case (id, _, fs) =>
+          (id, fs.size.toLong, fs.map(w).sum)
+        }
+        val sel = scored.sortBy(r => (-r._3, r._1)).take(4).map(_._1).toSet
+        val want = scored.map { case (id, n, s) => (id, n, s, sel(id)) }.sortBy(_._1)
+        got == want
+    })
+  }
+
+  test("lmBuckets: bucket assignment is a pure function of the score multiset per lang") {
+    val token = Gen.oneOf("t1", "t2", "t3", "t4")
+    val docGen = Gen.listOfN(4, token).map(_.mkString(" "))
+    val langGen = Gen.oneOf("en", "de")
+    checkProp(MIN)(Prop.forAll(
+      Gen.listOfN(10, Gen.zip(docGen, langGen)), Gen.choose(1, 5)) {
+      (rows0, parts) =>
+        val rows = rows0.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+        val df = rows.toDF("doc_id", "text", "lang").repartition(parts)
+        val got = graft.text.Search.lmBuckets(df, "doc_id", "text", "lang")
+          .as[(Long, String, Long, String)].collect().sortBy(_._1).toList
+        Caches.release()
+        // reference: per-lang k-th-highest value boundaries over the
+        // engine-reported scores (score algebra itself is covered by the
+        // q_unigram_score oracle; this sweeps the BUCKETING contract)
+        val byLang = got.groupBy(_._2)
+        val want = got.map { case (id, lang, score, _) =>
+          val scores = byLang(lang).map(_._3).sortBy(-_)
+          val n = scores.length
+          val b1 = scores((n + 2) / 3 - 1)
+          val b2 = scores((2 * n + 2) / 3 - 1)
+          val bucket = if (score >= b1) "head"
+            else if (score >= b2) "middle" else "tail"
+          (id, lang, score, bucket)
+        }
+        got == want
+    })
+  }
 }
