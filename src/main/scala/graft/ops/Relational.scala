@@ -104,7 +104,7 @@ object Relational {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  buckets: Int): DataFrame = {
     val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigS.join(smallS, keys :+ "__salt").drop("__salt")
@@ -150,7 +150,7 @@ object Relational {
     val rightAligned = leftOnly.foldLeft(rightTagged) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val unioned = leftTagged.unionByName(rightAligned.select(leftTagged.columns.map(col): _*))
+    val unioned = leftTagged.unionByName(rightAligned.select(leftTagged.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -158,7 +158,7 @@ object Relational {
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val payload = rightCols.map(c => col("__asof").getField(c).as(c))
-    carried.select(left.columns.map(col) ++ payload: _*)
+    carried.select(left.columns.toIndexedSeq.map(col) ++ payload: _*)
   }
 
   /** Gap-based SESSIONIZATION (batch): assign every event to a session

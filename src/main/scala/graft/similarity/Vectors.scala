@@ -452,7 +452,7 @@ object Vectors {
     }
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Array[Long], Long, Long, Double)]
-    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.from(pool)
     while (selected.length < k && remaining.nonEmpty) {
       // mmr = rel − max cos to the already-selected set (rel alone on
       // the first pick); argmax with id-ascending tie-break
@@ -871,7 +871,7 @@ object Vectors {
     }.sortBy { case (cid, cos) => (-cos, cid) }
     val probeIds = ranked.take(probes).map(_._1)
     val lists = ivfLists(vectors, idCol, vecCol, nCentroids)
-    lists.filter(col("cent_id").isin(probeIds: _*))
+    lists.filter(col("cent_id").isin(probeIds.toIndexedSeq: _*))
       .select(col("c_id").as("id"), col("c_v").as("fv"))
       .select(col("id"), adcDistExpr(cb, sub, m, qfv).as("adc_dist"))
       .orderBy(col("adc_dist"), col("id"))
