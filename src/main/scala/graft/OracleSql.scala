@@ -3357,7 +3357,7 @@ object OracleSql {
            |    GROUP BY r.vec_id, r.rel_dot, r.nnb, r.rel)
            |  ORDER BY mmr DESC, vec_id LIMIT 1""".stripMargin
       s"""WITH $fpVecCte,
-         |q AS (SELECT fv, nn FROM nv WHERE vec_id = 42),
+         |q AS (SELECT fv, nn FROM nv WHERE vec_id = 42 AND nn > 0),
          |pool AS (
          |  SELECT c.vec_id, c.fv, CAST(c.nn AS BIGINT) AS nnb,
          |         CAST(list_sum(list_transform(range(1, len(c.fv) + 1), i -> c.fv[i] * q.fv[i])) AS BIGINT) AS rel_dot,

@@ -2608,15 +2608,19 @@ object SparkEntry {
     * the mirror-site/content-farm detector that decides whether a
     * whole source gets down-weighted before training (the per-PAIR
     * form of what q_domain_rank aggregates per domain). Pairs ride the
-    * shared simhash signature table; the bounded pair table is the
-    * BROADCAST side of both source lookups (the corpus-sized
-    * projection streams, it is never broadcast), and the canonical
+    * shared simhash signature table. The pair side is usually the
+    * small side of both source lookups but is NOT hard-broadcast: pair
+    * volume is quadratic in cluster size, and the mirror-heavy corpus
+    * this query exists to detect is exactly where it outgrows the
+    * driver — AQE size-gates the join off the ACTUAL post-shuffle
+    * bytes instead (the unigramScore/sizeGated reasoning), degrading
+    * to a shuffle join rather than an OOM. The canonical
     * least/greatest fold makes the matrix undirected. */
   private def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
     val pairs = Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
     val src = t(s, d, "documents").select(col("doc_id"), col("source"))
     src.select(col("doc_id").as("id_a"), col("source").as("src_a"))
-      .join(broadcast(pairs), Seq("id_a"))
+      .join(pairs, Seq("id_a"))
       .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
         Seq("id_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),

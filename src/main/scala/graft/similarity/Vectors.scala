@@ -409,9 +409,11 @@ object Vectors {
     * MMR objective λ·rel − (1−λ)·maxSim orders identically to
     * rel − maxSim, so the scalar drops out of the arithmetic entirely.
     *
-    * Scale shape: candidate generation is the distributed part — one
-    * corpus scan scored against the broadcast query vector, trimmed to
-    * `poolK` rows by TakeOrderedAndProject (bounded partial top-k). The
+    * Scale shape: candidate generation is the distributed part — the
+    * corpus scored against the query vector and trimmed to `poolK` rows
+    * by TakeOrderedAndProject (bounded partial top-k); the preceding
+    * query-row fetch is an id-pushdown point lookup, not a second full
+    * pass (the `id === queryId` predicate reaches the scan). The
     * greedy selection itself is inherently sequential and runs on the
     * driver over the ≤ poolK collected candidates — bounded by
     * construction, the BPE-argmax precedent, and O(poolK²·k) flops on

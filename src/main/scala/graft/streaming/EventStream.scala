@@ -160,16 +160,19 @@ object EventStream {
     * TIMESTAMP(NANOS)→LongType and timestamp[us]→TIMESTAMP_NTZ, and test
     * fixtures write epoch-nanos BIGINT). Infer from one batch footer
     * read of the same dir — a fixed per-stream-setup driver cost —
-    * and let [[batchEvents]] normalize `ts` downstream. An EMPTY landing
-    * dir (files arrive only after the stream starts — the normal
-    * deployment birth state) falls back to the epoch-nanos pin instead
-    * of failing stream setup; [[batchEvents]] normalizes either vintage
-    * so the fallback stays correct for both producers. */
+    * and let [[batchEvents]] normalize `ts` downstream. An EMPTY or
+    * NOT-YET-CREATED landing dir (files arrive only after the stream
+    * starts — the normal deployment birth state; a producer may also
+    * create the directory itself on first write) falls back to the
+    * epoch-nanos pin instead of failing stream setup; [[batchEvents]]
+    * normalizes either vintage so the fallback stays correct for both
+    * producers. */
   def rawEventSchema(spark: SparkSession, dir: String): StructType =
     try spark.read.parquet(dir).schema
     catch {
       case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("Unable to infer schema") =>
+        if e.getMessage.contains("Unable to infer schema") ||
+          e.getMessage.contains("does not exist") =>
           StructType(Seq(
             StructField("event_id", LongType),
             StructField("ts", LongType),

@@ -226,30 +226,6 @@ object TextOps {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
-  /** Per-document Shannon CHARACTER ENTROPY in fixed-point nano-nats —
-    * the gibberish/low-diversity filter (keyboard mash has near-zero
-    * entropy per char class; base64 blobs near-max): using
-    * H = ln(n) − (Σ c·ln(c))/n over the per-char counts c, so the only
-    * non-integer steps are ln of INTEGER arguments, each fixed-pointed
-    * at 1e9, and one truncating `div` — deterministic WITHIN one engine
-    * build, but NOT a cross-engine contract (see the return note).
-    *
-    * Scale shape: entirely IN-ROW, zero exchange — sort the doc's chars
-    * (order is irrelevant to entropy; any total order groups equals),
-    * run-starts via one `filter` pass, run lengths by adjacent
-    * difference, Σ c·lnfp(c) via one `aggregate` pass. Every
-    * intermediate array is STAGED as a column (the q_cdc_dedup lesson:
-    * splicing trees into lambdas re-evaluates them per element).
-    * Precondition: ASCII-ish text (split("") is per code unit).
-    *
-    * Returns (doc_id, n_chars, n_uniq, hist_fp, h_fp9); empty docs are
-    * dropped. `hist_fp` = Σ cnt·h31(c) (h31 = md5-60-bit-prefix mod 2³¹)
-    * is the order-free EXACT-INTEGER histogram checksum — the portable
-    * oracle contract (any engine with md5 + integer ops reproduces it
-    * bit-for-bit). `h_fp9` is the entropy itself and is a DERIVED DISPLAY
-    * value: libm `ln` is not required to be correctly rounded by IEEE 754,
-    * so round(ln(k)·1e9) can differ by a digit across engine builds — it
-    * must never re-enter a cross-engine hash gate (round-9 lesson). */
   /** HEAPS'-LAW vocabulary-growth curve — the companion diagnostic to
     * the Zipf slope (X153): distinct-vocabulary size as a function of
     * cumulative corpus size at `nCheckpoints` evenly spaced doc-id
@@ -301,6 +277,30 @@ object TextOps {
         coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
   }
 
+  /** Per-document Shannon CHARACTER ENTROPY in fixed-point nano-nats —
+    * the gibberish/low-diversity filter (keyboard mash has near-zero
+    * entropy per char class; base64 blobs near-max): using
+    * H = ln(n) − (Σ c·ln(c))/n over the per-char counts c, so the only
+    * non-integer steps are ln of INTEGER arguments, each fixed-pointed
+    * at 1e9, and one truncating `div` — deterministic WITHIN one engine
+    * build, but NOT a cross-engine contract (see the return note).
+    *
+    * Scale shape: entirely IN-ROW, zero exchange — sort the doc's chars
+    * (order is irrelevant to entropy; any total order groups equals),
+    * run-starts via one `filter` pass, run lengths by adjacent
+    * difference, Σ c·lnfp(c) via one `aggregate` pass. Every
+    * intermediate array is STAGED as a column (the q_cdc_dedup lesson:
+    * splicing trees into lambdas re-evaluates them per element).
+    * Precondition: ASCII-ish text (split("") is per code unit).
+    *
+    * Returns (doc_id, n_chars, n_uniq, hist_fp, h_fp9); empty docs are
+    * dropped. `hist_fp` = Σ cnt·h31(c) (h31 = md5-60-bit-prefix mod 2³¹)
+    * is the order-free EXACT-INTEGER histogram checksum — the portable
+    * oracle contract (any engine with md5 + integer ops reproduces it
+    * bit-for-bit). `h_fp9` is the entropy itself and is a DERIVED DISPLAY
+    * value: libm `ln` is not required to be correctly rounded by IEEE 754,
+    * so round(ln(k)·1e9) can differ by a digit across engine builds — it
+    * must never re-enter a cross-engine hash gate (round-9 lesson). */
   def charEntropyFp9(docs: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     def lnFp9(x: Column): Column = round(log(x.cast("double")) * 1e9).cast("long")

@@ -15,6 +15,9 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val passes = args(1).toInt
+    require(args(2) == "cold" || args(2) == "warm",
+      s"mode '${args(2)}' must be exactly 'cold' or 'warm' — a typo here " +
+        "silently measures warm cache reuse where cold builds were intended")
     val cold = args(2) == "cold"
     val names = args(3).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -109,6 +109,10 @@ class EventStreamSpec extends SparkSpec {
     assert(schema("ts").dataType == org.apache.spark.sql.types.LongType)
     assert(schema.fieldNames.toSet ==
       Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    // a NOT-YET-CREATED dir (producer creates it on first write, after
+    // the stream starts) takes the same fallback instead of crashing
+    val missing = EventStream.rawEventSchema(spark, dir + "/never-created")
+    assert(missing == schema)
     // a populated dir still infers from footers (the primary path)
     val inferred =
       EventStream.rawEventSchema(spark, "/root/testdata/sf0.001/events.parquet")
