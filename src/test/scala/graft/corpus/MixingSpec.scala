@@ -171,6 +171,24 @@ class MixingSpec extends SparkSpec {
     assert(sel.contains(100L) && (0L until 5L).forall(sel.contains))
   }
 
+  test("dsirWeights: hostile inputs — empty corpus, no target docs, all-short docs") {
+    val empty = Seq.empty[(Long, String, Boolean)].toDF("doc_id", "text", "is_t")
+    assert(Mixing.dsirWeights(empty, "doc_id", "text", col("is_t"), 64, 5).count() == 0)
+    graft.Caches.release()
+    // no doc has >= 2 tokens: zero feature rows, empty output, no crash
+    val short_ = Seq((1L, "solo", false), (2L, "", true)).toDF("doc_id", "text", "is_t")
+    assert(Mixing.dsirWeights(short_, "doc_id", "text", col("is_t"), 64, 5).count() == 0)
+    graft.Caches.release()
+    // empty TARGET slice: weights degrade to the -raw contrast, all docs
+    // still scored and the top-K flag still marks exactly K
+    val noTgt = Seq((1L, "a b c", false), (2L, "d e f", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = Mixing.dsirWeights(noTgt, "doc_id", "text", col("is_t"), 64, 1)
+      .as[(Long, Long, Long, Boolean)].collect()
+    graft.Caches.release()
+    assert(out.length == 2 && out.count(_._4) == 1)
+  }
+
   test("dsirWeights: score algebra ties out against hand-computed distributions") {
     // one target doc "a b", one raw-only doc "c d" → features f_ab, f_cd
     // (md5 buckets; collision-free with high probability at B = 64 for

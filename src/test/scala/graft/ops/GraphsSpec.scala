@@ -53,6 +53,15 @@ class GraphsSpec extends SparkSpec {
       4L -> ((4L, 3L)), 5L -> ((1L, 0L))))
   }
 
+  test("triangleCounts: empty and all-self-loop edge lists yield empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.triangleCounts(empty, "src", "dst").count() == 0)
+    graft.Caches.release()
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graphs.triangleCounts(loops, "src", "dst").count() == 0)
+    graft.Caches.release()
+  }
+
   test("triangleCounts: triangle-free graph reports zero everywhere") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val got = Graphs.triangleCounts(path, "src", "dst")

@@ -513,6 +513,21 @@ class VectorsSpec extends SparkSpec {
     assert(out(0)._3 == 1000000L * 1000000L && out(0)._4 > 0L)
   }
 
+  test("mmrRerank: zero-magnitude or absent query fails loud, never NaN-ranks") {
+    val v = Seq(
+      (42L, Array(0.0f, 0.0f)),    // zero-norm query
+      (1L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Vectors.mmrRerank(v, "vec_id", "embedding", 42L, poolK = 2, k = 1)
+    }
+    assert(e1.getMessage.contains("nonzero"))
+    val e2 = intercept[IllegalArgumentException] {
+      Vectors.mmrRerank(v, "vec_id", "embedding", 999L, poolK = 2, k = 1)
+    }
+    assert(e2.getMessage.contains("999"))
+  }
+
   test("mmrRerank degrades to relevance order when k exhausts the pool") {
     val v = Seq(
       (42L, Array(1.0f, 0.0f)),
