@@ -3428,6 +3428,20 @@ object OracleSql {
          |FROM deg LEFT JOIN pv ON deg.v = pv.v
          |ORDER BY vec_id""".stripMargin,
 
+    // Streaming corpus-quality drift monitor: the batch twin of the real
+    // windowed-aggregation lifecycle — event time derives from doc_id
+    // (1 doc/s), so window(100s).start = (doc_id // 100) * 100.
+    "q_stream_quality" ->
+      """SELECT (doc_id // 100) * 100 AS window_start_s, lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST((1000 * sum(n_chars)) // sum(len(string_split(text, ' '))) AS BIGINT)
+        |         AS chars_per_tok_permille
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY window_start_s, lang""".stripMargin,
+
     // One-row corpus dataset card: volumes, diversity, exact-dup rate.
     "q_dataset_card" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -1398,6 +1398,15 @@ object SparkEntry {
     graft.streaming.EventStream.runWindowedCountsOnce(s, s"$d/events.parquet")
       .orderBy(col("window_start_us"), col("event_type"))
 
+  /** STREAMING corpus-quality drift monitor (X165): the ingestion
+    * guardrail of a continuously-fed training pipeline — per-(window,
+    * language) volume + chars/token stats through the REAL engine (file
+    * source → watermarked window aggregation → memory sink,
+    * AvailableNow) — see streaming.CorpusMonitor. */
+  private def qStreamQuality(s: SparkSession, d: String): DataFrame =
+    graft.streaming.CorpusMonitor.runQualityDriftOnce(s, s"$d/documents.parquet")
+      .orderBy(col("window_start_s"), col("lang"))
+
   /** STREAMING stream-static enrichment: event stream × broadcast
     * customer dimension → per-(hour, market segment) counts and exact
     * cent totals, through the real engine (AvailableNow + complete —
@@ -2852,6 +2861,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_stream_quality" -> (qStreamQuality _),
     "q_lm_bucket" -> (qLmBucket _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_knn_triangles" -> (qKnnTriangles _),
