@@ -19,7 +19,15 @@ object Bench {
     val cachingQueries = Set("q_ngram_jaccard", "q_minhash_lsh",
       "q_simhash", "q_simhash_dedup", "q_simhash_pairs", "q_dedup_clusters",
       "q_dedup_apply", "q_corpus_pipeline",
-      "q_bigram_fluency") // persists the shared pair expansion since r8
+      "q_bigram_fluency", // persists the shared pair expansion since r8
+      // r10: these persist private artifacts (LSH bucket table, scored
+      // projections, doc×feature profile, canonical edge set) — warm
+      // reuse would flatter them, so they are cold-timed like the rest.
+      // Incremental-admission rows stay warm-timed ON PURPOSE: their
+      // persisted store EXISTING is the operator's semantic (a
+      // deployment amortizes it), not a cache artifact of the harness.
+      "q_dedup_eval", "q_quality_calibrated", "q_dsir_weights",
+      "q_lm_bucket", "q_knn_triangles")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)
