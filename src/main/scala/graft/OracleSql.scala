@@ -3428,6 +3428,34 @@ object OracleSql {
          |FROM deg LEFT JOIN pv ON deg.v = pv.v
          |ORDER BY vec_id""".stripMargin,
 
+    // Contrastive triplet mining: in-bucket candidates, positive = top-1,
+    // hard negatives = top-3 below cosine 0.9 (exact-int-ratio doubles).
+    "q_hard_negatives" ->
+      s"""WITH bk AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN bk ON nv.vec_id = bk.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT q.vec_id AS anchor_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |pos AS (
+         |  SELECT anchor_id, 'pos' AS role, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY anchor_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |neg AS (
+         |  SELECT anchor_id, 'neg' AS role, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY anchor_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc WHERE cosine < 0.9)
+         |SELECT anchor_id, role, match_id, cosine, "rank"
+         |FROM (SELECT * FROM pos WHERE "rank" <= 1
+         |      UNION ALL SELECT * FROM neg WHERE "rank" <= 3)
+         |ORDER BY anchor_id, role, "rank"""".stripMargin,
+
     // Streaming corpus-quality drift monitor: the batch twin of the real
     // windowed-aggregation lifecycle — event time derives from doc_id
     // (1 doc/s), so window(100s).start = (doc_id // 100) * 100.

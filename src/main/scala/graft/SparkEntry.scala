@@ -2837,6 +2837,15 @@ object SparkEntry {
       .withColumnRenamed("v", "vec_id")
       .orderBy(col("vec_id"))
 
+  /** Contrastive triplet mining (X166 — see
+    * similarity.Vectors.contrastiveTriplets): anchors vec_id < 5,
+    * 4-bit sign-LSH candidates, positive = in-bucket top-1, hard
+    * negatives = top-3 below cosine 0.9. */
+  private def qHardNegatives(s: SparkSession, d: String): DataFrame =
+    Vectors.contrastiveTriplets(t(s, d, "embeddings"), "vec_id", "embedding",
+        anchorPred = col("vec_id") < 5, bits = 4, posMax = 0.9, k = 3)
+      .orderBy(col("anchor_id"), col("role"), col("rank"))
+
   /** One-row corpus dataset card (X164): the header block of a
     * datasheet — volumes, diversity counts, and the exact-dup rate —
     * each an O(1)-output aggregate over one documents scan (the
@@ -2862,6 +2871,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> (qDsirWeights _),
     "q_stream_quality" -> (qStreamQuality _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_lm_bucket" -> (qLmBucket _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_knn_triangles" -> (qKnnTriangles _),

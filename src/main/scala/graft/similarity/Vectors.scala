@@ -474,6 +474,48 @@ object Vectors {
       .toDF("mmr_rank", "vec_id", "rel_dot_fp", "norm_fp")
   }
 
+  /** CONTRASTIVE TRIPLET MINING — (anchor, positive, hard-negative)
+    * tuples for embedding/retriever training: per anchor, the positive
+    * is the nearest in-bucket neighbor and the hard negatives are the
+    * top-k most-similar candidates BELOW `posMax` cosine (similar
+    * enough to be informative, dissimilar enough not to be a label-noise
+    * duplicate — the in-batch/hard-negative recipe of DPR, Karpukhin et
+    * al. EMNLP'20, and SimCLR-style contrastive pipelines; the `posMax`
+    * cut is the near-dup exclusion SemDeDup motivates).
+    *
+    * Scale shape: candidates come from the sign-LSH bucket equi-join
+    * (never n²); both the positive and the negative rankings funnel
+    * through the bounded [[rankTopK]] aggregate off ONE persisted
+    * scored-candidate table, so the exchange moves O(anchors·k) rows at
+    * any corpus size. Cosines are exact-int-ratio doubles (the hashed
+    * `cosine` column is on the PortabilitySpec approved list). */
+  def contrastiveTriplets(vectors: DataFrame, idCol: String, vecCol: String,
+                          anchorPred: Column, bits: Int, posMax: Double,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val v = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"),
+        signBucket(col(vecCol), bits).as("bucket"),
+        anchorPred.as("is_anchor"))
+      .withColumn("nn", normSqFp(col("fv")))
+      .filter(col("nn") > 0)
+    val anchors = v.filter(col("is_anchor"))
+      .select(col("id").as("query_id"), col("fv").as("qv"),
+        col("nn").as("qn"), col("bucket"))
+    val scored = graft.Caches.materialize(
+      anchors.join(v, Seq("bucket"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("match_id"),
+          cosineFromNorms(col("qv"), col("fv"), col("qn"), col("nn")).as("cosine"))
+        .filter(col("cosine").isNotNull)
+        .persist())
+    val pos = rankTopK(scored, 1).withColumn("role", lit("pos"))
+    val neg = rankTopK(scored.filter(col("cosine") < posMax), k)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg)
+      .select(col("query_id").as("anchor_id"), col("role"),
+        col("match_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold, candidate-generated through the sign-LSH bucket equi-join
     * (self-join on bucket, never the full n² cross product).

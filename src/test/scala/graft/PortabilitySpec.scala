@@ -75,6 +75,7 @@ class PortabilitySpec extends SparkSpec {
     ("q_cosine_topk", "cosine") -> "exact-int-ratio",
     ("q_embed_neardup", "cosine") -> "exact-int-ratio",
     ("q_knn_graph", "cosine") -> "exact-int-ratio",
+    ("q_hard_negatives", "cosine") -> "exact-int-ratio",
     ("q_minhash_lsh", "jaccard") -> "exact-int-ratio",
     ("q_ngram_jaccard", "jaccard") -> "exact-int-ratio",
     ("q_incremental_neardup", "jaccard") -> "exact-int-ratio",

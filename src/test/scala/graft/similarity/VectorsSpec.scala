@@ -513,6 +513,30 @@ class VectorsSpec extends SparkSpec {
     assert(out(0)._3 == 1000000L * 1000000L && out(0)._4 > 0L)
   }
 
+  test("contrastiveTriplets: positive is the nearest neighbor, negatives respect the posMax cut") {
+    // anchor 0 = e1; near-dup 1 (cos ≈ 1) is the positive AND excluded
+    // from negatives by the 0.95 cut; 2 (45°, cos ≈ .71) and 3 (60°-ish)
+    // are the hard negatives in similarity order; 4 opposes the anchor's
+    // sign bucket and must never appear (bucket-pruned)
+    val v = Seq(
+      (0L, Array(1.0f, 0.1f)),
+      (1L, Array(1.0f, 0.11f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.6f, 1.0f)),
+      (4L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.contrastiveTriplets(v, "vec_id", "embedding",
+        col("vec_id") === 0, bits = 2, posMax = 0.95, k = 3)
+      .orderBy($"role", $"rank")
+      .as[(Long, String, Long, Double, Int)].collect()
+    graft.Caches.release()
+    val (neg, pos) = out.partition(_._2 == "neg")
+    assert(pos.map(_._3).toSeq == Seq(1L), "positive must be the near-dup top-1")
+    assert(neg.map(_._3).toSeq == Seq(2L, 3L), "hard negatives in cosine order, cut at posMax")
+    assert(neg.forall(_._4 < 0.95) && pos.forall(_._4 > 0.95))
+    assert(!out.exists(_._3 == 4L), "cross-bucket vector never becomes a candidate")
+  }
+
   test("mmrRerank: zero-magnitude or absent query fails loud, never NaN-ranks") {
     val v = Seq(
       (42L, Array(0.0f, 0.0f)),    // zero-norm query
