@@ -3428,6 +3428,47 @@ object OracleSql {
          |FROM deg LEFT JOIN pv ON deg.v = pv.v
          |ORDER BY vec_id""".stripMargin,
 
+    // Span-corruption mask plan: md5-deterministic span starts (mod 20)
+    // and lengths (1..5), interval-UNION merge via running-max windows —
+    // identical formulation both engines, exact integers end to end.
+    "q_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |pos AS (SELECT id, n_tokens, unnest(range(1, n_tokens + 1)) AS p FROM t),
+        |st AS (
+        |  SELECT id, n_tokens, p,
+        |         1 + CAST(concat('0x', substring(md5(concat(CAST(id AS VARCHAR), ':', CAST(p AS VARCHAR), ':len')), 1, 15)) AS BIGINT) % 5 AS len
+        |  FROM pos
+        |  WHERE CAST(concat('0x', substring(md5(concat(CAST(id AS VARCHAR), ':', CAST(p AS VARCHAR))), 1, 15)) AS BIGINT) % 20 = 0),
+        |sp AS (SELECT id, p, least(p + len - 1, n_tokens) AS e FROM st),
+        |m AS (
+        |  SELECT id, p, e,
+        |         max(e) OVER (PARTITION BY id ORDER BY p, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM sp),
+        |f AS (
+        |  SELECT id, p, e,
+        |         sum(CASE WHEN pmax IS NULL OR p > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY id ORDER BY p, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM m),
+        |mg AS (SELECT id, grp, min(p) AS s, max(e) AS e2, count(*) AS nraw
+        |       FROM f GROUP BY id, grp),
+        |pd AS (SELECT id, CAST(sum(nraw) AS BIGINT) AS n_spans_raw,
+        |              CAST(count(*) AS BIGINT) AS n_spans,
+        |              CAST(sum(e2 - s + 1) AS BIGINT) AS n_masked
+        |       FROM mg GROUP BY id)
+        |SELECT t.id AS doc_id, t.n_tokens,
+        |       COALESCE(pd.n_spans_raw, 0) AS n_spans_raw,
+        |       COALESCE(pd.n_spans, 0) AS n_spans,
+        |       COALESCE(pd.n_masked, 0) AS n_masked,
+        |       CAST((1000 * COALESCE(pd.n_masked, 0)) // t.n_tokens AS BIGINT)
+        |         AS mask_permille
+        |FROM t LEFT JOIN pd ON t.id = pd.id
+        |ORDER BY doc_id""".stripMargin,
+
     // Contrastive triplet mining: in-bucket candidates, positive = top-1,
     // hard negatives = top-3 below cosine 0.9 (exact-int-ratio doubles).
     "q_hard_negatives" ->

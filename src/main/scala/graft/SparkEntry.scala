@@ -2846,6 +2846,15 @@ object SparkEntry {
         anchorPred = col("vec_id") < 5, bits = 4, posMax = 0.9, k = 3)
       .orderBy(col("anchor_id"), col("role"), col("rank"))
 
+  /** Span-corruption mask plan (X167 — see TextOps.spanCorruptionPlan):
+    * T5-style deterministic corruption spans, start rate 1/20, lengths
+    * 1..5, overlap-merged accounting per document. */
+  private def qSpanCorruption(s: SparkSession, d: String): DataFrame =
+    TextOps.spanCorruptionPlan(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", startMod = 20, maxLen = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** One-row corpus dataset card (X164): the header block of a
     * datasheet — volumes, diversity counts, and the exact-dup rate —
     * each an O(1)-output aggregate over one documents scan (the
@@ -2872,6 +2881,7 @@ object SparkEntry {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_stream_quality" -> (qStreamQuality _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_span_corruption" -> (qSpanCorruption _),
     "q_lm_bucket" -> (qLmBucket _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_knn_triangles" -> (qKnnTriangles _),

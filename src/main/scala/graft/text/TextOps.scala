@@ -330,4 +330,63 @@ object TextOps {
       .select(col("doc_id"), col("n").as("n_chars"), col("n_uniq"),
         col("hist_fp"), (lnFp9(col("n")) - expr("sclnc div n")).as("h_fp9"))
   }
+
+  /** T5/UL2-style SPAN-CORRUPTION mask PLAN (Raffel et al., JMLR 2020
+    * §3.1.4 "span corruption"): per document, deterministically select
+    * corruption spans — a span starts at token position p iff
+    * md5(id:p) ≡ 0 (mod `startMod`) (expected start rate 1/startMod)
+    * with length 1 + md5(id:p:len) mod `maxLen` (uniform 1..maxLen) —
+    * then merge overlaps into the interval UNION and report the mask
+    * accounting the objective-preprocessing stage needs (span count,
+    * masked-token count, mask permille). md5-derived, so the plan is
+    * reproducible across runs/partitionings/engines — the same property
+    * every sampling operator here leans on — and mirrored exactly by
+    * the DuckDB oracle.
+    *
+    * Scale shape: position explode is scan-linear (one row per token,
+    * the token-explode cost every text operator pays) and immediately
+    * filtered to ~n/startMod span rows; the interval-union windows
+    * partition by DOCUMENT — bounded by a single doc's span count
+    * (maxDocTokens/startMod), never by the corpus. Docs with no
+    * selected span still report (zeros). All integer arithmetic. */
+  def spanCorruptionPlan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, startMod: Int = 20,
+                         maxLen: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(startMod >= 1 && maxLen >= 1,
+      s"startMod=$startMod and maxLen=$maxLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toks = docs.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val key = concat(col("id").cast("string"), lit(":"), col("p").cast("string"))
+    val starts = toks
+      .select(col("id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_tokens"))).as("p"))
+      .filter(h(key) % startMod === 0)
+      .withColumn("len", lit(1L) + h(concat(key, lit(":len"))) % maxLen)
+      .withColumn("e", least(col("p") + col("len") - 1L, col("n_tokens")))
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("p"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("id")).orderBy(col("p"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = starts
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("nf", when(col("pmax").isNull || col("p") > col("pmax"), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("nf")).over(wCum))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("p")).as("s"), max(col("e")).as("e2"),
+        count(lit(1)).as("nraw"))
+      .groupBy(col("id"))
+      .agg(sum(col("nraw")).as("n_spans_raw"), count(lit(1)).as("n_spans"),
+        sum(col("e2") - col("s") + 1L).as("n_masked"))
+    toks.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans_raw"), lit(0L)).as("n_spans_raw"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_permille", expr("(1000 * n_masked) div n_tokens"))
+  }
 }

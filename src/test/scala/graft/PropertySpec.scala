@@ -328,6 +328,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("spanCorruptionPlan equals a plain-Scala interval-union reference") {
+    import java.security.MessageDigest
+    def h(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(d, 16)
+    }
+    val token = Gen.oneOf("u", "v", "w")
+    val docGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+    checkProp(MIN)(Prop.forAll(Gen.listOfN(8, docGen), Gen.choose(1, 4)) {
+      (texts, parts) =>
+        val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val got = graft.text.TextOps
+          .spanCorruptionPlan(rows.toDF("doc_id", "text").repartition(parts),
+            "doc_id", "text", startMod = 3, maxLen = 4)
+          .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+        val want = rows.map { case (id, t) =>
+          val n = t.split(" ", -1).length.toLong
+          val spans = (1L to n).filter(p => h(s"$id:$p") % 3 == 0)
+            .map { p =>
+              val len = 1L + h(s"$id:$p:len") % 4
+              (p, math.min(p + len - 1, n))
+            }
+          // interval union over (start, end) pairs
+          var merged = List.empty[(Long, Long)]
+          spans.sortBy(x => (x._1, x._2)).foreach { case (s0, e0) =>
+            merged match {
+              case (ms, me) :: rest if s0 <= me =>
+                merged = (ms, math.max(me, e0)) :: rest
+              case _ => merged = (s0, e0) :: merged
+            }
+          }
+          val masked = merged.map { case (s0, e0) => e0 - s0 + 1 }.sum
+          (id, n, spans.length.toLong, merged.length.toLong, masked,
+            1000L * masked / n)
+        }.sortBy(_._1).toList
+        got == want
+    })
+  }
+
   test("lmBuckets: bucket assignment is a pure function of the score multiset per lang") {
     val token = Gen.oneOf("t1", "t2", "t3", "t4")
     val docGen = Gen.listOfN(4, token).map(_.mkString(" "))
