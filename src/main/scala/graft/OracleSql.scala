@@ -3428,6 +3428,46 @@ object OracleSql {
          |FROM deg LEFT JOIN pv ON deg.v = pv.v
          |ORDER BY vec_id""".stripMargin,
 
+    // Tokenizer vocabulary coverage: OOV permille per language against
+    // the top-32 frequency vocab (freq DESC, term tie-break — the
+    // q_vocab_build ordering).
+    "q_vocab_coverage" ->
+      """WITH hist AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |voc AS (SELECT term FROM hist ORDER BY freq DESC, term LIMIT 32),
+        |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST((1000 * sum(CASE WHEN voc.term IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS oov_permille
+        |FROM tok LEFT JOIN voc ON tok.term = voc.term
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Packing-efficiency report over the q_pack_sequences layout: per
+    // (source, shard, bin) fill accounting, last bin flagged.
+    "q_pack_efficiency" ->
+      """WITH x AS (
+        |  SELECT source, doc_id,
+        |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS INTEGER) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, shard, doc_id, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |  FROM x),
+        |b AS (
+        |  SELECT source, shard, (cum_tok - 1) // 2048 AS bin,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT source, shard, bin, n_docs, bin_tokens,
+        |       CAST((1000 * bin_tokens) // 2048 AS BIGINT) AS fill_permille,
+        |       bin = max(bin) OVER (PARTITION BY source, shard) AS is_last
+        |FROM b ORDER BY source, shard, bin""".stripMargin,
+
     // Span-corruption mask plan: md5-deterministic span starts (mod 20)
     // and lengths (1..5), interval-UNION merge via running-max windows —
     // identical formulation both engines, exact integers end to end.

@@ -2855,6 +2855,22 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Tokenizer vocabulary coverage per language (X168 — see
+    * text.Search.vocabCoverage): OOV permille against the top-32
+    * frequency vocab. */
+  private def qVocabCoverage(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.vocabCoverage(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", "lang", vocabSize = 32)
+      .orderBy(col("lang"))
+
+  /** Packing-efficiency report (X169 — see corpus.Mixing
+    * .packingEfficiency): per-(source, shard, bin) fill accounting over
+    * the q_pack_sequences layout, last bin flagged. */
+  private def qPackEfficiency(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.packingEfficiency(t(s, d, "documents"),
+        "source", "doc_id", "text", budget = 2048, nShards = 4)
+      .orderBy(col("source"), col("shard"), col("bin"))
+
   /** One-row corpus dataset card (X164): the header block of a
     * datasheet — volumes, diversity counts, and the exact-dup rate —
     * each an O(1)-output aggregate over one documents scan (the
@@ -2882,6 +2898,8 @@ object SparkEntry {
     "q_stream_quality" -> (qStreamQuality _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_span_corruption" -> (qSpanCorruption _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_pack_efficiency" -> (qPackEfficiency _),
     "q_lm_bucket" -> (qLmBucket _),
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_knn_triangles" -> (qKnnTriangles _),

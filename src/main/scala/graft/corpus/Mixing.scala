@@ -349,4 +349,30 @@ object Mixing {
   }
 
   private val Fp9 = 1000000000L
+
+  /** PACKING-EFFICIENCY report over [[packSequences]] output — the
+    * acceptance check of the sequence-packing stage: per (domain,
+    * shard, bin), document count, token fill, and fill permille against
+    * the budget, with the per-(domain, shard) LAST bin flagged (the one
+    * bin that is legitimately underfull; any OTHER underfull bin is a
+    * packing bug — the invariant the operator's contract guarantees and
+    * this report lets a pipeline assert in production).
+    *
+    * Scale shape: one aggregation collapses the per-doc packing table
+    * to O(total_tokens / budget) bin rows; the last-bin flag is a max
+    * window over THAT bin table partitioned by (domain, shard) —
+    * bounded by bins per shard, never corpus size. Integer end to end. */
+  def packingEfficiency(docs: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, budget: Int, nShards: Int): DataFrame = {
+    val packed = packSequences(docs, sourceCol, idCol, textCol, budget, nShards)
+    val bins = packed.groupBy(col(sourceCol), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+    bins
+      .withColumn("max_bin",
+        max(col("bin")).over(Window.partitionBy(col(sourceCol), col("shard"))))
+      .select(col(sourceCol), col("shard"), col("bin"), col("n_docs"),
+        col("bin_tokens"),
+        expr(s"(1000 * bin_tokens) div ${budget}L").as("fill_permille"),
+        (col("bin") === col("max_bin")).as("is_last"))
+  }
 }

@@ -192,6 +192,33 @@ object Search {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Tokenizer VOCABULARY-COVERAGE per language — the OOV-rate
+    * diagnostic that pairs with fertility (q_token_fertility): for a
+    * top-V frequency vocabulary ([[buildVocab]]), what fraction of each
+    * language's running text falls outside it. A language whose OOV
+    * rate runs hot is under-served by the vocab (its text shatters into
+    * fallback units) — the fairness signal vocab-size/allocation
+    * decisions are made on (the analysis behind byte-fallback budgets
+    * in multilingual tokenizers).
+    *
+    * Scale shape: the vocab is V rows and BROADCASTS into a left join
+    * against the token stream (explicit — V is a fixed knob, bounded by
+    * construction, unlike the unbounded histogram unigramScore
+    * size-gates); one hash aggregate to #languages rows. Exact integer
+    * counts and one floor-div permille. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    langCol: String, vocabSize: Int): DataFrame = {
+    val vocab = buildVocab(docs, idCol, textCol, vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    docs.select(col(langCol).as("lang"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+  }
+
   /** Frequency-ranked vocabulary build — the first stage of tokenizer
     * training (top-V types by corpus count, deterministic lexicographic
     * tie-break, dense ids in rank order). One map-side-combining

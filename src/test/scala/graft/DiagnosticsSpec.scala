@@ -125,6 +125,45 @@ class DiagnosticsSpec extends SparkSpec {
     assert(row.getLong(6) == 1000L * (row.getLong(0) - nFp) / row.getLong(0))
   }
 
+  test("q_vocab_coverage: lang totals tie out and OOV is exactly the non-top-32 mass") {
+    val rows = run("q_vocab_coverage")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totalTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_._2).sum == totalTok, "per-lang token counts must cover the corpus")
+    val top32 = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(32)
+      .collect().map(_.getString(0)).toSet
+    val oovByLang = docs.select(col("lang"), explode(split(col("text"), " ")).as("t"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.count(r => !top32.contains(r.getString(1)))).toMap
+    rows.foreach { case (lang, n, oov, pm) =>
+      assert(oov == oovByLang(lang), s"$lang OOV count")
+      assert(pm == 1000L * oov / n, s"$lang permille algebra")
+    }
+  }
+
+  test("q_pack_efficiency: only last bins may be underfull; token mass conserved") {
+    val rows = run("q_pack_efficiency")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totalTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_._5).sum == totalTok, "bin token mass must equal the corpus")
+    val maxDocTok = docs.select(max(size(split(col("text"), " ")))).head.getInt(0).toLong
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, shard), rs) =>
+      val bins = rs.map(_._3).sorted
+      assert(bins.toList == (0L until bins.length).toList, s"$src/$shard bins dense")
+      assert(rs.count(_._7) == 1, s"$src/$shard exactly one last bin")
+      rs.filterNot(_._7).foreach { r =>
+        assert(r._5 > 2048L - maxDocTok,
+          s"$src/$shard bin ${r._3} underfull (${r._5}) but not last")
+      }
+    }
+  }
+
   test("q_dsir_weights: selection flag marks exactly the top-K scores") {
     val rows = run("q_dsir_weights")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
