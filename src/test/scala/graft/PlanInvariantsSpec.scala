@@ -208,6 +208,14 @@ class PlanInvariantsSpec extends SparkSpec {
       s"expected one corpus relation leaf, got ${scans.length}:\n$scans")
   }
 
+  test("q_vocab_coverage: the V-row vocab broadcasts; the token stream never shuffles for the join") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_vocab_coverage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the fixed-size vocab must broadcast onto the token stream in:\n$plan")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
