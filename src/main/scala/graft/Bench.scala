@@ -27,7 +27,8 @@ object Bench {
       // persisted store EXISTING is the operator's semantic (a
       // deployment amortizes it), not a cache artifact of the harness.
       "q_dedup_eval", "q_quality_calibrated", "q_dsir_weights",
-      "q_lm_bucket", "q_knn_triangles")
+      "q_lm_bucket", "q_knn_triangles", "q_hard_negatives",
+      "q_vocab_coverage")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -3527,11 +3527,14 @@ object OracleSql {
          |         CAST(row_number() OVER (PARTITION BY anchor_id
          |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
          |  FROM sc),
+         |p1 AS (SELECT anchor_id, match_id FROM pos WHERE "rank" = 1),
          |neg AS (
-         |  SELECT anchor_id, 'neg' AS role, match_id, cosine,
-         |         CAST(row_number() OVER (PARTITION BY anchor_id
-         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
-         |  FROM sc WHERE cosine < 0.9)
+         |  SELECT sc.anchor_id, 'neg' AS role, sc.match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY sc.anchor_id
+         |                                 ORDER BY cosine DESC, sc.match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc ANTI JOIN p1
+         |    ON sc.anchor_id = p1.anchor_id AND sc.match_id = p1.match_id
+         |  WHERE cosine < 0.9)
          |SELECT anchor_id, role, match_id, cosine, "rank"
          |FROM (SELECT * FROM pos WHERE "rank" <= 1
          |      UNION ALL SELECT * FROM neg WHERE "rank" <= 3)

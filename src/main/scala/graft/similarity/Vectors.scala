@@ -509,7 +509,14 @@ object Vectors {
         .filter(col("cosine").isNotNull)
         .persist())
     val pos = rankTopK(scored, 1).withColumn("role", lit("pos"))
-    val neg = rankTopK(scored.filter(col("cosine") < posMax), k)
+    // the positive is EXCLUDED from the negative pool even when it falls
+    // below posMax (a sparse bucket can make the top-1 a non-near-dup):
+    // a triplet with pos == neg has a contradictory contrastive gradient.
+    // One-row-per-anchor exclusion set — broadcast left-anti join.
+    val neg = rankTopK(
+        scored.join(broadcast(pos.select(col("query_id"), col("match_id"))),
+          Seq("query_id", "match_id"), "left_anti")
+          .filter(col("cosine") < posMax), k)
       .withColumn("role", lit("neg"))
     pos.unionByName(neg)
       .select(col("query_id").as("anchor_id"), col("role"),

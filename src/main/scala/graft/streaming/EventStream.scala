@@ -194,16 +194,25 @@ object EventStream {
     */
   /** Stage a single driver file into its own landing DIRECTORY (the file
     * source consumes directories; at scale this is the producers' append
-    * target). Idempotent per input path. */
-  private def stageLanding(eventsPath: String): java.io.File = {
-    val src = new java.io.File(eventsPath)
+    * target). Idempotent per input path, FRESHNESS-CHECKED: a staged
+    * copy whose size or mtime no longer matches the source is replaced,
+    * so regenerating a driver table never leaves the stream reading a
+    * stale tmpdir copy while the batch twin reads the fresh file (a gate
+    * mismatch that is undiagnosable until the tmpdir is purged).
+    * Shared by every streaming lifecycle harness (events + documents). */
+  private[streaming] def stageLanding(srcPath: String,
+                                      prefix: String = "graft_events_landing_"): java.io.File = {
+    val src = new java.io.File(srcPath)
     val landing = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_events_landing_" + java.lang.Integer.toHexString(src.getAbsolutePath.hashCode))
+      prefix + java.lang.Integer.toHexString(src.getAbsolutePath.hashCode))
     val staged = new java.io.File(landing, src.getName)
-    if (!staged.exists()) {
+    val stale = staged.exists() &&
+      (staged.length() != src.length() || staged.lastModified() < src.lastModified())
+    if (!staged.exists() || stale) {
       landing.mkdirs()
       java.nio.file.Files.copy(src.toPath, staged.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      staged.setLastModified(src.lastModified())
     }
     landing
   }

@@ -201,18 +201,26 @@ object Search {
     * decisions are made on (the analysis behind byte-fallback budgets
     * in multilingual tokenizers).
     *
-    * Scale shape: the vocab is V rows and BROADCASTS into a left join
-    * against the token stream (explicit — V is a fixed knob, bounded by
-    * construction, unlike the unbounded histogram unigramScore
-    * size-gates); one hash aggregate to #languages rows. Exact integer
-    * counts and one floor-div permille. */
+    * Scale shape: ONE persisted (lang, term) token projection feeds
+    * BOTH the vocab histogram (re-aggregated dropping lang) and the
+    * coverage aggregate — the corpus is scanned and exploded once, not
+    * once per consumer (the shared-artifact discipline of the dedup
+    * tier). The vocab is V rows and BROADCASTS into the left join
+    * (explicit — V is a fixed knob, bounded by construction, unlike
+    * the unbounded histogram unigramScore size-gates); one hash
+    * aggregate to #languages rows. Exact integer counts and one
+    * floor-div permille. */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
                     langCol: String, vocabSize: Int): DataFrame = {
-    val vocab = buildVocab(docs, idCol, textCol, vocabSize)
+    val toks = graft.Caches.materialize(
+      docs.select(col(langCol).as("lang"),
+          explode(TextOps.tokens(col(textCol))).as("term"))
+        .persist())
+    val ord = Seq(col("freq").desc, col("term").asc)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(ord: _*).limit(vocabSize)
       .select(col("term"), lit(true).as("in_vocab"))
-    docs.select(col(langCol).as("lang"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
-      .join(broadcast(vocab), Seq("term"), "left")
+    toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))

@@ -537,6 +537,25 @@ class VectorsSpec extends SparkSpec {
     assert(!out.exists(_._3 == 4L), "cross-bucket vector never becomes a candidate")
   }
 
+  test("contrastiveTriplets: a positive below the posMax cut never re-enters the negatives") {
+    // sparse bucket: the top-1 for anchor 0 scores only ~0.77 (< 0.95),
+    // so the positive itself falls under the cut — it must be excluded
+    // from the negative list, not emitted twice
+    val v = Seq(
+      (0L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 1.0f)),    // top-1, cos ≈ .77 < posMax
+      (3L, Array(0.6f, 1.0f))     // cos ≈ .60
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.contrastiveTriplets(v, "vec_id", "embedding",
+        col("vec_id") === 0, bits = 2, posMax = 0.95, k = 3)
+      .as[(Long, String, Long, Double, Int)].collect()
+    graft.Caches.release()
+    val (neg, pos) = out.partition(_._2 == "neg")
+    assert(pos.map(_._3).toSeq == Seq(2L), "positive is still the top-1")
+    assert(neg.map(_._3).toSeq == Seq(3L),
+      "the below-cut positive must not reappear as a negative")
+  }
+
   test("mmrRerank: zero-magnitude or absent query fails loud, never NaN-ranks") {
     val v = Seq(
       (42L, Array(0.0f, 0.0f)),    // zero-norm query
