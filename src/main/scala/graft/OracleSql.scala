@@ -3554,6 +3554,105 @@ object OracleSql {
         |GROUP BY 1, 2
         |ORDER BY window_start_s, lang""".stripMargin,
 
+    // Character-class mix per language: length − length(replace) counts,
+    // one UNION ALL branch per class (the engine computes all classes in
+    // one scan; 4 scans are fine for the oracle). 'g' flag: DuckDB
+    // regexp_replace is first-match-only by default.
+    "q_script_mix" -> {
+      def branch(name: String, re: String) =
+        s"""SELECT lang, '$name' AS char_class,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(length(text)) AS BIGINT) AS lang_chars,
+           |       CAST(sum(length(text) - length(regexp_replace(text, '$re', '', 'g'))) AS BIGINT)
+           |         AS class_chars
+           |FROM documents GROUP BY lang""".stripMargin
+      s"""WITH u AS (
+         |${branch("letters", "[a-z]")}
+         |UNION ALL
+         |${branch("vowels", "[aeiou]")}
+         |UNION ALL
+         |${branch("digits", "[0-9]")}
+         |UNION ALL
+         |${branch("spaces", " ")})
+         |SELECT lang, char_class, n_docs, lang_chars, class_chars,
+         |       (1000 * class_chars) // lang_chars AS share_permille
+         |FROM u ORDER BY lang, char_class""".stripMargin
+    },
+
+    // Source-concentration report: HUGEINT-promoted N² and rank sums
+    // (the X160 promotion), BIGINT-cast outputs.
+    "q_source_balance" ->
+      """WITH per AS (
+        |  SELECT source AS k, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n, k) AS BIGINT) AS i
+        |  FROM per),
+        |s AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(count(*) AS BIGINT) AS n_sources,
+        |         CAST(max(n) AS BIGINT) AS max_n,
+        |         sum(CAST(n AS HUGEINT) * n) AS sum_n_sq,
+        |         sum(CAST(i AS HUGEINT) * n) AS sum_rank_n
+        |  FROM r)
+        |SELECT n_docs, n_sources, max_n,
+        |       (1000 * max_n) // n_docs AS max_share_permille,
+        |       CAST((1000 * CAST(n_docs AS HUGEINT) * n_docs) // sum_n_sq AS BIGINT)
+        |         AS eff_sources_permille,
+        |       CAST((1000 * (2 * sum_rank_n - (n_sources + 1) * CAST(n_docs AS HUGEINT)))
+        |            // (CAST(n_sources AS HUGEINT) * n_docs) AS BIGINT) AS gini_permille
+        |FROM s""".stripMargin,
+
+    // Filter-chain attrition funnel: cumulative-conjunction counts in one
+    // aggregate, unpacked to the five-row funnel via UNION ALL. Stage
+    // predicates mirror SparkEntry.qFilterFunnel verbatim.
+    "q_filter_funnel" ->
+      """WITH b AS (
+        |  SELECT len(string_split(text, ' ')) >= 15 AS b1,
+        |         n_chars <= 450 AS b2,
+        |         (1000 * n_chars) // len(string_split(text, ' '))
+        |           BETWEEN 4800 AND 6100 AS b3,
+        |         lang IN ('en', 'es', 'de', 'fr') AS b4,
+        |         NOT contains(text, 'dup') AS b5
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |         CAST(sum(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |         CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |         CAST(sum(CASE WHEN b1 AND b2 AND b3 AND b4 AND b5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM b),
+        |f AS (
+        |  SELECT 1 AS stage, 'min_tokens' AS rule, c0 AS docs_in, c1 AS docs_kept, c0 FROM s
+        |  UNION ALL SELECT 2, 'max_chars', c1, c2, c0 FROM s
+        |  UNION ALL SELECT 3, 'chars_per_token', c2, c3, c0 FROM s
+        |  UNION ALL SELECT 4, 'lang_allowed', c3, c4, c0 FROM s
+        |  UNION ALL SELECT 5, 'blocklist', c4, c5, c0 FROM s)
+        |SELECT CAST(stage AS INTEGER) AS stage, rule, docs_in, docs_kept,
+        |       docs_in - docs_kept AS docs_removed,
+        |       (1000 * docs_kept) // c0 AS keep_permille
+        |FROM f ORDER BY stage""".stripMargin,
+
+    // Cross-dimension covariance sufficient stats: the oracle takes the
+    // naive unnest²+self-join road (n·d(d+1)/2 rows — fine at sf0.01;
+    // the engine's one-pass OuterProductSumFp is the scale path). The
+    // quantizer is the proven X158 formula verbatim.
+    "q_embed_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim,
+        |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) // 1000 AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE embedding IS NOT NULL)
+        |SELECT a.dim AS i, b.dim AS j,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(a.qv) AS BIGINT) AS sum_qi,
+        |       CAST(sum(b.qv) AS BIGINT) AS sum_qj,
+        |       CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_qq
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |GROUP BY 1, 2
+        |ORDER BY i, j""".stripMargin,
+
     // One-row corpus dataset card: volumes, diversity, exact-dup rate.
     "q_dataset_card" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

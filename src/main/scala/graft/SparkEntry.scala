@@ -2871,6 +2871,42 @@ object SparkEntry {
         "source", "doc_id", "text", budget = 2048, nShards = 4)
       .orderBy(col("source"), col("shard"), col("bin"))
 
+  /** Cross-dimension covariance sufficient statistics (X170 — see
+    * similarity.Vectors.covarianceStats): exact-integer (n, Σqᵢ, Σqⱼ,
+    * Σqᵢqⱼ) per dimension pair i ≤ j off ONE OuterProductSumFp pass;
+    * covariance/whitening matrices are derived display values. */
+  private def qEmbedCovariance(s: SparkSession, d: String): DataFrame =
+    Vectors.covarianceStats(spread(t(s, d, "embeddings"), "vec_id"), "embedding")
+
+  /** Filter-chain attrition funnel (X171 — see text.TextOps
+    * .filterFunnel): five fixed-order cleaning stages, docs charged to
+    * the FIRST stage that drops them, cumulative keep rate in integer
+    * permille — one scan, one one-row aggregate, in-row unpack.
+    * Thresholds sized so every stage removes documents at sf0.01. */
+  private def qFilterFunnel(s: SparkSession, d: String): DataFrame =
+    TextOps.filterFunnel(t(s, d, "documents"), "text", "n_chars", "lang",
+      minTokens = 15, maxChars = 450, cptLo = 4800, cptHi = 6100,
+      allowedLangs = Seq("en", "es", "de", "fr"), blockTerm = "dup")
+
+  /** Character-class mix per language (X172 — see text.TextOps
+    * .scriptMix): the script-detection proxy; classes deliberately
+    * include an overlapping probe (vowels ⊂ letters) and an empty class
+    * (digits — the corpus has none) so both branches are under the
+    * gate. */
+  private def qScriptMix(s: SparkSession, d: String): DataFrame =
+    TextOps.scriptMix(t(s, d, "documents"), "text", "lang", Seq(
+      "letters" -> "[a-z]",
+      "vowels" -> "[aeiou]",
+      "digits" -> "[0-9]",
+      "spaces" -> " "))
+
+  /** Source-concentration report (X173 — see corpus.Mixing
+    * .sourceBalance): one-row max-share / effective-source-count /
+    * Gini summary in integer permille, DECIMAL(38,0)-promoted so N²
+    * never wraps. */
+  private def qSourceBalance(s: SparkSession, d: String): DataFrame =
+    corpus.Mixing.sourceBalance(t(s, d, "documents"), "source")
+
   /** One-row corpus dataset card (X164): the header block of a
     * datasheet — volumes, diversity counts, and the exact-dup rate —
     * each an O(1)-output aggregate over one documents scan (the
@@ -2904,6 +2940,10 @@ object SparkEntry {
     "q_mmr_rerank" -> (qMmrRerank _),
     "q_knn_triangles" -> (qKnnTriangles _),
     "q_dataset_card" -> (qDatasetCard _),
+    "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_filter_funnel" -> (qFilterFunnel _),
+    "q_script_mix" -> (qScriptMix _),
+    "q_source_balance" -> (qSourceBalance _),
     "q_scan" -> (qScan _),
     "q_project" -> (qProject _),
     "q_filter_null" -> (qFilterNull _),

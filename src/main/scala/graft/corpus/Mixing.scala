@@ -375,4 +375,46 @@ object Mixing {
         expr(s"(1000 * bin_tokens) div ${budget}L").as("fill_permille"),
         (col("bin") === col("max_bin")).as("is_last"))
   }
+
+  /** SOURCE-CONCENTRATION REPORT — the one-row diversity summary behind
+    * "is this corpus one mirror site in a trench coat": max source share,
+    * the effective number of sources 1/Σsᵢ² (inverse Herfindahl — the
+    * participation-ratio form of diversity), and the Gini coefficient of
+    * the source-size distribution, all in integer permille. A corpus
+    * whose effective-source count collapses toward 1 or whose Gini runs
+    * toward 1000 trains like a single-source corpus no matter how many
+    * source labels it carries — the aggregate form of what the X157
+    * overlap matrix shows pairwise.
+    *
+    * Engine-exact integer contracts (no doubles anywhere):
+    *   - eff_sources_permille = 1000·N² div Σnᵢ², computed in
+    *     DECIMAL(38,0) (oracle: HUGEINT) because N² wraps BIGINT past
+    *     N ≈ 3·10⁹ documents — the X160 promotion discipline;
+    *   - gini_permille via the sorted-rank identity
+    *     G = (2·Σ i·n₍ᵢ₎ − (S+1)·N) / (S·N) with i = ascending rank —
+    *     ties in n are rank-order-invariant for the sum, so any
+    *     deterministic tiebreak yields the same value; the rank window
+    *     runs over the O(#sources) count table, never the corpus.
+    *
+    * ONE corpus scan to the O(#sources) count table; everything after is
+    * arithmetic on that table. Returns a single row (n_docs, n_sources,
+    * max_n, max_share_permille, eff_sources_permille, gini_permille). */
+  def sourceBalance(docs: DataFrame, keyCol: String): DataFrame = {
+    val per = docs.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+    val ranked = per.select(col("n"),
+      row_number().over(Window.orderBy(col("n"), col("k"))).as("i"))
+    ranked.agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("n")).as("max_n"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("sum_n_sq"),
+        sum(col("i").cast("decimal(38,0)") * col("n")).as("sum_rank_n"))
+      .select(col("n_docs"), col("n_sources"), col("max_n"),
+        expr("(1000 * max_n) div n_docs").as("max_share_permille"),
+        expr("CAST((1000 * CAST(n_docs AS DECIMAL(38,0)) * n_docs) div sum_n_sq AS BIGINT)")
+          .as("eff_sources_permille"),
+        expr("""CAST((1000 * (2 * sum_rank_n - (n_sources + 1) * CAST(n_docs AS DECIMAL(38,0))))
+               |     div (CAST(n_sources AS DECIMAL(38,0)) * n_docs) AS BIGINT)""".stripMargin)
+          .as("gini_permille"))
+  }
 }

@@ -929,6 +929,56 @@ object Vectors {
       .limit(topK)
   }
 
+  /** CROSS-DIMENSION COVARIANCE sufficient statistics — the one-pass
+    * prep behind PCA / ZCA whitening of an embedding store (the
+    * companion to the per-(label, dim) scatter of `labelScatterStats`,
+    * which deliberately avoids exactly this cross-dim term): for every
+    * dimension pair i ≤ j, the EXACT integer statistics (n, Σqᵢ, Σqⱼ,
+    * Σqᵢqⱼ) of the fp3-quantized components, from which covariance
+    * Cov(i,j) = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / n² and the full d×d matrix are
+    * DERIVED display values outside the hash gate (the round-9 lesson).
+    *
+    * Scale shape: the naive formulation (posexplode twice + self-join
+    * on vec_id) shuffles n·d(d+1)/2 rows — 2,080× the corpus at d = 64.
+    * Here ONE corpus scan feeds the [[graft.functions.OuterProductSumFp]]
+    * aggregate whose partial phase folds each vector into a single
+    * (1 + d + d(d+1)/2)-long buffer per map task; the exchange moves one
+    * buffer per partition and the pair table is unpacked from the ONE
+    * result row by an in-row index computation (no joins, no driver
+    * collect, no second scan). BIGINT headroom: |q| ≤ 1e3 ⇒ each product
+    * ≤ 1e6 ⇒ Σ wraps only past ~9·10¹² vectors.
+    *
+    * Empty input (or all-null vectors) yields an empty result — the
+    * aggregate returns NULL and the explode of NULL produces no rows.
+    * Returns (i, j, n, sum_qi, sum_qj, sum_qq) ordered by (i, j). */
+  def covarianceStats(vectors: DataFrame, vecCol: String): DataFrame = {
+    val q = vectors.filter(col(vecCol).isNotNull)
+      .select(fixedPoint(col(vecCol)).as("fv"))
+      .select(expr("transform(fv, x -> x div 1000)").as("q"))
+    val agg = q.agg(
+      graft.functions.OuterProductSumFp(col("q")).as("st"),
+      max(size(col("q"))).as("d"))
+    // unpack the single buffer row into the O(d²) pair table entirely
+    // in-row: st[0] = n, st[1 + i] = Σqᵢ, triangle row-major at
+    // st[1 + d + (i·d − i(i−1)/2 + (j − i))]. The HOF lambdas here run
+    // on exactly ONE row — interpreted-eval cost is irrelevant, and the
+    // pair table stays distributed lineage (no collect).
+    agg.filter(col("st").isNotNull)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, d - 1), i ->
+          |  transform(sequence(i, d - 1), j -> struct(
+          |    CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+          |    st[0] AS n,
+          |    st[CAST(1 + i AS INT)] AS sum_qi,
+          |    st[CAST(1 + j AS INT)] AS sum_qj,
+          |    st[CAST(1 + d + (i * d - (i * (i - 1)) DIV 2 + (j - i)) AS INT)]
+          |      AS sum_qq))))""".stripMargin)).as("r"))
+      .select(col("r.i").as("i"), col("r.j").as("j"), col("r.n").as("n"),
+        col("r.sum_qi").as("sum_qi"), col("r.sum_qj").as("sum_qj"),
+        col("r.sum_qq").as("sum_qq"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** The portable Column formulation QuantizeInt8Fp is spec-checked
     * bit-identical to (and the form the DuckDB oracle mirrors). */
   private[graft] def quantizeInt8Builtin(vectors: DataFrame, idCol: String,

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -388,5 +388,107 @@ object TextOps {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_masked"), lit(0L)).as("n_masked"))
       .withColumn("mask_permille", expr("(1000 * n_masked) div n_tokens"))
+  }
+
+  /** CHARACTER-CLASS MIX per language — the script-detection proxy
+    * behind mojibake / wrong-alphabet / encoding-damage triage in a
+    * multilingual corpus (a "French" shard whose letter share collapses
+    * or whose 'other' share spikes is mislabeled or corrupted; in a
+    * full-Unicode deployment the classes are per-script ranges —
+    * Latin/Cyrillic/CJK — via the same regex seam). Each class is a
+    * (name, regex) pair and classes may overlap (vowels ⊂ letters is a
+    * legitimate probe); counts come from the codegen'd
+    * `length − length(regexp_replace(class, ''))` identity — no explode
+    * of characters, no UDF.
+    *
+    * Scale shape: the per-class counts are computed per document BEFORE
+    * the explode (the explode multiplies rows by the constant #classes,
+    * not by text length), and ONE hash-aggregate collapses to
+    * #langs × #classes rows; per-language totals ride the same
+    * aggregate (each doc contributes its length once per class, so
+    * sum(len) within a (lang, class) group IS the language total).
+    * All-integer — engine-exact.
+    *
+    * Returns (lang, char_class, n_docs, lang_chars, class_chars,
+    * share_permille) ordered by (lang, char_class). */
+  def scriptMix(docs: DataFrame, textCol: String, langCol: String,
+                classes: Seq[(String, String)]): DataFrame = {
+    require(classes.nonEmpty, "scriptMix: at least one character class")
+    val len = length(col(textCol)).cast("long")
+    val cls = classes.map { case (name, re) =>
+      struct(lit(name).as("cname"),
+        (len - length(regexp_replace(col(textCol), re, ""))).cast("long")
+          .as("cnt"))
+    }
+    docs.select(col(langCol).as("lang"), len.as("len"),
+        explode(array(cls: _*)).as("c"))
+      .groupBy(col("lang"), col("c.cname").as("char_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("lang_chars"),
+        sum(col("c.cnt")).as("class_chars"))
+      .select(col("lang"), col("char_class"), col("n_docs"),
+        col("lang_chars"), col("class_chars"),
+        expr("(1000 * class_chars) div lang_chars").as("share_permille"))
+      .orderBy(col("lang"), col("char_class"))
+  }
+
+  /** FILTER-CHAIN ATTRITION FUNNEL — the acceptance report every
+    * production cleaning pipeline publishes before a training run (the
+    * C4/FineWeb "how many documents did each filter remove, in order"
+    * table): five fixed-order stages (min token count, max char length,
+    * chars-per-token band, allowed-language set, substring blocklist),
+    * each row carrying docs-in, docs-kept, docs-removed and the
+    * CUMULATIVE keep rate in integer permille. The ordering matters —
+    * a document is charged to the FIRST stage that drops it, which is
+    * how attrition is attributed when filters overlap.
+    *
+    * Scale shape: ONE corpus scan computes the five per-doc booleans;
+    * the cumulative conjunction counts fuse into a single hash-aggregate
+    * to ONE row (map-side partials collapse to one row per partition —
+    * the X151 threshold-sweep reasoning), and the five-row funnel table
+    * is unpacked from that row in-row (explode of a literal-shaped
+    * array; no second scan, no joins). All-integer arithmetic —
+    * engine-exact under any partitioning.
+    *
+    * Returns (stage, rule, docs_in, docs_kept, docs_removed,
+    * keep_permille) ordered by stage. */
+  def filterFunnel(docs: DataFrame, textCol: String, charsCol: String,
+                   langCol: String, minTokens: Int, maxChars: Int,
+                   cptLo: Int, cptHi: Int, allowedLangs: Seq[String],
+                   blockTerm: String): DataFrame = {
+    val ntok = tokenCount(col(textCol)).cast("long")
+    val cpt = expr(s"(1000 * $charsCol) div __ntok")
+    val base = docs
+      .select(col(textCol), col(charsCol), col(langCol), ntok.as("__ntok"))
+      .select(
+        (col("__ntok") >= minTokens).as("b1"),
+        (col(charsCol) <= maxChars).as("b2"),
+        (cpt >= cptLo && cpt <= cptHi).as("b3"),
+        col(langCol).isin(allowedLangs: _*).as("b4"),
+        (!col(textCol).contains(blockTerm)).as("b5"))
+    val one = base.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("b1"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("b1") && col("b2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("b1") && col("b2") && col("b3"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("b1") && col("b2") && col("b3") && col("b4"), 1L)
+        .otherwise(0L)).as("c4"),
+      sum(when(col("b1") && col("b2") && col("b3") && col("b4") && col("b5"), 1L)
+        .otherwise(0L)).as("c5"))
+    def st(i: Int, rule: String, in: String, kept: String) =
+      struct(lit(i).as("stage"), lit(rule).as("rule"),
+        col(in).as("docs_in"), col(kept).as("docs_kept"))
+    one.select(col("c0"),
+        explode(array(
+          st(1, "min_tokens", "c0", "c1"),
+          st(2, "max_chars", "c1", "c2"),
+          st(3, "chars_per_token", "c2", "c3"),
+          st(4, "lang_allowed", "c3", "c4"),
+          st(5, "blocklist", "c4", "c5"))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.rule").as("rule"),
+        col("r.docs_in").as("docs_in"), col("r.docs_kept").as("docs_kept"),
+        (col("r.docs_in") - col("r.docs_kept")).as("docs_removed"),
+        expr("(1000 * r.docs_kept) div c0").as("keep_permille"))
+      .orderBy(col("stage"))
   }
 }

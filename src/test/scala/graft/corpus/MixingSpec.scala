@@ -206,4 +206,39 @@ class MixingSpec extends SparkSpec {
     assert(out(1L)._2 == 1L && out(2L)._2 == 1L) // one bigram each
     assert(out(1L)._4 && !out(2L)._4)            // topK=1 → target doc wins
   }
+
+  test("sourceBalance: uniform corpus scores eff=S, gini=0") {
+    // 3 sources × 4 docs each
+    val docs = (0 until 12).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Mixing.sourceBalance(docs, "source")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((12L, 3L, 4L, 333L, 3000L, 0L)))
+  }
+
+  test("sourceBalance: single-source corpus scores eff=1, max=1000") {
+    val docs = (0 until 7).map(i => (i.toLong, "only")).toDF("doc_id", "source")
+    val out = Mixing.sourceBalance(docs, "source")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((7L, 1L, 7L, 1000L, 1000L, 0L)))
+  }
+
+  test("sourceBalance: skewed corpus matches the hand-computed indices") {
+    // counts 1, 1, 8 → N=10, S=3, Σn²=66, sorted ranks (1,1),(2,1),(3,8)
+    val docs = ((0 until 8).map(i => (i.toLong, "big")) ++
+      Seq((100L, "a"), (101L, "b"))).toDF("doc_id", "source")
+    val out = Mixing.sourceBalance(docs, "source")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val eff = 1000L * 100 / 66              // 1515 — between 1 and S
+    val gini = 1000L * (2 * (1 + 2 + 24) - 4 * 10) / (3 * 10) // 466
+    assert(out == ((10L, 3L, 8L, 800L, eff, gini)))
+    // tie invariance: swapping the two singleton sources' names cannot
+    // change any index (rank-sum is tie-order-invariant)
+    val swapped = docs.withColumn("source",
+      when($"source" === "a", "b").when($"source" === "b", "a")
+        .otherwise($"source"))
+    val out2 = Mixing.sourceBalance(swapped, "source")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out2 == out)
+  }
 }

@@ -584,4 +584,55 @@ class VectorsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(1, 2, 3))
     assert(out(0)._2 == 1L, "rank 1 is still the relevance argmax")
   }
+
+  test("covarianceStats matches the brute-force pair formulation") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 1.0f)),
+      (2L, Array(0.1f, 0.2f, -0.3f)),
+      (3L, Array(0.0f, 1.0f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Vectors.covarianceStats(df, "embedding")
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq
+    // reference quantizer = the labelScatterStats chain: fp6 then div 1000
+    // fixture values all quantize to exact multiples of 1000, so any
+    // rounding-mode/truncation-direction subtlety is out of scope here
+    // (PortabilitySpec owns those edges for the shared kernel)
+    def q(x: Float): Long = Math.round(x.toDouble * 1e6) / 1000L
+    val qs = vecs.map(_._2.map(q))
+    val d = 3
+    val expect = for (i <- 0 until d; j <- i until d) yield (
+      i, j, qs.size.toLong,
+      qs.map(_(i)).sum, qs.map(_(j)).sum,
+      qs.map(v => v(i) * v(j)).sum)
+    assert(out == expect)
+    // diagonal rows must be internally symmetric
+    out.filter(r => r._1 == r._2).foreach(r => assert(r._4 == r._5))
+  }
+
+  test("covarianceStats: null vectors are skipped, empty input yields no rows") {
+    val df = Seq(
+      (1L, Some(Array(0.5f, 0.5f))),
+      (2L, None: Option[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Vectors.covarianceStats(df, "embedding")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    assert(out.length == 3 && out.forall(_._3 == 1L))
+    val empty = Vectors.covarianceStats(
+      df.filter($"vec_id" < 0L), "embedding").collect()
+    assert(empty.isEmpty)
+  }
+
+  test("covarianceStats diagonal agrees with labelScatterStats on one label") {
+    val df = Seq(
+      (1L, Array(0.3f, -0.8f)),
+      (2L, Array(0.6f, 0.25f)),
+      (3L, Array(-0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val diag = Vectors.covarianceStats(df, "embedding")
+      .filter($"i" === $"j")
+      .select($"i".as("dim"), $"n", $"sum_qi".as("sx"))
+      .as[(Int, Long, Long)].collect().toSeq
+    val scatter = Vectors.labelScatterStats(
+        df.withColumn("label", lit(0)), "label", "embedding")
+      .select($"dim", $"n", $"sx").as[(Int, Long, Long)].collect().toSeq
+    assert(diag == scatter)
+  }
 }

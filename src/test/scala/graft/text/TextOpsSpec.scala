@@ -177,4 +177,67 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     out.foreach { case (id, _, _, _, h) => assert(hist(id) == h, s"doc $id") }
   }
+
+  test("filterFunnel charges each doc to the FIRST dropping stage") {
+    // one doc per stage outcome; n_chars = text length as in the corpus
+    val docs = Seq(
+      ("a b c", "en"),                   // survives all five stages
+      ("a", "en"),                       // stage 1: too few tokens
+      ("aaaaaaaaaaaaaaaaaaaaa b", "en"), // stage 2: too many chars
+      ("aaaaaaaa bb", "en"),             // stage 3: cpt 5500 out of band
+      ("a b", "fr"),                     // stage 4: lang not allowed
+      ("a xx", "en"))                    // stage 5: blocklisted term
+      .map { case (t, l) => (t, t.length.toLong, l) }
+      .toDF("text", "n_chars", "lang")
+    val out = TextOps.filterFunnel(docs, "text", "n_chars", "lang",
+        minTokens = 2, maxChars = 20, cptLo = 1000, cptHi = 3000,
+        allowedLangs = Seq("en", "de"), blockTerm = "xx")
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "min_tokens", 6L, 5L, 1L, 833L),
+      (2, "max_chars", 5L, 4L, 1L, 666L),
+      (3, "chars_per_token", 4L, 3L, 1L, 500L),
+      (4, "lang_allowed", 3L, 2L, 1L, 333L),
+      (5, "blocklist", 2L, 1L, 1L, 166L)))
+    // conservation: next stage's docs_in is this stage's docs_kept
+    out.sliding(2).foreach { case Seq(a, b) => assert(b._3 == a._4) }
+  }
+
+  test("scriptMix counts overlapping and empty classes exactly") {
+    val docs = Seq(
+      ("abc de", "en"),   // 5 letters, 2 vowels, 1 space
+      ("aeiou", "en"),    // 5 letters, 5 vowels, 0 spaces
+      ("xyz 9", "fr"))    // 3 letters, 0 vowels, 1 space, 1 digit
+      .toDF("text", "lang")
+    val out = TextOps.scriptMix(docs, "text", "lang", Seq(
+        "letters" -> "[a-z]", "vowels" -> "[aeiou]",
+        "digits" -> "[0-9]", "spaces" -> " "))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("en", "digits", 2L, 11L, 0L, 0L),
+      ("en", "letters", 2L, 11L, 10L, 909L),
+      ("en", "spaces", 2L, 11L, 1L, 90L),
+      ("en", "vowels", 2L, 11L, 7L, 636L),
+      ("fr", "digits", 1L, 5L, 1L, 200L),
+      ("fr", "letters", 1L, 5L, 3L, 600L),
+      ("fr", "spaces", 1L, 5L, 1L, 200L),
+      ("fr", "vowels", 1L, 5L, 0L, 0L)))
+    // per-language totals are identical across that language's classes
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => (r._3, r._4)).distinct.size == 1)
+    }
+  }
+
+  test("filterFunnel: a doc violating several rules is counted once") {
+    // violates min_tokens AND blocklist — must be charged to stage 1 only
+    val docs = Seq(("xx", 2L, "fr"), ("a b", 3L, "en"))
+      .toDF("text", "n_chars", "lang")
+    val out = TextOps.filterFunnel(docs, "text", "n_chars", "lang",
+        minTokens = 2, maxChars = 20, cptLo = 500, cptHi = 3000,
+        allowedLangs = Seq("en"), blockTerm = "xx")
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._5)) ==
+      Seq((1, 1L), (2, 0L), (3, 0L), (4, 0L), (5, 0L)))
+    assert(out.last._4 == 1L, "the clean doc survives to the end")
+  }
 }
