@@ -66,6 +66,53 @@ object Caches {
     df
   }
 
+  private val memos = scala.collection.mutable.HashMap.empty[Any, Any]
+  private val memosInFlight = scala.collection.mutable.HashMap
+    .empty[Any, java.util.concurrent.CountDownLatch]
+
+  /** Memoize a derived-artifact build for the current release() epoch —
+    * the cross-QUERY analogue of [[materialize]] for artifacts whose
+    * build is driver-side iterative (the BPE merge chain runs nMerges
+    * aggregate+collect rounds, so plan-identity caching alone can't
+    * dedupe it: each caller would re-drive the loop). Key on the input
+    * plan's canonicalized form plus the build parameters; the first
+    * caller pays the build, later callers reuse the finished handles.
+    * Cleared by release() along with the persisted frames the builds
+    * track, so an epoch can never hand out unpersisted stale handles.
+    * Same latch discipline as materialize: concurrent same-key callers
+    * wait for the in-flight build rather than duplicating it. */
+  def memo[T](key: Any)(build: => T): T = {
+    while (true) {
+      val (hit, latch, isBuilder) = synchronized {
+        memos.get(key) match {
+          case Some(v) => (Some(v), null: java.util.concurrent.CountDownLatch, false)
+          case None => memosInFlight.get(key) match {
+            case Some(l) => (None, l, false)
+            case None =>
+              val l = new java.util.concurrent.CountDownLatch(1)
+              memosInFlight(key) = l
+              (None, l, true)
+          }
+        }
+      }
+      hit match {
+        case Some(v) => return v.asInstanceOf[T]
+        case None =>
+          if (isBuilder) {
+            try {
+              val v = build
+              synchronized { memos(key) = v }
+              return v
+            } finally {
+              synchronized { memosInFlight.remove(key) }
+              latch.countDown()
+            }
+          } else latch.await() // then loop: re-check memo (build may have failed)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Number of tracked handles (may exceed distinct cache entries). */
   def size: Int = synchronized(frames.size)
 
@@ -82,5 +129,6 @@ object Caches {
     frames.foreach(_.unpersist(false))
     frames.clear()
     built.clear()
+    memos.clear()
   }
 }

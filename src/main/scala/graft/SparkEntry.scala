@@ -2195,14 +2195,14 @@ object SparkEntry {
     * corpus-wide through the guarded-string replace before the next
     * count; the oracle unrolls the rounds CTE-for-CTE. */
   private def qBpeTrain(s: SparkSession, d: String): DataFrame =
-    graft.text.Search.bpeTrainMerges(t(s, d, "documents"), "doc_id", "text", nMerges = 3)
+    graft.text.Search.bpeTrainMerges(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", nMerges = 3)
       .orderBy(col("merge_rank"))
 
   /** The trained tokenizer applied corpus-wide (Search.bpeApply):
     * per-doc token counts before/after the learned merges — the
     * compression the tokenizer buys, doc by doc. */
   private def qBpeApply(s: SparkSession, d: String): DataFrame =
-    graft.text.Search.bpeApply(t(s, d, "documents"), "doc_id", "text", nMerges = 3)
+    graft.text.Search.bpeApply(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", nMerges = 3)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 

@@ -323,18 +323,48 @@ object Search {
     * scan-linear guarded-string `replace`s as training; the final
     * re-tokenization is one in-row split. */
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
-               nMerges: Int): DataFrame = {
-    val (_, merged) = bpeTrainLoop(docs, idCol, textCol, nMerges)
-    merged.select(col("id"),
-      size(TextOps.tokens(col("text0"))).cast("long").as("n_tok_before"),
-      size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
-        .cast("long").as("n_tok_after"))
-  }
+               nMerges: Int): DataFrame =
+    graft.Caches.memo(
+      ("bpeApply", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, nMerges)) {
+      val (_, merged) = bpeTrainLoop(docs, idCol, textCol, nMerges)
+      // Persist the COUNTS (3 longs/doc), not the merged corpus (two
+      // full text copies/doc): every downstream consumer (the apply
+      // row, the fertility audit) reads only the counts, and the
+      // merged string column is derived in the same single pass that
+      // builds them.
+      graft.Caches.materialize(
+        merged.select(col("id"),
+          size(TextOps.tokens(col("text0"))).cast("long").as("n_tok_before"),
+          size(expr("split(substring(s, 2, length(s) - 2), '\\\\)\\\\(')"))
+            .cast("long").as("n_tok_after"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** Shared train loop: returns (merge table, final merged corpus as
     * (id, text0, s) with `s` the guard-wrapped string after all learned
-    * merges applied). */
+    * merges applied). Memoized per (input plan, params) release-epoch
+    * and the merged corpus persisted (`Caches.memo` + `materialize`):
+    * the loop is driver-side iterative — nMerges aggregate+collect
+    * rounds — so every consumer re-running it (train row, corpus-wide
+    * apply, fertility audit) would re-pay the whole chain; in
+    * production the merge table and merged corpus are artifacts
+    * written once and read by every downstream tokenization job, and
+    * the memo is that artifact store's in-session analogue. */
   private def bpeTrainLoop(docs: DataFrame, idCol: String, textCol: String,
+                           nMerges: Int): (DataFrame, DataFrame) =
+    graft.Caches.memo(
+      ("bpeTrainLoop", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, nMerges)) {
+      // The merge table is local rows (nMerges argmax collects); the
+      // merged corpus stays LAZY — its single consumer (bpeApply)
+      // derives and persists the per-doc counts in one pass, so
+      // persisting the heavy string column here would only double the
+      // memory bill.
+      bpeTrainLoopUncached(docs, idCol, textCol, nMerges)
+    }
+
+  private def bpeTrainLoopUncached(docs: DataFrame, idCol: String, textCol: String,
                            nMerges: Int): (DataFrame, DataFrame) = {
     val sess = docs.sparkSession
     require(nMerges >= 1, s"nMerges=$nMerges must be >= 1")
@@ -344,13 +374,30 @@ object Search {
     // loudly up front — one filter scan against the corpus the loop is
     // about to scan nMerges more times. Quotes/backslashes are fine:
     // merge literals go through Column `lit`s, never SQL text.
-    val nBad = docs.filter(col(textCol).rlike("[()]")).limit(1).count()
+    // Each merge round re-scans the corpus string: left lazy, round r
+    // would re-read the raw corpus and re-apply all r−1 earlier
+    // replaces (O(nMerges²) corpus derivations across the loop). So
+    // every round's corpus is persisted and the PREDECESSOR unpersisted
+    // as soon as the successor is materialized — the same
+    // lineage-truncation the CC loop uses: live cache stays one corpus
+    // copy, each round reads its cached predecessor once, and the raw
+    // parquet is scanned exactly once (by the guard check, which warms
+    // the round-0 cache instead of running as its own raw scan).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var s = graft.Caches.track(
+      docs.select(col(idCol).as("id"), col(textCol).as("text0"),
+        concat(lit("("), regexp_replace(col(textCol), " ", ")("), lit(")")).as("s"))
+        .persist(lvl))
+    // Guard-string precondition: the encoding delimits tokens with
+    // parentheses, so a token CONTAINING '(' or ')' would silently
+    // corrupt the boundaries (wrong merges, wrong n_tok_after). Reject
+    // loudly up front. Quotes/backslashes are fine: merge literals go
+    // through Column `lit`s, never SQL text.
+    val nBad = s.filter(col("text0").rlike("[()]")).limit(1).count()
     require(nBad == 0,
       "bpeTrainLoop: corpus contains '(' or ')' which collide with the " +
         "guard-string token delimiters; strip or remap them upstream " +
         "(e.g. TextOps.normalize) before BPE training")
-    var s = docs.select(col(idCol).as("id"), col(textCol).as("text0"),
-      concat(lit("("), regexp_replace(col(textCol), " ", ")("), lit(")")).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -373,9 +420,16 @@ object Search {
         // text — an apostrophe or backslash in a token would throw a parse
         // error (or worse, let data rewrite the expression). `lit` carries
         // any byte sequence verbatim.
-        s = s.select(col("id"), col("text0"),
-          org.apache.spark.sql.functions.replace(col("s"),
-            lit(s"($w1)($w2)"), lit(s"($w1 $w2)")).as("s"))
+        val prev = s
+        s = graft.Caches.track(
+          prev.select(col("id"), col("text0"),
+            org.apache.spark.sql.functions.replace(col("s"),
+              lit(s"($w1)($w2)"), lit(s"($w1 $w2)")).as("s"))
+            .persist(lvl))
+        // Materialize the successor off the predecessor's cache, then
+        // drop the predecessor — one live corpus copy at any time.
+        s.count()
+        prev.unpersist(false)
         r += 1
       }
     }
