@@ -112,8 +112,20 @@ object Bench {
     try {
       val full = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // Provenance: bench_full.json is overwritten by every run — driver
+      // and builder hosts alike — and a number is only comparable to the
+      // yardstick under similar load (round 10's quiet-host 53.6s vs
+      // driver 73.6s on identical binaries). Record hostname, cores,
+      // 1-min load at finish, and wall time so a reader can tell which
+      // regime produced the figure instead of guessing from git history.
+      val host = try java.net.InetAddress.getLocalHost.getHostName
+        catch { case _: Throwable => "unknown" }
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val prov = s""""provenance":{"host":"$host","cpus":"$cpus",""" +
+        s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"total":$total,"passes":$passes,"agg":"median","queries":$full,"failed":$fl,"sf":"$sfDir"}""")
+        s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
     println(out)
     spark.stop()

@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // prefer few large reduce tasks for tiny post-shuffle stages
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ...but coalesce toward 8 MB targets, not the 64 MB default: the
+      // shuffles this library feeds into reduce stages are COMPRESSED
+      // gram/signature streams whose per-byte CPU (collect_list + sort,
+      // hash builds, merge walks) dwarfs scan work — at 10× sf0.1 the
+      // default target funneled the order-index build onto a single
+      // multi-second task. 8 MB keeps tiny sf0.1 stages coalescing
+      // exactly as before (they are far below either target) while
+      // CPU-heavy stages at scale keep real parallelism.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       // the compiled-codegen class cache holds 100 entries by default —
       // far below this library's registry (130+ distinct plan shapes, each
       // several codegen units), so consecutive queries evict each other

@@ -71,6 +71,17 @@ object Dedup {
     * array intersect — |A∪B| = |A|+|B|−|A∩B| — instead of a shuffled
     * group-by over matched shingle rows.
     */
+  /** Attach a SHUFFLE_HASH join hint only when `df`'s size estimate is
+    * past the broadcast threshold — i.e. exactly when the planner would
+    * otherwise fall back to a sort-merge join. Below the threshold the
+    * frame is returned unhinted so the planner's broadcast choice (no
+    * shuffle of the big side at all) stands; a hint would override it. */
+  private def shuffleHashIfBig(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    if (thresh >= 0 && bytes > thresh) df.hint("shuffle_hash") else df
+  }
+
   private def jaccardFromSets(candidates: DataFrame, sets: DataFrame,
                               threshold: Double): DataFrame = {
     // Both lookups join the IDENTICAL projection (aliased, not renamed):
@@ -137,8 +148,21 @@ object Dedup {
     // doesn't. Either way the sort disappears: canonical order comes
     // from the per-doc array_sort, which is in-row.
     val dfMap = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // SHUFFLE_HASH (size-gated) on the df map: when the vocabulary
+    // outgrows the broadcast threshold the planner's default fallback
+    // is a sort-merge join, which SORTS the whole exploded gram table
+    // by shingle — the exact sort this formulation exists to avoid
+    // (measured at 10× sf0.1: a multi-second single-task sort stage
+    // after AQE coalesced the gram shuffle by bytes). A shuffled hash
+    // join builds the per-partition vocab hash table (vocab/width rows
+    // — always the small side) and STREAMS the gram table, so the
+    // no-sort property holds at every scale. The hint is attached only
+    // when the map's estimate exceeds the broadcast threshold: a join
+    // hint OVERRIDES the planner's broadcast selection, and below the
+    // threshold the broadcast (gram table never moves at all) is the
+    // better plan — forcing SHJ there cost ~0.3 s/head at sf0.1.
     graft.Caches.materialize(
-      exploded.join(dfMap, Seq("sh"))
+      exploded.join(shuffleHashIfBig(dfMap), Seq("sh"))
         .groupBy("id")
         .agg(
           count(lit(1)).as("n_sh"),
@@ -253,7 +277,18 @@ object Dedup {
       explode(slice(col("ord_sh"), lit(1),
         (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int"))).as("sh"))
     val full = index.select(col("id"), explode(col("ord_sh")).as("sh"))
-    val cand = prefix.as("a").join(full.as("b"), Seq("sh"))
+    // Operand order was A/B'd in round 11: building the hash table from
+    // the (smaller) prefix side and probing with the full gram stream
+    // measured flat-to-worse than this orientation — the probe side
+    // carries the per-row join work, so fewer probe rows (prefix side)
+    // beats a smaller build table at this shape's sizes. Past the
+    // broadcast threshold the size-gated SHUFFLE_HASH hint (on the
+    // prefix side — the build side must be the ~(1−τ)-sized one for
+    // per-partition memory safety at corpus scale) keeps the fallback a
+    // shuffled hash join: the default sort-merge fallback sorts BOTH
+    // exploded gram streams (measured as the dominant cost of this
+    // operator at 10× sf0.1).
+    val cand = shuffleHashIfBig(prefix.as("a")).join(full.as("b"), Seq("sh"))
       .filter(col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))

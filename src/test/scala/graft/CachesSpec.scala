@@ -15,6 +15,24 @@ class CachesSpec extends SparkSpec {
     assert(df.storageLevel == StorageLevel.NONE)
   }
 
+  test("memo() builds once per key per epoch, rebuilds after release(), propagates failure") {
+    var builds = 0
+    def build(): Int = { builds += 1; builds }
+    assert(Caches.memo("memo-spec-k1")(build()) == 1)
+    assert(Caches.memo("memo-spec-k1")(build()) == 1, "same key must reuse")
+    assert(Caches.memo("memo-spec-k2")(build()) == 2, "distinct key must build")
+    Caches.release()
+    assert(Caches.memo("memo-spec-k1")(build()) == 3,
+      "release() starts a fresh epoch — stale handles must not be handed out")
+    // a failed build must not poison the key: the next caller retries
+    intercept[RuntimeException] {
+      Caches.memo("memo-spec-k3")(throw new RuntimeException("boom"))
+    }
+    assert(Caches.memo("memo-spec-k3")(build()) == 4,
+      "a failed build must leave the key buildable")
+    Caches.release()
+  }
+
   test("materialize() builds eagerly, once per plan per release() epoch") {
     // persist() alone already reports a non-NONE storage level, so the
     // eager count() and the once-per-epoch dedup are observed through the

@@ -157,6 +157,34 @@ class PortabilitySpec extends SparkSpec {
         stale.mkString(", "))
   }
 
+  test("r9 portability rows keep their BIGINT-cast hashed outputs (HUGEINT fence)") {
+    // Round 9's three driver-red rows were all the same defect: an
+    // uncast SUM(BIGINT) output column is HUGEINT in DuckDB, and int128
+    // does not round-trip through the driver's arrow/pandas comparer.
+    // The duckdb-side lint (tools/oracle_check.py) catches this at
+    // verify time; this fence catches it at TEST time — a future oracle
+    // edit that drops the CAST fails the suite before any driver run.
+    val fenced: Map[String, Seq[String]] = Map(
+      "q_centroid_cosine" -> Seq("dot_fp", "norm_a_fp", "norm_b_fp"),
+      "q_random_projection" -> Seq("comp_fp6"),
+      "q_char_entropy" -> Seq("hist_fp"))
+    fenced.foreach { case (q, cols) =>
+      val sql = SparkEntry.oracleSql(q)
+      cols.foreach { c =>
+        val castRe = ("""CAST\(.*AS BIGINT\)\s+AS """ + c).r
+        assert(castRe.findFirstIn(sql).isDefined,
+          s"$q oracle: hashed output '$c' must be produced as " +
+            s"CAST(... AS BIGINT) AS $c — an uncast SUM(BIGINT) is " +
+            "HUGEINT in DuckDB and hash-mismatches on the driver")
+      }
+    }
+    // Meta-guard: the duckdb-side lint itself must stay in place.
+    val lint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/oracle_check.py")), "UTF-8")
+    assert(lint.contains("HUGEINT"),
+      "tools/oracle_check.py lost its HUGEINT output-type lint")
+  }
+
   test("every Double/Float column in a gated output carries a portability tag") {
     val dir = "/root/testdata/sf0.001"
     // streaming rows execute a real lifecycle on invocation; their
