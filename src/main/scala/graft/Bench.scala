@@ -34,7 +34,12 @@ object Bench {
       // q_bpe_train / q_bpe_apply / q_token_fertility — bill its build
       // ONCE per bench pass on the alphabetically-first consumer and
       // let the dependents reuse it (the X104 pattern).
-      "q_bpe_apply")
+      "q_bpe_apply",
+      // r11: the unigram-LM chain (Caches.memo'd trained vocabulary,
+      // X174/X175) follows the same discipline — cold-bill the build on
+      // the alphabetically-first consumer (q_unigram_apply), q_unigram_
+      // train reuses the memo (no caching query sits between them).
+      "q_unigram_apply")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -3379,7 +3379,7 @@ object OracleSql {
          |sel123 AS (SELECT vec_id FROM sel12 UNION ALL SELECT vec_id FROM s3),
          |s4 AS (
          |${pick("sel123", "(SELECT * FROM pool WHERE vec_id NOT IN (SELECT vec_id FROM sel123))")}),
-         |sel AS (
+         |sel AS MATERIALIZED (
          |  SELECT 1 AS mmr_rank, vec_id, rel_dot, nnb FROM s1
          |  UNION ALL SELECT 2, vec_id, rel_dot, nnb FROM s2
          |  UNION ALL SELECT 3, vec_id, rel_dot, nnb FROM s3
@@ -3662,5 +3662,139 @@ object OracleSql {
          |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |       CAST(count(DISTINCT $fpExpr) AS BIGINT) AS n_distinct_fp,
          |       CAST((1000 * (count(*) - count(DISTINCT $fpExpr))) // count(*) AS BIGINT) AS dup_permille
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+
+    // Unigram-LM tokenizer (Kudo 2018, hard-EM): costs are
+    // fp6-quantized −ln (the audited q_tfidf transcendental pattern);
+    // every DP comparison after quantization is exact BIGINT
+    // arithmetic. See unigramSql below for the segmentation mirror.
+    "q_unigram_train" -> unigramSql(applyMode = false),
+    "q_unigram_apply" -> unigramSql(applyMode = true))
+
+  /** Shared generator for the unigram-LM train/apply oracles — mirrors
+    * graft.text.Unigram with maxPieceLen=4, maxWordLen=16, rounds=2,
+    * minCount=2, vocabSize=64 (the registry rows' parameters).
+    *
+    * Segmentation is mirrored as a fully UNROLLED, NON-RECURSIVE
+    * Viterbi DP + greedy backtrace (maxWordLen chained CTEs each):
+    * dp_p = min over piece length l of dp_(p-l) + cost(piece at
+    * (p, l)); the backtrace takes at each landed position the SMALLEST
+    * l that reproduces dp — exactly the engine's tie-break, which
+    * UnigramSpec proves equal to the lexicographic minimum over
+    * min-cost paths by brute-force path enumeration. (An earlier
+    * path-enumeration oracle — recursive CTE, <= 2^(len-1) paths per
+    * word — validated this DP form value-exactly at sf0.001/sf0.01 but
+    * cost ~65 s of DuckDB gate time at sf0.01 and ~500 s at sf0.1; the
+    * DP form is linear in word length and keeps both rows in the
+    * non-recursive yardstick set.) Single-character pieces always stay
+    * in the vocabulary, so every dp state is reachable and the joins
+    * are total. */
+  private def unigramSql(applyMode: Boolean): String = {
+    val mpl = 4; val mwl = 16; val minCount = 2; val vocabSize = 64
+    // Unrolled Viterbi DP + greedy backtrace over vocabulary CTE
+    // `vocabCte` (piece, ..., cost): emits seg$r = one row per
+    // (w, chosen-piece occurrence).
+    def segBlock(r: String, vocabCte: String): String = {
+      val cand =
+        s"""cand$r AS MATERIALIZED (
+  SELECT wrd.w, CAST(p.p AS INT) AS p, CAST(l.l AS INT) AS l, v.cost
+  FROM wrd, range(1, ${mwl + 1}) p(p), range(1, ${mpl + 1}) l(l), $vocabCte v
+  WHERE p.p <= length(wrd.w) AND l.l <= p.p
+    AND v.piece = substring(wrd.w, CAST(p.p AS INT) - CAST(l.l AS INT) + 1, CAST(l.l AS INT)))"""
+      val dp0 = s"dp${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS c FROM wrd)"
+      val dps = (1 to mwl).map { p =>
+        val arms = (1 to math.min(mpl, p)).map { l =>
+          s"    SELECT d.w, d.c + cd.cost AS c FROM dp${r}_${p - l} d" +
+            s" JOIN cand$r cd ON cd.w = d.w AND cd.p = $p AND cd.l = $l"
+        }.mkString("\n    UNION ALL\n")
+        s"dp${r}_$p AS MATERIALIZED (\n  SELECT w, MIN(c) AS c FROM (\n$arms) GROUP BY w)"
+      }
+      val dpall = s"dpall$r AS MATERIALIZED (\n  " +
+        (0 to mwl).map(p => s"SELECT w, $p AS p, c FROM dp${r}_$p")
+          .mkString("\n  UNION ALL\n  ") + ")"
+      val step =
+        s"""step$r AS MATERIALIZED (
+  SELECT c.w, c.p, CAST(MIN(c.l) AS INT) AS lstar
+  FROM cand$r c
+  JOIN dpall$r a ON a.w = c.w AND a.p = c.p - c.l
+  JOIN dpall$r b ON b.w = c.w AND b.p = c.p
+  WHERE a.c + c.cost = b.c
+  GROUP BY c.w, c.p)"""
+      val wk0 = s"wk${r}_0 AS MATERIALIZED (SELECT w, CAST(length(w) AS INT) AS pos FROM wrd)"
+      val wks = (1 until mwl).map { k =>
+        s"wk${r}_$k AS MATERIALIZED (SELECT k.w, k.pos - s.lstar AS pos" +
+          s" FROM wk${r}_${k - 1} k JOIN step$r s ON s.w = k.w AND s.p = k.pos" +
+          s" WHERE k.pos - s.lstar > 0)"
+      }
+      val visited = (0 until mwl).map(k => s"SELECT w, pos FROM wk${r}_$k")
+        .mkString("\n    ", "\n    UNION ALL\n    ", "")
+      val seg =
+        s"""seg$r AS MATERIALIZED (
+  SELECT u.w, substring(u.w, u.pos - s.lstar + 1, s.lstar) AS piece
+  FROM ($visited) u
+  JOIN step$r s ON s.w = u.w AND s.p = u.pos)"""
+      (Seq(cand, dp0) ++ dps ++ Seq(dpall, step, wk0) ++ wks ++ Seq(seg))
+        .mkString(",\n")
+    }
+    def roundBlock(rr: Int): String =
+      s"""${segBlock(rr.toString, s"v${rr - 1}")},
+usage$rr AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS u
+  FROM seg$rr JOIN wrd USING (w) GROUP BY piece),
+vv$rr AS MATERIALIZED (
+  SELECT s.piece, GREATEST(COALESCE(u.u, 0), 1) AS c
+  FROM (SELECT piece FROM v${rr - 1} WHERE length(piece) = 1) s
+  LEFT JOIN usage$rr u USING (piece)
+  UNION ALL
+  SELECT piece, u AS c FROM usage$rr WHERE length(piece) > 1 AND u >= $minCount),
+v$rr AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM vv$rr) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+  FROM vv$rr)"""
+    val header =
+      s"""WITH
+wrd AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w),
+sub AS MATERIALIZED (
+  SELECT wrd.w, wrd.c_w,
+         substring(wrd.w, CAST(p.p AS INT) - CAST(l.l AS INT) + 1, CAST(l.l AS INT)) AS piece
+  FROM wrd, range(1, ${mwl + 1}) p(p), range(1, ${mpl + 1}) l(l)
+  WHERE p.p <= length(wrd.w) AND l.l <= p.p),
+seed AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS c FROM sub GROUP BY piece
+  HAVING length(piece) = 1 OR SUM(c_w) >= $minCount),
+v0 AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM seed) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+  FROM seed),
+${roundBlock(1)},
+${roundBlock(2)},
+sel AS MATERIALIZED (
+  SELECT piece, c, cost FROM v2 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c, cost FROM (
+    SELECT piece, c, cost, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM v2 WHERE length(piece) > 1)
+  WHERE rn <= $vocabSize - (SELECT count(*) FROM v2 WHERE length(piece) = 1))"""
+    if (!applyMode)
+      s"""$header
+SELECT piece, c AS n_used, cost AS cost_fp6 FROM sel
+ORDER BY n_used DESC, piece"""
+    else
+      s"""$header,
+${segBlock("A", "sel")},
+nps AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS np FROM segA GROUP BY w)
+SELECT t.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(b.np) * 1000 // count(*) AS BIGINT) AS pieces_per_word_permille
+FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents) t
+JOIN nps b USING (w)
+WHERE length(t.w) > 0
+GROUP BY t.id
+ORDER BY doc_id"""
+  }
 }

@@ -2206,6 +2206,27 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Unigram-LM tokenizer TRAINING (Unigram.unigramTrain — Kudo 2018,
+    * SentencePiece's model family, hard-EM variant): substring-seeded
+    * vocabulary, two Viterbi-EM rounds over the DISTINCT-word table
+    * (vocabulary-bounded — the corpus is scanned once for word counts),
+    * single-character pieces protected, final inventory cut to
+    * vocabSize. The mainstream tokenizer family next to BPE; fertility/
+    * coverage comparisons across the two is the production decision. */
+  private def qUnigramTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.Unigram.unigramTrain(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .orderBy(col("n_used").desc, col("piece"))
+
+  /** Corpus-wide unigram-tokenizer APPLY (Unigram.unigramApply):
+    * per-document piece counts under the trained vocabulary — one
+    * Viterbi pass over distinct words broadcast back onto the token
+    * stream; shares the memoized trained vocabulary with the train
+    * row (the BPE-chain artifact discipline). */
+  private def qUnigramApply(s: SparkSession, d: String): DataFrame =
+    graft.text.Unigram.unigramApply(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   private def qPhraseMining(s: SparkSession, d: String): DataFrame =
     graft.text.Search.phraseMining(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       delta = 5, minCount = 10, topK = 20)
@@ -3078,6 +3099,8 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_image_dedup" -> (qImageDedup _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_apply" -> (qUnigramApply _),
     "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),
