@@ -39,7 +39,10 @@ object Bench {
       // X174/X175) follows the same discipline — cold-bill the build on
       // the alphabetically-first consumer (q_unigram_apply), q_unigram_
       // train reuses the memo (no caching query sits between them).
-      "q_unigram_apply")
+      "q_unigram_apply",
+      // r11: the PCA pair (X176/X177) shares the memoized covariance
+      // collect — cold-bill it on q_pca_power, q_pca_project reuses.
+      "q_pca_power")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -3664,6 +3664,16 @@ object OracleSql {
          |       CAST((1000 * (count(*) - count(DISTINCT $fpExpr))) // count(*) AS BIGINT) AS dup_permille
          |FROM documents""".stripMargin,
 
+    // PCA power iteration (X176/X177): the engine collects the O(d^2)
+    // covariance triangle and iterates driver-side in exact BigInt;
+    // the oracle mirrors the IDENTICAL integer arithmetic as 8
+    // unrolled matvec CTE rounds (AS MATERIALIZED -- the unigram
+    // lesson) with sign-split renormalizing division so floor == trunc
+    // on nonnegatives in both engines. HUGEINT intermediates, BIGINT
+    // outputs.
+    "q_pca_power" -> pcaSql(projectMode = false),
+    "q_pca_project" -> pcaSql(projectMode = true),
+
     // Unigram-LM tokenizer (Kudo 2018, hard-EM): costs are
     // fp6-quantized −ln (the audited q_tfidf transcendental pattern);
     // every DP comparison after quantization is exact BIGINT
@@ -3796,5 +3806,72 @@ JOIN nps b USING (w)
 WHERE length(t.w) > 0
 GROUP BY t.id
 ORDER BY doc_id"""
+  }
+
+  /** Shared generator for the PCA power-iteration oracles — mirrors
+    * graft.similarity.Vectors.pcaPower/pcaProject with iters=8:
+    * C(i,j) = n*sum_qq - s_i*s_j off the q_embed_covariance triangle,
+    * v0 = all 1e6, each round u = C*v then v = sgn(u)*(|u|*1e6 //
+    * max|u|) -- exact HUGEINT arithmetic, identical to the engine's
+    * BigInt loop. */
+  private def pcaSql(projectMode: Boolean): String = {
+    val iters = 8
+    val rounds = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (
+  SELECT cm.i AS dim, SUM(cm.c * p.v) AS u
+  FROM cm JOIN v${k - 1} p ON p.dim = cm.j GROUP BY cm.i),
+m$k AS MATERIALIZED (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u$k),
+v$k AS MATERIALIZED (
+  SELECT dim, CASE WHEN u < 0 THEN -((-u) * 1000000 // (SELECT m FROM m$k))
+              ELSE u * 1000000 // (SELECT m FROM m$k) END AS v FROM u$k)"""
+    }.mkString(",\n")
+    val header =
+      s"""WITH
+q AS MATERIALIZED (
+  SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) // 1000 AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  WHERE embedding IS NOT NULL),
+tri AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.qv) AS BIGINT) AS si,
+         CAST(sum(b.qv) AS BIGINT) AS sj,
+         CAST(sum(a.qv * b.qv) AS BIGINT) AS sqq
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2),
+cm AS MATERIALIZED (
+  SELECT i, j, CAST(n AS HUGEINT) * sqq - CAST(si AS HUGEINT) * sj AS c FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, CAST(n AS HUGEINT) * sqq - CAST(si AS HUGEINT) * sj AS c
+  FROM tri WHERE i < j),
+v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(1000000 + i AS HUGEINT) AS v FROM tri),
+$rounds"""
+    if (!projectMode)
+      s"""$header,
+cv AS MATERIALIZED (
+  SELECT cm.i AS dim, SUM(cm.c * p.v) AS u
+  FROM cm JOIN v$iters p ON p.dim = cm.j GROUP BY cm.i),
+sc AS MATERIALIZED (
+  SELECT (SELECT SUM(v$iters.v * cv.u) FROM v$iters JOIN cv USING (dim)) AS num,
+         (SELECT SUM(v * v) FROM v$iters) * (SELECT SUM(c) FROM cm WHERE i = j) AS den)
+SELECT v$iters.dim AS dim, CAST(v$iters.v AS BIGINT) AS v_fp6,
+       CAST(CASE WHEN (SELECT den FROM sc) = 0 THEN 0
+            ELSE (SELECT num FROM sc) * 1000 // (SELECT den FROM sc) END AS BIGINT)
+         AS ev_permille
+FROM v$iters ORDER BY dim"""
+    else
+      s"""$header,
+dotp AS MATERIALIZED (
+  SELECT q.vec_id, SUM(CAST(q.qv AS HUGEINT) * v$iters.v) AS dp
+  FROM q JOIN v$iters ON v$iters.dim = q.dim GROUP BY q.vec_id),
+kk AS MATERIALIZED (
+  SELECT SUM(CAST(tri.si AS HUGEINT) * v$iters.v) AS k,
+         MAX(tri.n) AS n
+  FROM tri JOIN v$iters ON v$iters.dim = tri.i WHERE tri.i = tri.j),
+mt AS MATERIALIZED (
+  SELECT CASE WHEN k < 0 THEN -((-k) // n) ELSE k // n END AS m FROM kk)
+SELECT vec_id, CAST(dp - (SELECT m FROM mt) AS BIGINT) AS pc1
+FROM dotp ORDER BY vec_id"""
   }
 }

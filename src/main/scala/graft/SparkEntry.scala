@@ -2899,6 +2899,21 @@ object SparkEntry {
   private def qEmbedCovariance(s: SparkSession, d: String): DataFrame =
     Vectors.covarianceStats(spread(t(s, d, "embeddings"), "vec_id"), "embedding")
 
+  /** Dominant covariance eigenvector by integer-renormalized power
+    * iteration (X176 — Vectors.pcaPower): one OuterProductSumFp corpus
+    * pass, O(d²) driver collect, 8 exact-BigInt iterations; plus the
+    * explained-variance share. */
+  private def qPcaPower(s: SparkSession, d: String): DataFrame =
+    Vectors.pcaPower(spread(t(s, d, "embeddings"), "vec_id"), "embedding")
+      .orderBy(col("dim"))
+
+  /** Centered PC1 projection of the whole store (X177 —
+    * Vectors.pcaProject): one narrow scan dotting against the
+    * broadcast-literal direction; shares the memoized covariance
+    * collect with q_pca_power. */
+  private def qPcaProject(s: SparkSession, d: String): DataFrame =
+    Vectors.pcaProject(spread(t(s, d, "embeddings"), "vec_id"), "vec_id", "embedding")
+
   /** Filter-chain attrition funnel (X171 — see text.TextOps
     * .filterFunnel): five fixed-order cleaning stages, docs charged to
     * the FIRST stage that drops them, cumulative keep rate in integer
@@ -2962,6 +2977,8 @@ object SparkEntry {
     "q_knn_triangles" -> (qKnnTriangles _),
     "q_dataset_card" -> (qDatasetCard _),
     "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_pca_project" -> (qPcaProject _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_script_mix" -> (qScriptMix _),
     "q_source_balance" -> (qSourceBalance _),

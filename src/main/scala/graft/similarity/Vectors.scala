@@ -717,19 +717,22 @@ object Vectors {
     (cb, dim / m)
   }
 
-  /** Exact integer squared-L2 between subvector `j` of the row's fv and
-    * codebook entry `c` — the subtree appears exactly once per (j, c) in
-    * the argmin array below. Expanded to ‖x‖² − 2x·c + ‖c‖² (an exact
-    * integer identity) so both dots run through the native DotProductFp
-    * kernel and ‖c‖² folds to a literal: the per-element interpreted
-    * zip_with/aggregate lambda chain this replaces was the scan's
-    * dominant cost, and the kernel form keeps the whole distance inside
-    * codegen. */
+  /** ARGMIN KEY for the squared-L2 between subvector `j` of the row's
+    * fv and codebook entry `c` — the subtree appears exactly once per
+    * (j, c) in the argmin array below. The exact integer identity
+    * ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² lets the ‖x‖² term DROP: it is
+    * constant across the codes of one subspace, so the argmin (and its
+    * exact-equality tie structure — a uniform shift) is unchanged while
+    * the plan loses half its dot-product subtrees (the round-11 64 KB
+    * janino fence: the full-identity form pushed the m·k struct array
+    * past the whole-stage-codegen method limit and the whole scan fell
+    * back to interpreted eval). The one dot runs through the native
+    * DotProductFp kernel and ‖c‖² folds to a literal. */
   private def pqDist(cb: Seq[Seq[Long]], sub: Int)(j: Int, c: Int): Column = {
     val entry = cb(c).slice(j * sub, (j + 1) * sub)
     val cbArr = array(entry.map(lit): _*)
     val sv = slice(col("fv"), j * sub + 1, sub)
-    dotFp(sv, sv) - lit(2L) * dotFp(sv, cbArr) + lit(entry.map(x => x * x).sum)
+    lit(entry.map(x => x * x).sum) - lit(2L) * dotFp(sv, cbArr)
   }
 
   private def pqBestCode(cb: Seq[Seq[Long]], sub: Int)(j: Int): Column =
@@ -831,8 +834,13 @@ object Vectors {
                    m: Int, cb: Seq[Seq[Long]]): Long = {
     val fvAll = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
     val sub = cb.head.size / m
-    def minD(j: Int): Column = array_min(array(cb.indices.map(c =>
-      struct(pqDist(cb, sub)(j, c).as("d"), lit(c).as("c"))): _*)).getField("d")
+    // pqDist is the ‖x‖²-dropped ARGMIN key; the true distortion adds
+    // the per-subspace ‖x_j‖² back (once, outside the argmin).
+    def minD(j: Int): Column = {
+      val sv = slice(col("fv"), j * sub + 1, sub)
+      dotFp(sv, sv) + array_min(array(cb.indices.map(c =>
+        struct(pqDist(cb, sub)(j, c).as("d"), lit(c).as("c"))): _*)).getField("d")
+    }
     fvAll.select((0 until m).map(minD).reduce(_ + _).as("d"))
       .agg(sum(col("d"))).collect()(0).getLong(0)
   }
@@ -992,5 +1000,110 @@ object Vectors {
           .otherwise(round((v.cast("double") - mn) * 255d / (mx - mn)).cast("int")))
         .as("codes"),
       mn.as("q_min"), mx.as("q_max"))
+  }
+
+  /** Collected covariance sufficient statistics for the PCA rows —
+    * O(d²) rows by construction (the ONLY driver traffic; the corpus
+    * pass is the one-buffer-per-partition OuterProductSumFp aggregate
+    * behind covarianceStats). Memoized so the power-iteration model and
+    * the corpus projection bill one corpus scan between them. */
+  private def pcaStats(vectors: DataFrame, vecCol: String)
+  : Array[(Int, Int, Long, Long, Long, Long)] =
+    graft.Caches.memo(
+      ("pcaStats", vectors.queryExecution.logical.canonicalized, vecCol)) {
+      covarianceStats(vectors, vecCol).collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    }
+
+  /** Scaled covariance matrix C(i,j) = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (exact BigInt
+    * — n·covariance·n, positive-semidefinite), per-dim sums s(i), and
+    * n, from the collected triangle. */
+  private def pcaMatrix(stats: Array[(Int, Int, Long, Long, Long, Long)])
+  : (Array[Array[BigInt]], Array[BigInt], BigInt) = {
+    val d = stats.map(_._2).max + 1
+    val n = BigInt(stats.head._3)
+    val s = Array.fill(d)(BigInt(0))
+    stats.foreach { case (i, j, _, sqi, _, _) => if (i == j) s(i) = BigInt(sqi) }
+    val c = Array.ofDim[BigInt](d, d)
+    stats.foreach { case (i, j, _, sqi, sqj, sqq) =>
+      val v = n * BigInt(sqq) - BigInt(sqi) * BigInt(sqj)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    (c, s, n)
+  }
+
+  /** `iters` rounds of integer-renormalized power iteration from the
+    * v0(i) = 1e6 + i start (NOT all-ones: a deterministic symmetry
+    * breaker, since an exactly anti-correlated pair of dimensions makes
+    * the dominant eigenvector orthogonal to the ones vector and C·1 a
+    * hard zero): u = C·v exact, then v ← sgn(u)·(|u|·1e6 div max|u|) —
+    * the sign-split makes the integer division operate on nonnegatives
+    * only, where floor ≡ truncate in every engine (the X160 floor-div
+    * discipline). Deterministic by construction; the contract IS the
+    * 8-iteration method, not a convergence promise. */
+  private def powerIterate(c: Array[Array[BigInt]], iters: Int)
+  : Array[BigInt] = {
+    val d = c.length
+    var v = Array.tabulate(d)(i => BigInt(Scale) + i)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = u.map(_.abs).max.max(BigInt(1))
+      v = u.map(x => if (x < 0) -((-x) * Scale / m) else x * Scale / m)
+    }
+    v
+  }
+
+  /** Dominant principal direction of the embedding store by
+    * integer-renormalized power iteration over the EXACT scaled
+    * covariance — the "apply half" of the X170 sufficient statistics:
+    * the corpus contributes one OuterProductSumFp pass, the O(d²)
+    * matrix collects to the driver (the PQ-codebook precedent) and the
+    * d-step iteration runs there in exact BigInt, so both engines
+    * reproduce every component bit-for-bit. Returns one row per
+    * dimension (dim, v_fp6 ∈ [−1e6, 1e6]) plus the explained-variance
+    * share ev_permille = 1000·vᵀCv div (vᵀv·trace C) — the number a
+    * curator reads ("is this store one boilerplate direction in a
+    * trench coat"). */
+  def pcaPower(vectors: DataFrame, vecCol: String, iters: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val stats = pcaStats(vectors, vecCol)
+    if (stats.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("dim", "v_fp6", "ev_permille")
+    val (c, _, _) = pcaMatrix(stats)
+    val d = c.length
+    val v = powerIterate(c, iters)
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => v(i) * cv(i)).sum
+    val den = (0 until d).map(i => v(i) * v(i)).sum * trace
+    val ev = if (den.signum == 0) BigInt(0) else num * 1000 / den
+    (0 until d).map(i => (i, v(i).toLong, ev.toLong))
+      .toDF("dim", "v_fp6", "ev_permille")
+  }
+
+  /** Centered projection of every vector onto the power-iteration
+    * direction: pc1 = q·v − sgn(K)·(|K| div n) with K = Σᵢ s(i)·v(i) —
+    * the truncated-mean centering keeps the whole contract in exact
+    * BIGINT (|q·v| ≤ d·1e3·1e6, no overflow at any corpus size; the
+    * mean term is an O(1) driver scalar). The corpus-side work is ONE
+    * narrow scan: quantize, dot against the broadcast-literal
+    * direction, subtract a constant. */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 8): DataFrame = {
+    val stats = pcaStats(vectors, vecCol)
+    require(stats.nonEmpty, "pcaProject: empty embedding store")
+    val (c, s, n) = pcaMatrix(stats)
+    val v = powerIterate(c, iters)
+    val k = (0 until c.length).map(i => s(i) * v(i)).sum
+    val meanTerm = (if (k < 0) -((-k) / n) else k / n).toLong
+    val vLit = typedLit(v.map(_.toLong).toSeq)
+    vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), fixedPoint(col(vecCol)).as("fv"))
+      .select(col("vec_id"),
+        (dotFp(expr("transform(fv, x -> x div 1000)"), vLit)
+          - lit(meanTerm)).as("pc1"))
+      .orderBy(col("vec_id"))
   }
 }

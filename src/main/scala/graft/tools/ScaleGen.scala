@@ -13,9 +13,11 @@ import graft.Sessions
   * replica salt, so all shingles differ across replicas, intra-replica
   * duplicate structure is identical, and total near-dup pairs scale
   * linearly with N — the natural model of "10× more crawl of the same
-  * kind of web". Embeddings get a deterministic per-replica, per-dim
-  * jitter (hash-derived, ±0.5%) so cross-replica vectors are close but
-  * not identical — ANN/kNN neighborhood sizes stay ~constant per point.
+  * kind of web". Embeddings get a deterministic per-replica SIGNED
+  * PERMUTATION of dimensions (an orthogonal transform — exact
+  * intra-replica geometry, decorrelated cross-replica similarities) so
+  * ANN/kNN neighborhood sizes stay ~constant per point as the store
+  * grows.
   *
   * Usage: runMain graft.tools.ScaleGen <baseSfDir> <outDir> <factor>
   */
@@ -44,17 +46,32 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // Replica k > 0 applies a SIGNED PERMUTATION of the dimensions
+    // (an orthogonal transform): intra-replica geometry — norms, dot
+    // products, neighborhoods, cluster structure — is preserved
+    // EXACTLY, while cross-replica similarities decorrelate, so each
+    // point's near-neighborhood stays ~constant size as the store
+    // grows (the honest "10× more independent content" model). The
+    // first version multiplied each component by a ±0.5% jitter
+    // instead, which kept every replica at cosine ≈ 0.9999 to its
+    // original — neighborhoods densified ×N and the fixed-`bits`
+    // LSH-bucket joins (Σ|bucket|² scoring work) measured 21× at ×10,
+    // an artifact of the generator, not the operator. Permutation
+    // i → (i·(2k+1) + k) mod d is a bijection for any k when d is a
+    // power of two (2k+1 odd ⇒ coprime); signs come from xxhash64.
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("k") * maxVec).as("vec_id"),
         when(col("k") === 0, col("embedding")).otherwise(
-          zip_with(col("embedding"),
+          transform(
             sequence(lit(0), size(col("embedding")) - 1),
-            (x, i) => (x * (lit(1.0f) +
-              (pmod(xxhash64(col("vec_id"), col("k"), i), lit(1000L))
-                .cast("float") - 500f) / 100000f)).cast("float")))
+            i => (element_at(col("embedding"),
+              (pmod(i * (col("k") * 2 + 1) + col("k"),
+                size(col("embedding"))) + 1).cast("int")) *
+              when(pmod(xxhash64(col("k"), i), lit(2L)) === 0, 1f)
+                .otherwise(-1f)).cast("float")))
           .as("embedding"),
         col("label"))
       .repartition(32)
