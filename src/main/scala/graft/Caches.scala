@@ -24,6 +24,16 @@ object Caches {
     .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.util.concurrent.CountDownLatch]
 
+  /** Bumped by every release(). Builders snapshot it at build start and
+    * refuse to publish into a LATER epoch: a build in flight while
+    * release() runs had its persisted frames unpersisted out from under
+    * it, so storing its handles afterwards would hand the next epoch
+    * stale (unpersisted) artifacts — the one hole in the "an epoch never
+    * hands out unpersisted handles" contract. The racing builder's own
+    * caller still gets the value (semantically correct — an unpersisted
+    * frame recomputes on use, merely cold); it is just not memoized. */
+  private var epoch: Long = 0L
+
   /** Register an already-persisted frame; returns it for chaining. */
   def track(df: DataFrame): DataFrame = synchronized { frames += df; df }
 
@@ -43,21 +53,21 @@ object Caches {
     // build, not sail past it (returning early re-opens the lazy-build
     // race this method exists to close); and a failed count() must not
     // mark the key built, or the eager build is skipped for the epoch.
-    val (latch, isBuilder) = synchronized {
+    val (latch, isBuilder, e0) = synchronized {
       frames += df
-      if (built.contains(key)) (null, false)
+      if (built.contains(key)) (null, false, epoch)
       else inFlight.get(key) match {
-        case Some(l) => (l, false)
+        case Some(l) => (l, false, epoch)
         case None =>
           val l = new java.util.concurrent.CountDownLatch(1)
           inFlight(key) = l
-          (l, true)
+          (l, true, epoch)
       }
     }
     if (isBuilder) {
       try {
         df.count()
-        synchronized { built += key }
+        synchronized { if (epoch == e0) built += key }
       } finally {
         synchronized { inFlight.remove(key) }
         latch.countDown()
@@ -83,15 +93,15 @@ object Caches {
     * wait for the in-flight build rather than duplicating it. */
   def memo[T](key: Any)(build: => T): T = {
     while (true) {
-      val (hit, latch, isBuilder) = synchronized {
+      val (hit, latch, isBuilder, e0) = synchronized {
         memos.get(key) match {
-          case Some(v) => (Some(v), null: java.util.concurrent.CountDownLatch, false)
+          case Some(v) => (Some(v), null: java.util.concurrent.CountDownLatch, false, epoch)
           case None => memosInFlight.get(key) match {
-            case Some(l) => (None, l, false)
+            case Some(l) => (None, l, false, epoch)
             case None =>
               val l = new java.util.concurrent.CountDownLatch(1)
               memosInFlight(key) = l
-              (None, l, true)
+              (None, l, true, epoch)
           }
         }
       }
@@ -101,7 +111,10 @@ object Caches {
           if (isBuilder) {
             try {
               val v = build
-              synchronized { memos(key) = v }
+              // Publish only into the epoch the build started in (see
+              // `epoch`): a release() mid-build unpersisted this value's
+              // frames, so the next epoch must rebuild, not reuse.
+              synchronized { if (epoch == e0) memos(key) = v }
               return v
             } finally {
               synchronized { memosInFlight.remove(key) }
@@ -126,6 +139,7 @@ object Caches {
     * build markers are left alone: their builders' finally blocks remove
     * them and release their waiters regardless of epoch. */
   def release(): Unit = synchronized {
+    epoch += 1
     frames.foreach(_.unpersist(false))
     frames.clear()
     built.clear()

@@ -3811,9 +3811,10 @@ ORDER BY doc_id"""
   /** Shared generator for the PCA power-iteration oracles — mirrors
     * graft.similarity.Vectors.pcaPower/pcaProject with iters=8:
     * C(i,j) = n*sum_qq - s_i*s_j off the q_embed_covariance triangle,
-    * v0 = all 1e6, each round u = C*v then v = sgn(u)*(|u|*1e6 //
-    * max|u|) -- exact HUGEINT arithmetic, identical to the engine's
-    * BigInt loop. */
+    * v0(i) = 1e6 + i (the symmetry-breaking start both engines use —
+    * an all-equal v0 can sit in a reflection-invariant subspace), each
+    * round u = C*v then v = sgn(u)*(|u|*1e6 // max|u|) -- exact HUGEINT
+    * arithmetic, identical to the engine's BigInt loop. */
   private def pcaSql(projectMode: Boolean): String = {
     val iters = 8
     val rounds = (1 to iters).map { k =>

@@ -113,6 +113,36 @@ class CachesSpec extends SparkSpec {
     }
   }
 
+  test("a memo build racing release() is not published into the next epoch") {
+    // Builder starts in epoch E, release() bumps to E+1 mid-build: the
+    // builder's caller still gets its value, but the memo map must NOT
+    // retain it — the next caller rebuilds (its persisted frames were
+    // unpersisted by the release).
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val mayFinish = new java.util.concurrent.CountDownLatch(1)
+    var builds = 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val f = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Caches.memo("memo-race-k") {
+          builds += 1; inBuild.countDown()
+          assert(mayFinish.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          builds
+        }
+      })
+      assert(inBuild.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      Caches.release() // epoch bump while the build is in flight
+      mayFinish.countDown()
+      assert(f.get(30, java.util.concurrent.TimeUnit.SECONDS) == 1,
+        "the racing builder's own caller still gets the value")
+      assert(Caches.memo("memo-race-k") { builds += 1; builds } == 2,
+        "the raced value must not be memoized into the new epoch")
+    } finally {
+      pool.shutdownNow()
+      Caches.release()
+    }
+  }
+
   test("dedup pipelines register their internal persists with the registry") {
     val before = Caches.size
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
