@@ -98,8 +98,12 @@ object OracleSql {
     s"CAST(list_sum(list_transform(range(1, len($q.fv) + 1), i -> $q.fv[i] * $c.fv[i])) AS DOUBLE)" +
       s" / (sqrt(CAST($q.nn AS DOUBLE)) * sqrt(CAST($c.nn AS DOUBLE)))"
 
-  /** Sign-LSH bucket over the first 4 raw float components
-    * (mirrors Vectors.signBucket(bits = 4)). */
+  /** Sign-LSH bucket over the first 4 raw float components. The engine
+    * self-sizes the width from the corpus cardinality
+    * (Vectors.bitsFor: clamp(ceil(log2 n) - 7, 4, 24)); every gate/bench
+    * corpus (500–2 000 vectors) resolves to the 4-bit FLOOR, which is
+    * what this mirror pins — a corpus past 2^11 vectors would need the
+    * oracle width raised in lockstep. */
   private val bucket4Expr =
     (1 to 4).map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")

@@ -2245,7 +2245,7 @@ object SparkEntry {
 
   private def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Vectors.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5, bits = 4)
+    Vectors.lshTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
       .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2255,7 +2255,7 @@ object SparkEntry {
     * cost; same index layout. */
   private def qAnnLshMp(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Vectors.lshTopKMultiProbe(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5, bits = 4)
+    Vectors.lshTopKMultiProbe(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5)
       .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2288,7 +2288,7 @@ object SparkEntry {
     * (Vectors.knnGraph): bucket equi-self-join + bounded top-k — the
     * input artifact of graph-based curation. */
   private def qKnnGraph(s: SparkSession, d: String): DataFrame =
-    Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3, bits = 4)
+    Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
       .orderBy(col("src_id"), col("rank"))
 
   /** Join-key skew diagnostics — the pre-flight a 100 TB join runs
@@ -2315,7 +2315,7 @@ object SparkEntry {
 
   private def qEmbedNearDup(s: SparkSession, d: String): DataFrame =
     Vectors.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, bits = 4)
+      threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SemDeDup-style semantic dedup END-TO-END (Abbas et al. 2023,
@@ -2331,7 +2331,7 @@ object SparkEntry {
   private def qSemDedup(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val pairs = Vectors.nearDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.4, bits = 4)
+      threshold = 0.4)
     val clusters = Dedup.connectedComponents(pairs)
     emb.select(col("vec_id"))
       .join(clusters, col("vec_id") === col("id"), "left")
@@ -2726,7 +2726,7 @@ object SparkEntry {
     val qs = emb.filter(col("vec_id") < 5)
     val bf = Vectors.bruteForceTopK(qs, emb, "vec_id", "embedding", 10)
       .select(col("query_id"), col("match_id"))
-    val lsh = Vectors.lshTopK(qs, emb, "vec_id", "embedding", 10, bits = 4)
+    val lsh = Vectors.lshTopK(qs, emb, "vec_id", "embedding", 10)
       .select(col("query_id"), col("match_id"))
     val nBf = bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_bf"))
     val hits = bf.join(lsh, Seq("query_id", "match_id"), "left_semi")
@@ -2848,23 +2848,24 @@ object SparkEntry {
       .orderBy(col("mmr_rank"))
 
   /** kNN-graph triangle census (X163 — see ops.Graphs.triangleCounts):
-    * local clustering of the q_knn_graph edge set (k=3, 4-bit
-    * sign-LSH candidates), per-vertex degree + exact triangle count. */
+    * local clustering of the q_knn_graph edge set (k=3, data-sized
+    * sign-LSH candidates — Vectors.bitsFor), per-vertex degree + exact
+    * triangle count. */
   private def qKnnTriangles(s: SparkSession, d: String): DataFrame =
     graft.ops.Graphs.triangleCounts(
         Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 3, bits = 4),
+          k = 3),
         "src_id", "dst_id")
       .withColumnRenamed("v", "vec_id")
       .orderBy(col("vec_id"))
 
   /** Contrastive triplet mining (X166 — see
     * similarity.Vectors.contrastiveTriplets): anchors vec_id < 5,
-    * 4-bit sign-LSH candidates, positive = in-bucket top-1, hard
+    * data-sized sign-LSH candidates, positive = in-bucket top-1, hard
     * negatives = top-3 below cosine 0.9. */
   private def qHardNegatives(s: SparkSession, d: String): DataFrame =
     Vectors.contrastiveTriplets(t(s, d, "embeddings"), "vec_id", "embedding",
-        anchorPred = col("vec_id") < 5, bits = 4, posMax = 0.9, k = 3)
+        anchorPred = col("vec_id") < 5, posMax = 0.9, k = 3)
       .orderBy(col("anchor_id"), col("role"), col("rank"))
 
   /** Span-corruption mask plan (X167 — see TextOps.spanCorruptionPlan):

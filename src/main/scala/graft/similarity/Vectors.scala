@@ -104,6 +104,50 @@ object Vectors {
     concat((0 until bits).map(i =>
       when(element_at(v, i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Sentinel for `bits` parameters: resolve the width from the corpus
+    * cardinality via [[bitsFor]] instead of a hand-set knob. */
+  val AutoBits: Int = 0
+
+  /** Data-sized sign-LSH width — the [[graft.Par.widthFor]] precedent
+    * applied to the Σ|bucket|² law. The scoring work of every bucketed
+    * consumer (kNN graph, near-dup pairs, LSH top-k) is the sum of
+    * squared bucket occupancies, so a FIXED width turns a ×N corpus into
+    * ×N² in-bucket candidate pairs (the round-11 ×10 scale study measured
+    * exactly that: kNN graph 15–21×, SemDeDup 16× at bits=4, restored to
+    * ~1.3× at bits + ⌈log₂N⌉). Holding average occupancy constant needs
+    * bits ≈ log₂(n) − const; the constant is calibrated so the bench
+    * corpus (2 000 vectors at sf0.1) reproduces the long-standing bits=4
+    * behavior: bits = clamp(⌈log₂ n⌉ − 7, 4, 24), i.e. ~2⁷ = 128 vectors
+    * per bucket once past the floor, giving ~128·n total candidates —
+    * linear in the corpus. The cap guards the multi-probe expansion
+    * (bits + 1 probe keys per query) and the 2^bits key-space blowup.
+    *
+    * n comes from the optimizer row-count estimate when the plan carries
+    * one (local relations, loaded caches) and otherwise from a memoized
+    * count — a zero-column parquet count is row-group-footer metadata
+    * work, and the result only feeds a log₂, so any estimate within a
+    * few × of truth lands on the same width. Memoized per canonical
+    * input plan ([[graft.Caches.memo]]), so repeat consumers in one
+    * epoch pay zero extra actions. */
+  def bitsFor(vectors: DataFrame): Int = bitsForCount(
+    graft.Caches.memo(
+      ("lsh-bits-n", vectors.queryExecution.logical.canonicalized)) {
+      vectors.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(vectors.count())
+    })
+
+  /** The pure width rule of [[bitsFor]]: clamp(⌈log₂ n⌉ − 7, 4, 24). */
+  def bitsForCount(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L) - 1L)
+    math.min(24, math.max(4, ceilLog2 - 7))
+  }
+
+  /** [[AutoBits]] → [[bitsFor]] on the corpus; any explicit width passes
+    * through (the tuned-knob escape hatch BitsStudy uses). */
+  private def resolveBits(corpus: DataFrame, bits: Int): Int =
+    if (bits == AutoBits) bitsFor(corpus) else bits
+
   /** Bucketed ANN: score only corpus vectors in the query's sign bucket —
     * candidate generation is an equi-join on the bucket key, so the work
     * is |bucket| per query instead of |corpus|. Recall < 1 by design;
@@ -111,12 +155,13 @@ object Vectors {
     * expanding neighbor buckets.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int): DataFrame = {
+              vecCol: String, k: Int, bits: Int = AutoBits): DataFrame = {
+    val w = resolveBits(corpus, bits)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      fixedPoint(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
+      fixedPoint(col(vecCol)).as("qv"), signBucket(col(vecCol), w).as("bucket"))
       .withColumn("qn", normSqFp(col("qv"))))
     val c = corpus.select(col(idCol).as("match_id"),
-      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), bits).as("bucket"))
+      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), w).as("bucket"))
       .withColumn("cn", normSqFp(col("cv")))
     val scored = c.join(q, Seq("bucket")).filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
@@ -147,13 +192,14 @@ object Vectors {
     * probed bucket, so no candidate dedup is needed); each query expands
     * to `bits + 1` probe keys before the same equi-join. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
-                        vecCol: String, k: Int, bits: Int): DataFrame = {
+                        vecCol: String, k: Int, bits: Int = AutoBits): DataFrame = {
+    val w = resolveBits(corpus, bits)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       fixedPoint(col(vecCol)).as("qv"),
-      explode(multiProbeBuckets(col(vecCol), bits)).as("bucket"))
+      explode(multiProbeBuckets(col(vecCol), w)).as("bucket"))
       .withColumn("qn", normSqFp(col("qv"))))
     val c = corpus.select(col(idCol).as("match_id"),
-      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), bits).as("bucket"))
+      fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), w).as("bucket"))
       .withColumn("cn", normSqFp(col("cv")))
     val scored = c.join(q, Seq("bucket")).filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
@@ -387,9 +433,10 @@ object Vectors {
     * Returns (src_id, dst_id, cosine, rank ≤ k), zero vectors excluded.
     */
   def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
-               k: Int, bits: Int): DataFrame = {
+               k: Int, bits: Int = AutoBits): DataFrame = {
+    val w = resolveBits(vectors, bits)
     val v = vectors.select(col(idCol).as("id"),
-      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), bits).as("bucket"))
+      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), w).as("bucket"))
       .withColumn("nn", normSqFp(col("fv")))
       .filter(col("nn") > 0)
     val scored = v.as("x").join(v.as("y"),
@@ -490,11 +537,12 @@ object Vectors {
     * any corpus size. Cosines are exact-int-ratio doubles (the hashed
     * `cosine` column is on the PortabilitySpec approved list). */
   def contrastiveTriplets(vectors: DataFrame, idCol: String, vecCol: String,
-                          anchorPred: Column, bits: Int, posMax: Double,
-                          k: Int): DataFrame = {
+                          anchorPred: Column, posMax: Double,
+                          k: Int, bits: Int = AutoBits): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    val w = resolveBits(vectors, bits)
     val v = vectors.select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"),
-        signBucket(col(vecCol), bits).as("bucket"),
+        signBucket(col(vecCol), w).as("bucket"),
         anchorPred.as("is_anchor"))
       .withColumn("nn", normSqFp(col("fv")))
       .filter(col("nn") > 0)
@@ -528,9 +576,10 @@ object Vectors {
     * (self-join on bucket, never the full n² cross product).
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bits: Int): DataFrame = {
+                   threshold: Double, bits: Int = AutoBits): DataFrame = {
+    val w = resolveBits(vectors, bits)
     val v = vectors.select(col(idCol).as("id"),
-      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), bits).as("bucket"))
+      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), w).as("bucket"))
       .withColumn("nn", normSqFp(col("fv")))
     v.as("x").join(v.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))

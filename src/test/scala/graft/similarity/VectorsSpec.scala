@@ -56,6 +56,37 @@ class VectorsSpec extends SparkSpec {
     assert(pairs.toSet == Set((0L, 1L)))
   }
 
+  test("bitsFor holds bucket occupancy ~constant: floor at gate scale, +ceil(log2 N) per xN") {
+    def embOf(n: Long) = spark.range(n).select($"id".as("vec_id"),
+      array((0 until 8).map(j => (pmod(hash($"id" * 31 + j), lit(1000)) / 500.0 - 1.0)
+        .cast("float")): _*).as("embedding"))
+    try {
+      // the gate/bench corpora (500 at sf0.01, 2000 at sf0.1) must both
+      // resolve to the long-standing 4-bit behavior — this pins the
+      // oracle mirrors (OracleSql.bucket4Expr) to the engine resolution
+      assert(Vectors.bitsFor(embOf(500L)) == 4)
+      assert(Vectors.bitsFor(embOf(2000L)) == 4)
+      // past the floor the width tracks ceil(log2 n) - 7: the BitsStudy
+      // rule (bits + ceil(log2 N) at a xN corpus) falls out exactly
+      assert(Vectors.bitsFor(embOf(20000L)) == 8,   "x10 of sf0.1 -> 4 + ceil(log2 10)")
+      assert(Vectors.bitsForCount(200000L) == 11,   "x100 -> 4 + ceil(log2 100)")
+      // average occupancy n / 2^bits stays <= 2^7 = 128 once past the
+      // floor — the linear-candidates invariant (sum|b|^2 ~ 128 n)
+      for (n <- Seq(5000L, 50000L, 500000L, 5000000L, 1L << 40)) {
+        val b = Vectors.bitsForCount(n)
+        val occ = n.toDouble / (1L << b)
+        assert(b == 24 || (occ <= 128.0 && occ > 32.0),
+          s"n=$n bits=$b occupancy=$occ outside (32, 128]")
+      }
+      // the cap: even a planet-scale corpus cannot explode the
+      // multi-probe expansion or the key space
+      assert(Vectors.bitsForCount(4000000000L) == 24)
+      // explicit widths pass through untouched (the BitsStudy knob)
+      val out = Vectors.knnGraph(vecs, "vec_id", "embedding", k = 2, bits = 3)
+      assert(out.columns.toSeq == Seq("src_id", "dst_id", "cosine", "rank"))
+    } finally graft.Caches.release()
+  }
+
   test("ivfTopK probes only nearest centroid lists and never returns self or zero vectors") {
     val corpus = (0L until 40L).map { i =>
       val angle = (i % 8).toDouble / 8 * 2 * math.Pi
