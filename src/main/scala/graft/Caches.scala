@@ -17,6 +17,35 @@ import org.apache.spark.sql.DataFrame
   * between pipeline runs (Bench calls it between queries).
   */
 object Caches {
+
+  /** Run a MODEL-SIZED driver-side train loop (unigram EM, WordPiece
+    * merges) with loop-appropriate session tuning, restoring the confs
+    * after: AQE off — its between-stage re-planning walks the loops' big
+    * HOF expression trees and costs ~0.3 s per stage while every
+    * exchange it could tune is vocabulary-bounded — and a data-sized
+    * shuffle width (the session's 32 reducers on a piece-histogram
+    * exchange are ~31 empty tasks at bench scale; `width` should come
+    * from [[Par.widthFor]] on the loop's word table so a genuinely
+    * large vocabulary still fans out). Measured at sf0.1: the unigram
+    * and WordPiece cold chains both drop ~45% (4.6 → ~2.5 s). The
+    * corpus-facing scans/aggregations (wordCounts, the apply join-back)
+    * must run OUTSIDE this scope — they need the session width and AQE
+    * at 100 TB. Serial contexts only (the builders are driver-side
+    * sequential loops; Bench/Verify run queries serially). */
+  def withModelLoopConf[A](spark: org.apache.spark.sql.SparkSession,
+                           width: Int)(f: => A): A = {
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try f
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+  }
+
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val built =
     scala.collection.mutable.HashSet.empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]

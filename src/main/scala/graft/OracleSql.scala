@@ -3683,7 +3683,21 @@ object OracleSql {
     // every DP comparison after quantization is exact BIGINT
     // arithmetic. See unigramSql below for the segmentation mirror.
     "q_unigram_train" -> unigramSql(applyMode = false),
-    "q_unigram_apply" -> unigramSql(applyMode = true))
+    "q_unigram_apply" -> unigramSql(applyMode = true),
+
+    // WordPiece tokenizer (Schuster & Nakajima 2012, likelihood-gain
+    // greedy merges): exact fixed-point integer scores (HUGEINT
+    // intermediates, BIGINT outputs — zero transcendentals), unrolled
+    // merge rounds + greedy longest-match walk. See wordpieceSql.
+    "q_wordpiece_train" -> wordpieceSql(applyMode = false),
+    "q_wordpiece_apply" -> wordpieceSql(applyMode = true),
+
+    // Three-family tokenizer comparison (BPE / unigram-LM / WordPiece):
+    // the three apply pipelines' corpus totals in ONE statement —
+    // each family's CTE block is the same generator its own gated row
+    // uses (uni*/wp* helpers; the BPE block mirrors q_bpe_apply's
+    // 3-round merge with bp-prefixed CTE names).
+    "q_tokenizer_families" -> tokenizerFamiliesSql)
 
   /** Shared generator for the unigram-LM train/apply oracles — mirrors
     * graft.text.Unigram with maxPieceLen=4, maxWordLen=16, rounds=2,
@@ -3703,12 +3717,93 @@ object OracleSql {
     * non-recursive yardstick set.) Single-character pieces always stay
     * in the vocabulary, so every dp state is reachable and the joins
     * are total. */
-  private def unigramSql(applyMode: Boolean): String = {
-    val mpl = 4; val mwl = 16; val minCount = 2; val vocabSize = 64
-    // Unrolled Viterbi DP + greedy backtrace over vocabulary CTE
-    // `vocabCte` (piece, ..., cost): emits seg$r = one row per
-    // (w, chosen-piece occurrence).
-    def segBlock(r: String, vocabCte: String): String = {
+  private def unigramSql(applyMode: Boolean): String =
+    if (!applyMode)
+      s"""WITH
+$wrdCte,
+$uniModelCtes
+SELECT piece, c AS n_used, cost AS cost_fp6 FROM sel
+ORDER BY n_used DESC, piece"""
+    else
+      s"""WITH
+$wrdCte,
+$uniModelCtes,
+$uniNpsCtes
+SELECT t.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(b.np) * 1000 // count(*) AS BIGINT) AS pieces_per_word_permille
+FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents) t
+JOIN nps b USING (w)
+WHERE length(t.w) > 0
+GROUP BY t.id
+ORDER BY doc_id"""
+
+  /** Distinct words with corpus counts — shared by the unigram,
+    * WordPiece, and three-family oracles (mirrors Unigram.wordCounts). */
+  private def wrdCte: String =
+    """wrd AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0 GROUP BY w)"""
+
+  private final val uniMpl = 4; private final val uniMwl = 16
+  private final val uniMinCount = 2; private final val uniVocabSize = 64
+
+  /** sub → seed → v0 → two EM rounds → sel: the unigram model CTEs
+    * (everything between `wrd` and the final select), reused verbatim
+    * by the three-family oracle. */
+  private def uniModelCtes: String =
+    s"""sub AS MATERIALIZED (
+  SELECT wrd.w, wrd.c_w,
+         substring(wrd.w, CAST(p.p AS INT) - CAST(l.l AS INT) + 1, CAST(l.l AS INT)) AS piece
+  FROM wrd, range(1, ${uniMwl + 1}) p(p), range(1, ${uniMpl + 1}) l(l)
+  WHERE p.p <= length(wrd.w) AND l.l <= p.p),
+seed AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS c FROM sub GROUP BY piece
+  HAVING length(piece) = 1 OR SUM(c_w) >= $uniMinCount),
+v0 AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM seed) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+  FROM seed),
+${uniRoundBlock(1)},
+${uniRoundBlock(2)},
+sel AS MATERIALIZED (
+  SELECT piece, c, cost FROM v2 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c, cost FROM (
+    SELECT piece, c, cost, row_number() OVER (ORDER BY c DESC, piece) AS rn
+    FROM v2 WHERE length(piece) > 1)
+  WHERE rn <= $uniVocabSize - (SELECT count(*) FROM v2 WHERE length(piece) = 1))"""
+
+  /** Final-vocabulary segmentation of every distinct word + the
+    * per-word piece counts `nps` — the unigram apply CTEs. */
+  private def uniNpsCtes: String =
+    s"""${uniSegBlock("A", "sel")},
+nps AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS np FROM segA GROUP BY w)"""
+
+  private def uniRoundBlock(rr: Int): String =
+    s"""${uniSegBlock(rr.toString, s"v${rr - 1}")},
+usage$rr AS MATERIALIZED (
+  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS u
+  FROM seg$rr JOIN wrd USING (w) GROUP BY piece),
+vv$rr AS MATERIALIZED (
+  SELECT s.piece, GREATEST(COALESCE(u.u, 0), 1) AS c
+  FROM (SELECT piece FROM v${rr - 1} WHERE length(piece) = 1) s
+  LEFT JOIN usage$rr u USING (piece)
+  UNION ALL
+  SELECT piece, u AS c FROM usage$rr WHERE length(piece) > 1 AND u >= $uniMinCount),
+v$rr AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM vv$rr) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
+  FROM vv$rr)"""
+
+  /** Unrolled Viterbi DP + greedy backtrace over vocabulary CTE
+    * `vocabCte` (piece, ..., cost): emits seg$r = one row per
+    * (w, chosen-piece occurrence). */
+  private def uniSegBlock(r: String, vocabCte: String): String = {
+    val mpl = uniMpl; val mwl = uniMwl
       val cand =
         s"""cand$r AS MATERIALIZED (
   SELECT wrd.w, CAST(p.p AS INT) AS p, CAST(l.l AS INT) AS l, v.cost
@@ -3750,66 +3845,178 @@ object OracleSql {
       (Seq(cand, dp0) ++ dps ++ Seq(dpall, step, wk0) ++ wks ++ Seq(seg))
         .mkString(",\n")
     }
-    def roundBlock(rr: Int): String =
-      s"""${segBlock(rr.toString, s"v${rr - 1}")},
-usage$rr AS MATERIALIZED (
-  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS u
-  FROM seg$rr JOIN wrd USING (w) GROUP BY piece),
-vv$rr AS MATERIALIZED (
-  SELECT s.piece, GREATEST(COALESCE(u.u, 0), 1) AS c
-  FROM (SELECT piece FROM v${rr - 1} WHERE length(piece) = 1) s
-  LEFT JOIN usage$rr u USING (piece)
-  UNION ALL
-  SELECT piece, u AS c FROM usage$rr WHERE length(piece) > 1 AND u >= $minCount),
-v$rr AS MATERIALIZED (
-  SELECT piece, c,
-         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM vv$rr) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
-  FROM vv$rr)"""
-    val header =
-      s"""WITH
-wrd AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS c_w
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE length(w) > 0 GROUP BY w),
-sub AS MATERIALIZED (
-  SELECT wrd.w, wrd.c_w,
-         substring(wrd.w, CAST(p.p AS INT) - CAST(l.l AS INT) + 1, CAST(l.l AS INT)) AS piece
-  FROM wrd, range(1, ${mwl + 1}) p(p), range(1, ${mpl + 1}) l(l)
-  WHERE p.p <= length(wrd.w) AND l.l <= p.p),
-seed AS MATERIALIZED (
-  SELECT piece, CAST(SUM(c_w) AS BIGINT) AS c FROM sub GROUP BY piece
-  HAVING length(piece) = 1 OR SUM(c_w) >= $minCount),
-v0 AS MATERIALIZED (
-  SELECT piece, c,
-         CAST(round(-ln(CAST(c AS DOUBLE) / CAST((SELECT SUM(c) FROM seed) AS DOUBLE)) * 1000000) AS BIGINT) AS cost
-  FROM seed),
-${roundBlock(1)},
-${roundBlock(2)},
-sel AS MATERIALIZED (
-  SELECT piece, c, cost FROM v2 WHERE length(piece) = 1
-  UNION ALL
-  SELECT piece, c, cost FROM (
-    SELECT piece, c, cost, row_number() OVER (ORDER BY c DESC, piece) AS rn
-    FROM v2 WHERE length(piece) > 1)
-  WHERE rn <= $vocabSize - (SELECT count(*) FROM v2 WHERE length(piece) = 1))"""
+
+  private final val wpMerges = 10; private final val wpMpl = 6
+  private final val wpMwl = 16; private final val wpMinPair = 2
+  private final val wpCharMin = 2
+
+  /** Shared generator for the WordPiece train/apply oracles — mirrors
+    * graft.text.WordPiece with nMerges=10, maxPieceLen=6, maxWordLen=16,
+    * minPairCount=2, charMinCount=2 (the registry rows' parameters).
+    *
+    * Each merge round is one CTE block: tokenize the guard-string corpus,
+    * corpus-mass-weighted unit and adjacent-pair histograms, the exact
+    * fixed-point likelihood-gain argmax score_fp12 = c_ab·10¹² //
+    * (c_a·c_b) in HUGEINT (ties (w1, w2) lexicographic — the engine's
+    * orderBy), then the guard-string `replace` fusion with the winners as
+    * SCALAR SUBQUERIES (COALESCE to a chr(1) sentinel that can never
+    * match, so an exhausted round leaves the corpus unchanged — exactly
+    * the engine's early stop, since every later round then re-derives the
+    * same empty argmax). The apply is the greedy longest-match walk,
+    * unrolled maxWordLen steps over a per-(word, position)
+    * longest-vocab-match table; a position with no match sends the whole
+    * word to ONE [UNK] piece (word-level UNK). All CTEs MATERIALIZED
+    * (un-hinted chains inline exponentially — the unigram lesson). */
+  private def wordpieceSql(applyMode: Boolean): String =
     if (!applyMode)
-      s"""$header
-SELECT piece, c AS n_used, cost AS cost_fp6 FROM sel
-ORDER BY n_used DESC, piece"""
+      s"""WITH
+$wrdCte,
+$wpModelCtes
+SELECT merge_rank, w1, w2, pair_count, score_fp12 FROM wpmall
+ORDER BY merge_rank"""
     else
-      s"""$header,
-${segBlock("A", "sel")},
-nps AS MATERIALIZED (
-  SELECT w, CAST(count(*) AS BIGINT) AS np FROM segA GROUP BY w)
+      s"""WITH
+$wrdCte,
+$wpModelCtes,
+$wpApplyCtes
 SELECT t.id AS doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
        CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(b.unk) AS BIGINT) AS n_unk_words,
        CAST(SUM(b.np) * 1000 // count(*) AS BIGINT) AS pieces_per_word_permille
 FROM (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents) t
-JOIN nps b USING (w)
+JOIN wpres b USING (w)
 WHERE length(t.w) > 0
 GROUP BY t.id
 ORDER BY doc_id"""
+
+  /** Round-0 guard-string corpus, wpMerges merge rounds, the collected
+    * merge table `wpmall`, and the apply vocabulary `wpvocab`. */
+  private def wpModelCtes: String = {
+    def mergeRound(r: Int): String =
+      s"""wptk$r AS MATERIALIZED (
+  SELECT w, c_w, string_split(substring(s, 2, length(s) - 2), ')(') AS tk FROM wpc${r - 1}),
+wpu$r AS MATERIALIZED (
+  SELECT unit, CAST(SUM(c_w) AS BIGINT) AS c
+  FROM (SELECT c_w, unnest(tk) AS unit FROM wptk$r) GROUP BY unit),
+wpp$r AS MATERIALIZED (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(SUM(c_w) AS BIGINT) AS c_ab
+  FROM (SELECT c_w, tk AS toks, unnest(range(1, len(tk))) AS i
+        FROM wptk$r WHERE len(tk) >= 2)
+  GROUP BY 1, 2
+  HAVING length(w1) + length(w2) <= $wpMpl AND SUM(c_w) >= $wpMinPair),
+wpm$r AS MATERIALIZED (
+  SELECT p.w1, p.w2, p.c_ab,
+         CAST(CAST(p.c_ab AS HUGEINT) * 1000000000000 //
+              (CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS BIGINT) AS score_fp12
+  FROM wpp$r p JOIN wpu$r a ON a.unit = p.w1 JOIN wpu$r b ON b.unit = p.w2
+  ORDER BY score_fp12 DESC, p.w1, p.w2 LIMIT 1),
+wpc$r AS MATERIALIZED (
+  SELECT w, c_w,
+         replace(s, '(' || COALESCE((SELECT w1 FROM wpm$r), chr(1)) || ')(' ||
+                    COALESCE((SELECT w2 FROM wpm$r), chr(1)) || ')',
+                 '(' || COALESCE((SELECT w1 FROM wpm$r), chr(1)) ||
+                        COALESCE((SELECT w2 FROM wpm$r), chr(1)) || ')') AS s
+  FROM wpc${r - 1})"""
+    val mergesUnion = (1 to wpMerges)
+      .map(r => s"  SELECT CAST($r AS BIGINT) AS merge_rank, w1, w2," +
+        s" CAST(c_ab AS BIGINT) AS pair_count, score_fp12 FROM wpm$r")
+      .mkString("\n  UNION ALL\n")
+    s"""wpc0 AS MATERIALIZED (
+  SELECT w, c_w,
+         '(' || array_to_string(list_transform(range(1, length(w) + 1),
+                  i -> substring(w, CAST(i AS INT), 1)), ')(') || ')' AS s
+  FROM wrd),
+${(1 to wpMerges).map(mergeRound).mkString(",\n")},
+wpmall AS MATERIALIZED (
+$mergesUnion),
+wpvocab AS MATERIALIZED (
+  SELECT unit AS piece FROM wpu1 WHERE c >= $wpCharMin
+  UNION
+  SELECT DISTINCT w1 || w2 AS piece FROM wpmall)"""
+  }
+
+  /** Longest-vocab-match table + the unrolled greedy walk → per-word
+    * (np, unk) in `wpres`. */
+  private def wpApplyCtes: String = {
+    val steps = (1 to wpMwl).map { k =>
+      s"""wpwk$k AS MATERIALIZED (
+  SELECT k.w,
+         CASE WHEN k.pos > length(k.w) THEN k.pos
+              WHEN m.lmax IS NULL THEN CAST(length(k.w) + 1 AS INT)
+              ELSE k.pos + m.lmax END AS pos,
+         CASE WHEN k.pos > length(k.w) THEN k.np
+              WHEN m.lmax IS NULL THEN CAST(1 AS BIGINT)
+              ELSE k.np + 1 END AS np,
+         CASE WHEN k.pos > length(k.w) THEN k.unk
+              WHEN m.lmax IS NULL THEN CAST(1 AS BIGINT)
+              ELSE k.unk END AS unk
+  FROM wpwk${k - 1} k LEFT JOIN wplmax m ON m.w = k.w AND m.p = k.pos)"""
+    }.mkString(",\n")
+    s"""wplmax AS MATERIALIZED (
+  SELECT wrd.w, CAST(p.p AS INT) AS p, CAST(MAX(l.l) AS INT) AS lmax
+  FROM wrd, range(1, ${wpMwl + 1}) p(p), range(1, ${wpMpl + 1}) l(l)
+  WHERE p.p <= length(wrd.w)
+    AND l.l <= length(wrd.w) - p.p + 1
+    AND substring(wrd.w, CAST(p.p AS INT), CAST(l.l AS INT)) IN (SELECT piece FROM wpvocab)
+  GROUP BY wrd.w, p.p),
+wpwk0 AS MATERIALIZED (
+  SELECT w, CAST(1 AS INT) AS pos, CAST(0 AS BIGINT) AS np, CAST(0 AS BIGINT) AS unk
+  FROM wrd),
+$steps,
+wpres AS MATERIALIZED (SELECT w, np, unk FROM wpwk$wpMwl)"""
+  }
+
+  /** Three-family tokenizer comparison oracle: the unigram and WordPiece
+    * CTE blocks verbatim (shared `wrd`), plus a bp-prefixed mirror of
+    * the q_bpe_apply 3-round doc-level merge, reduced to per-family
+    * corpus totals. */
+  private def tokenizerFamiliesSql: String = {
+    def bpeRound(t: Int): String =
+      s"""bpp$t AS MATERIALIZED (
+  SELECT toks, unnest(range(1, len(toks))) AS i
+  FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS toks FROM bps${t - 1})
+  WHERE len(toks) >= 2),
+bpc$t AS MATERIALIZED (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM bpp$t GROUP BY 1, 2),
+bpm$t AS MATERIALIZED (SELECT w1, w2, c FROM bpc$t ORDER BY c DESC, w1, w2 LIMIT 1),
+bps$t AS MATERIALIZED (
+  SELECT bps${t - 1}.doc_id, bps${t - 1}.text,
+         replace(bps${t - 1}.s, '(' || bpm$t.w1 || ')(' || bpm$t.w2 || ')',
+                 '(' || bpm$t.w1 || ' ' || bpm$t.w2 || ')') AS s
+  FROM bps${t - 1}, bpm$t)"""
+    s"""WITH
+$wrdCte,
+$uniModelCtes,
+$uniNpsCtes,
+$wpModelCtes,
+$wpApplyCtes,
+bps0 AS MATERIALIZED (
+  SELECT doc_id, text, '(' || replace(text, ' ', ')(') || ')' AS s FROM documents),
+${(1 to 3).map(bpeRound).mkString(",\n")},
+fam AS (
+  SELECT 'bpe' AS family,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         CAST(SUM(len(string_split(substr(s, 2, length(s) - 2), ')('))) AS BIGINT) AS n_tokens
+  FROM bps3
+  UNION ALL
+  SELECT 'unigram' AS family,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(b.np) AS BIGINT) AS n_tokens
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  JOIN nps b USING (w)
+  WHERE length(t.w) > 0
+  UNION ALL
+  SELECT 'wordpiece' AS family,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(SUM(b.np) AS BIGINT) AS n_tokens
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  JOIN wpres b USING (w)
+  WHERE length(t.w) > 0)
+SELECT family, n_words, n_tokens,
+       CAST(n_tokens * 1000 // n_words AS BIGINT) AS fertility_permille
+FROM fam ORDER BY family"""
   }
 
   /** Shared generator for the PCA power-iteration oracles — mirrors

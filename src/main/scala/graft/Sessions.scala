@@ -36,6 +36,17 @@ object Sessions {
       // and every run recompiles its whole-stage code from scratch.
       // Size it to the working set; entries are compiled classes (small).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // let AQE coalesce the output partitioning of CACHED plans (off by
+      // default): every Caches.materialize'd model-sized table (piece
+      // vocabularies, signature stores, word tables) otherwise freezes at
+      // the full shuffle width — 32 near-empty partitions whose ~5 ms/task
+      // scheduling cost is paid by EVERY downstream job touching the
+      // cache. Measured: a count() on a cached 31-row table cost 0.2 s;
+      // the tokenizer train loops (many small actions over cached model
+      // tables) were overhead-bound on exactly this. Large cached frames
+      // keep their data-sized widths — AQE only merges below the 8 MB
+      // advisory target above.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
   }
 }

@@ -2227,6 +2227,50 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** WordPiece tokenizer TRAINING (X178 — text.WordPiece.wordpieceTrain,
+    * Schuster & Nakajima 2012, the BERT tokenizer family): 10 greedy
+    * merge rounds over the distinct-word table ranked by exact
+    * fixed-point LIKELIHOOD GAIN c_ab·10¹² div (c_a·c_b) instead of
+    * BPE's raw pair frequency — the third mainstream tokenizer family
+    * next to BPE (X117) and the unigram LM (X174). */
+  private def qWordpieceTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.WordPiece.wordpieceTrain(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", nMerges = 10)
+      .orderBy(col("merge_rank"))
+
+  /** Corpus-wide WordPiece APPLY (X179 — WordPiece.wordpieceApply):
+    * greedy longest-match-first per-word walk (word-level [UNK]) under
+    * the trained vocabulary, broadcast back onto the token stream;
+    * shares the memoized train loop with the train row. */
+  private def qWordpieceApply(s: SparkSession, d: String): DataFrame =
+    graft.text.WordPiece.wordpieceApply(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", nMerges = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Three-family tokenizer comparison (X180): corpus-total fertility of
+    * word-level BPE (X159 accounting), the unigram LM, and WordPiece
+    * under one metric — emitted tokens per whitespace word, permille.
+    * This is the production tokenizer decision the triad exists for;
+    * each family's chain is the SAME memoized artifact its own gated
+    * rows use (Caches.memo), so the comparison reuses — never
+    * retrains — the three models within an epoch. */
+  private def qTokenizerFamilies(s: SparkSession, d: String): DataFrame = {
+    val docs = spread(t(s, d, "documents"), "doc_id")
+    def tot(df: DataFrame, fam: String, words: String, toks: String): DataFrame =
+      df.agg(sum(col(words)).as("n_words"), sum(col(toks)).as("n_tokens"))
+        .select(lit(fam).as("family"), col("n_words"), col("n_tokens"))
+    tot(graft.text.Search.bpeApply(docs, "doc_id", "text", nMerges = 3),
+        "bpe", "n_tok_before", "n_tok_after")
+      .unionByName(tot(graft.text.Unigram.unigramApply(docs, "doc_id", "text"),
+        "unigram", "n_words", "n_pieces"))
+      .unionByName(tot(graft.text.WordPiece.wordpieceApply(docs, "doc_id", "text",
+          nMerges = 10),
+        "wordpiece", "n_words", "n_pieces"))
+      .withColumn("fertility_permille", expr("n_tokens * 1000 div n_words"))
+      .orderBy(col("family"))
+  }
+
   private def qPhraseMining(s: SparkSession, d: String): DataFrame =
     graft.text.Search.phraseMining(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       delta = 5, minCount = 10, topK = 20)
@@ -3119,6 +3163,9 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_apply" -> (qUnigramApply _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_apply" -> (qWordpieceApply _),
+    "q_tokenizer_families" -> (qTokenizerFamilies _),
     "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),

@@ -211,6 +211,9 @@ object Unigram {
       // raise_error riding the seed scan — a violating corpus fails
       // the first build action instead of paying a dedicated
       // driver-side probe job per train.
+      // wordCounts materializes eagerly HERE, outside the model-loop
+      // conf scope below: its groupBy is the one corpus-sized exchange
+      // of the chain and must keep the session width and AQE.
       val words = wordCounts(docs, idCol, textCol)
       val wordsG = words.withColumn("w",
         when(length(col("w")) > maxWordLen,
@@ -219,35 +222,41 @@ object Unigram {
               + "(the oracle mirror unrolls that many rounds): "),
             col("w"))).cast("string"))
           .otherwise(col("w")))
-      // Per-round eager persistence with lineage truncation (the BPE/CC
-      // loop discipline): round k's vocabulary has two consumers inside
-      // round k+1 (the cand broadcast and the singles filter) and the
-      // final cut reads it three ways — measured truly cold (all caches
-      // released first), lazy rounds re-drive the nested chain ~2.5×
-      // slower despite ReuseExchange.
-      var vocab = graft.Caches.materialize(
-        seedVocab(wordsG, maxPieceLen, minCount).persist(lvl))
-      for (_ <- 1 to rounds) {
-        val prev = vocab
-        vocab = graft.Caches.materialize(
-          emRound(words, prev, maxPieceLen, maxWordLen, minCount).persist(lvl))
-        prev.unpersist(false)
+      // The EM loop itself is model-sized end to end (every table is
+      // vocabulary-bounded), so it runs under the loop conf scope: AQE
+      // off + data-sized shuffle width — measured 4.6 → ~2.5 s cold at
+      // sf0.1 (see Caches.withModelLoopConf).
+      graft.Caches.withModelLoopConf(docs.sparkSession, graft.Par.widthFor(words)) {
+        // Per-round eager persistence with lineage truncation (the BPE/CC
+        // loop discipline): round k's vocabulary has two consumers inside
+        // round k+1 (the cand broadcast and the singles filter) and the
+        // final cut reads it three ways — measured truly cold (all caches
+        // released first), lazy rounds re-drive the nested chain ~2.5×
+        // slower despite ReuseExchange.
+        var vocab = graft.Caches.materialize(
+          seedVocab(wordsG, maxPieceLen, minCount).persist(lvl))
+        for (_ <- 1 to rounds) {
+          val prev = vocab
+          vocab = graft.Caches.materialize(
+            emRound(words, prev, maxPieceLen, maxWordLen, minCount).persist(lvl))
+          prev.unpersist(false)
+        }
+        // Final inventory cut, fully lazy: all singles plus the top
+        // (vocabSize − #singles) multi-char pieces by (count DESC, piece).
+        // The singles count is a broadcast 1-row aggregate, not a driver
+        // collect; the rank window runs over the model-sized piece table.
+        val singles = vocab.filter(length(col("piece")) === 1)
+        val multis = vocab.filter(length(col("piece")) > 1)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy().orderBy(col("c").desc, col("piece"))))
+          .crossJoin(broadcast(singles.agg(count(lit(1)).as("n_singles"))))
+          .filter(col("rn") <= lit(vocabSize) - col("n_singles"))
+          .drop("rn", "n_singles")
+        graft.Caches.materialize(
+          singles.unionByName(multis)
+            .select(col("piece"), col("c").as("n_used"), col("cost_fp6"))
+            .persist(lvl))
       }
-      // Final inventory cut, fully lazy: all singles plus the top
-      // (vocabSize − #singles) multi-char pieces by (count DESC, piece).
-      // The singles count is a broadcast 1-row aggregate, not a driver
-      // collect; the rank window runs over the model-sized piece table.
-      val singles = vocab.filter(length(col("piece")) === 1)
-      val multis = vocab.filter(length(col("piece")) > 1)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy().orderBy(col("c").desc, col("piece"))))
-        .crossJoin(broadcast(singles.agg(count(lit(1)).as("n_singles"))))
-        .filter(col("rn") <= lit(vocabSize) - col("n_singles"))
-        .drop("rn", "n_singles")
-      graft.Caches.materialize(
-        singles.unionByName(multis)
-          .select(col("piece"), col("c").as("n_used"), col("cost_fp6"))
-          .persist(lvl))
     }
 
   /** Corpus-wide tokenizer APPLY — per-document piece statistics under
@@ -264,8 +273,23 @@ object Unigram {
       rounds, minCount, vocabSize)
       .withColumnRenamed("n_used", "c")
     val words = wordCounts(docs, idCol, textCol)
-    val segLen = viterbiSegments(words, vocab, maxPieceLen, maxWordLen)
-      .select(col("w"), size(col("pieces")).cast("long").as("n_p"))
+    // The per-word segment-length table is memoized + materialized under
+    // the model-loop conf scope: it is model-sized (one row per distinct
+    // word), has TWO consumers since the three-family comparison row
+    // landed (the apply and the X180 aggregate), and pre-building it
+    // keeps the big Viterbi HOF trees out of the corpus-facing apply
+    // query's plan — the apply then broadcasts a cached table, and AQE
+    // replans a trivial join instead of the DP expressions.
+    val segLen = graft.Caches.memo(
+      ("unigramSegLen", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, maxPieceLen, maxWordLen, rounds, minCount, vocabSize)) {
+      graft.Caches.withModelLoopConf(docs.sparkSession, graft.Par.widthFor(words)) {
+        graft.Caches.materialize(
+          viterbiSegments(words, vocab, maxPieceLen, maxWordLen)
+            .select(col("w"), size(col("pieces")).cast("long").as("n_p"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    }
     docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .join(broadcast(segLen), Seq("w"))

@@ -95,7 +95,24 @@ object WordPiece {
       s"wordpieceTrain: nMerges=$nMerges maxPieceLen=$maxPieceLen " +
         s"maxWordLen=$maxWordLen out of range")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // fencedWords materializes the corpus-sized wordCounts exchange
+    // eagerly HERE (session width + AQE); everything after is
+    // vocabulary-bounded and runs under the model-loop conf scope
+    // (AQE off + data-sized width — see Caches.withModelLoopConf).
     val words = fencedWords(docs, idCol, textCol, maxWordLen)
+    graft.Caches.withModelLoopConf(sess,
+      graft.Par.widthFor(Unigram.wordCounts(docs, idCol, textCol))) {
+      trainLoopScoped(words, sess, nMerges, maxPieceLen, minPairCount,
+        charMinCount, lvl)
+    }
+  }
+
+  private def trainLoopScoped(words: DataFrame,
+                              sess: org.apache.spark.sql.SparkSession,
+                              nMerges: Int, maxPieceLen: Int,
+                              minPairCount: Long, charMinCount: Long,
+                              lvl: org.apache.spark.storage.StorageLevel)
+  : (DataFrame, DataFrame) = {
     // Guard-string precondition (the BPE loop's): a word CONTAINING
     // '(' or ')' would corrupt the unit boundaries. Reject loudly —
     // fused into the same action that materializes the round-0 corpus.
@@ -116,15 +133,32 @@ object WordPiece {
           (acc, i) => concat(acc, lit("("), col("w").substr(i, lit(1)),
             lit(")"))).as("s"))
         .persist(lvl)))
-    // Character inventory for the apply vocabulary: unit counts of the
-    // round-0 corpus ARE the corpus-mass-weighted character counts.
-    val charCounts = graft.Caches.materialize(
-      unitCounts(s).persist(lvl))
+    // Action-count discipline (the unigram/q_unigram_apply lesson: the
+    // loop's cost at ANY corpus size is its bounded materialization
+    // actions, not data): (a) round 1's unit histogram IS the
+    // corpus-mass-weighted character inventory, so it is persisted once
+    // and serves as BOTH that round's score denominator table and the
+    // apply vocabulary's character side — no separate charCounts pass;
+    // (b) the fused corpus is NOT re-materialized every round — the
+    // `replace` is a cheap narrow projection over the last checkpoint,
+    // so rounds chain lazily and a checkpoint lands every `MatEvery`
+    // rounds (each argmax then replays ≤ MatEvery−1 replaces over a
+    // model-sized cached table, far cheaper than a count() job per
+    // round). Measured at sf0.1: 10 merges 10.3 s → see commit.
+    var charCounts: DataFrame = null
+    var ckpt = s
+    var sinceMat = 0
+    val MatEvery = 4
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val units = unitCounts(s)
+      val units =
+        if (charCounts == null) {
+          charCounts = graft.Caches.track(graft.Caches.materialize(
+            unitCounts(s).persist(lvl)))
+          charCounts
+        } else unitCounts(s)
       val pairs = tokensOf(s)
         .filter(size(col("tk")) >= 2)
         .select(col("c_w"),
@@ -155,13 +189,16 @@ object WordPiece {
         // Column-literal replace (never string-spliced SQL): fuses every
         // adjacent occurrence left-to-right, which for a = b runs IS the
         // greedy left-to-right merge order (the BPE apply reasoning).
-        val prev = s
-        s = graft.Caches.track(graft.Caches.materialize(
-          prev.select(col("w"), col("c_w"),
-            org.apache.spark.sql.functions.replace(col("s"),
-              lit(s"($w1)($w2)"), lit(s"($w1$w2)")).as("s"))
-            .persist(lvl)))
-        prev.unpersist(false)
+        s = s.select(col("w"), col("c_w"),
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s"($w1)($w2)"), lit(s"($w1$w2)")).as("s"))
+        sinceMat += 1
+        if (sinceMat == MatEvery && r < nMerges) {
+          s = graft.Caches.track(graft.Caches.materialize(s.persist(lvl)))
+          ckpt.unpersist(false)
+          ckpt = s
+          sinceMat = 0
+        }
         r += 1
       }
     }
@@ -217,6 +254,38 @@ object WordPiece {
                      nMerges: Int = 20, maxPieceLen: Int = 6,
                      maxWordLen: Int = 16, minPairCount: Long = 2,
                      charMinCount: Long = 2): DataFrame = {
+    // Memoized + materialized under the model-loop conf scope (the
+    // unigram segLen reasoning): the per-word walk table is model-sized,
+    // shared by the apply row and the X180 family comparison, and
+    // pre-building it keeps the walk HOFs out of the corpus query plan.
+    val walked = graft.Caches.memo(
+      ("wordpieceWalked", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, nMerges, maxPieceLen, maxWordLen, minPairCount,
+        charMinCount)) {
+      graft.Caches.withModelLoopConf(docs.sparkSession,
+        graft.Par.widthFor(Unigram.wordCounts(docs, idCol, textCol))) {
+        graft.Caches.materialize(
+          walkedWords(docs, idCol, textCol, nMerges, maxPieceLen,
+            maxWordLen, minPairCount, charMinCount)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    }
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(walked), Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"),
+        sum(col("unk")).as("n_unk_words"))
+      .select(col("id"), col("n_words"), col("n_pieces"), col("n_unk_words"),
+        expr("n_pieces * 1000 div n_words").as("pieces_per_word_permille"))
+  }
+
+  /** Per-word greedy-walk results (w, n_p, unk) under the trained
+    * vocabulary — the model-sized table [[wordpieceApply]] broadcasts. */
+  private def walkedWords(docs: DataFrame, idCol: String, textCol: String,
+                          nMerges: Int, maxPieceLen: Int, maxWordLen: Int,
+                          minPairCount: Long, charMinCount: Long): DataFrame = {
     val (_, vocab) = trainLoop(docs, idCol, textCol, nMerges, maxPieceLen,
       maxWordLen, minPairCount, charMinCount)
     val words = fencedWords(docs, idCol, textCol, maxWordLen)
@@ -256,14 +325,6 @@ object WordPiece {
                   st.getField("unk").as("unk"))))
           }))
       .select(col("w"), col("st.np").as("n_p"), col("st.unk").as("unk"))
-    docs.select(col(idCol).as("id"),
-        explode(TextOps.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .join(broadcast(walked), Seq("w"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"),
-        sum(col("unk")).as("n_unk_words"))
-      .select(col("id"), col("n_words"), col("n_pieces"), col("n_unk_words"),
-        expr("n_pieces * 1000 div n_words").as("pieces_per_word_permille"))
+    walked
   }
 }
