@@ -91,7 +91,15 @@ object Dedup {
     // .SortedIntersectCount) — the set arrays are sorted-distinct by
     // ShingleArray construction, so |A∩B| needs no hash set and no
     // materialized intersect array per candidate pair.
-    val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
+    // Set-table lookups size-gate hinted to SHUFFLE_HASH (never the
+    // sort-merge fallback — sorting the array-laden pair stream is the
+    // measured pathology; see setLookupSide). Unlike the containment
+    // verify this one KEEPS the shuffle past the broadcast threshold:
+    // the prefix⋈prefix candidate set is ~6× smaller than the
+    // prefix⋈full one, and the ×100 study measured the explicit
+    // broadcast SLOWER here (11.5 → 15.8 s — the ~1 GB broadcast build
+    // cost outweighs the smaller pair exchange it avoids).
+    val s = shuffleHashIfBig(sets.select(col("id"), col("sh_arr"), col("n_sh")))
     // The candidate table is BYTE-wise tiny (two ids per row) but each
     // row costs a merge walk over two shingle arrays, so AQE's byte-based
     // coalescing funnels the verify onto one task (observed ~0.7-1.3 s
@@ -273,10 +281,11 @@ object Dedup {
     require(tau > 0 && tau <= 1, s"tau=$tau out of range (0, 1]")
     val sets = persistedSets(docs, idCol, textCol, n)
     val index = persistedOrderIndex(sets)
-    val prefix = index.select(col("id"),
-      explode(slice(col("ord_sh"), lit(1),
-        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int"))).as("sh"))
-    val full = index.select(col("id"), explode(col("ord_sh")).as("sh"))
+    val prefix = index.select(col("id"), col("n_sh"),
+      posexplode(slice(col("ord_sh"), lit(1),
+        (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast("int")))
+        .as(Seq("pa0", "sh")))
+    val full = index.select(col("id"), col("n_sh"), explode(col("ord_sh")).as("sh"))
     // Operand order was A/B'd in round 11: building the hash table from
     // the (smaller) prefix side and probing with the full gram stream
     // measured flat-to-worse than this orientation — the probe side
@@ -288,8 +297,26 @@ object Dedup {
     // shuffled hash join: the default sort-merge fallback sorts BOTH
     // exploded gram streams (measured as the dominant cost of this
     // operator at 10× sf0.1).
+    // POSITIONAL FILTER (PPJoin's, specialized to the prefix⋈full
+    // containment probe). Both gram lists are sorted by the SAME global
+    // (frequency, hash) order, so a candidate row matching at 0-based
+    // prefix position pa0 of A bounds the overlap ONE-SIDEDLY: for the
+    // row where pa0 is A's first match (which exists for every true
+    // pair in the orientation whose ratio clears τ — that side's first
+    // common gram provably lands inside its prefix), n_inter ≤
+    // nA − pa0. Requiring nA − pa0 + 1 ≥ τ·min(nA, nB) (+1 = fp-safety
+    // slack, the product is a double) therefore never drops a true
+    // pair. Pruning power comes from SIZE SKEW (a small-A probe deep
+    // into its prefix against a large B): on the uniform-length
+    // synthetic corpus the bound is vacuous (prefix length ≈ the bound
+    // slack — measured 0% pruned at ×100, where the real fix was the
+    // setLookupSide broadcast below), but on a real corpus with varied
+    // document lengths it is the standard candidate cutter, and it
+    // rides the join for one comparison per row.
     val cand = shuffleHashIfBig(prefix.as("a")).join(full.as("b"), Seq("sh"))
       .filter(col("a.id") =!= col("b.id"))
+      .filter((col("a.n_sh") - col("a.pa0") + 1).cast("double") >=
+        lit(tau) * least(col("a.n_sh"), col("b.n_sh")).cast("double"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     // DISTINCT BEFORE verify — deliberately the opposite trade from
@@ -310,7 +337,20 @@ object Dedup {
     * [[jaccardFromSets]], emitting BOTH directed containments. */
   private def containmentFromSets(candidates: DataFrame, sets: DataFrame,
                                   tau: Double): DataFrame = {
-    val s = sets.select(col("id"), col("sh_arr"), col("n_sh"))
+    // Size-gated SHUFFLE_HASH on the set lookups (the jaccardFromSets
+    // reasoning): past the broadcast threshold the sort-merge fallback
+    // SORTS the pair stream with ~|doc| bytes of shingle array attached
+    // to every row — the ×100 study's one super-linear decade
+    // (q_containment 4.4× at ×10 → 52× at ×100 under SMJ, ~23× under
+    // SHJ, with candidate/pair/output counts all exactly linear; the
+    // residue is the pair×array exchange itself, linear in bytes but
+    // past one host's page cache). An explicit broadcast of the set
+    // table (~0.5% of corpus bytes) cut the verify 65 → 18 s when the
+    // driver heap allowed it, but is heap-fragile (OOM-guard at the
+    // default 8 g) and moot at 100 TB where the set table is ~0.5 TB —
+    // so the portable shape is SHJ: per-partition build bounded by
+    // corpus/width, pairs streamed unsorted.
+    val s = shuffleHashIfBig(sets.select(col("id"), col("sh_arr"), col("n_sh")))
     val cand = candidates.repartition(graft.Par.widthFor(sets), col("id_a"))
     cand
       .join(s.as("sa"), col("id_a") === col("sa.id"))

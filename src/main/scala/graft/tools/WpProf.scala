@@ -1,25 +1,19 @@
 package graft.tools
 import graft.{Caches, Sessions}
-import graft.text.Unigram
 object WpProf {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val w = Unigram.wordCounts(docs, "doc_id", "text")
-    w.count()
-    println("[p] cached partitions: " + w.rdd.getNumPartitions)
-    val t0 = System.nanoTime(); w.count()
-    println(f"[p] cached count ${(System.nanoTime() - t0) / 1e9}%.3f")
-    // bare floor: empty job
-    val rdd1 = spark.sparkContext.parallelize(1 to 10, 1)
-    rdd1.count()
-    val t1 = System.nanoTime(); rdd1.count()
-    println(f"[p] 1-partition rdd count ${(System.nanoTime() - t1) / 1e9}%.3f")
-    val df1 = spark.range(10).toDF("x")
-    df1.count()
-    val t2 = System.nanoTime(); df1.count()
-    println(f"[p] range df count ${(System.nanoTime() - t2) / 1e9}%.3f")
-    spark.stop()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/tmp/scale100/documents.parquet")
+    val op = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+    val t0 = System.nanoTime(); op.count()
+    println(f"[p] run ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val plan = op.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    println("[p] plan ops histogram:")
+    lines.map(_.trim.dropWhile(c => !c.isLetter).takeWhile(_.isLetter)).groupBy(identity)
+      .toSeq.sortBy(-_._2.size).take(18).foreach{case (k,v) => println(f"    $k%-30s ${v.size}")}
+    println("[p] joins:")
+    lines.filter(l => l.contains("Join")).map(_.trim.take(120)).foreach(l => println("    " + l))
   }
 }
