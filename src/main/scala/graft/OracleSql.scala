@@ -1421,6 +1421,55 @@ object OracleSql {
          |SELECT src_id, dst_id, cosine, "rank" FROM r WHERE "rank" <= 3
          |ORDER BY src_id, "rank"""".stripMargin,
 
+    // kNN-graph label propagation: the q_knn_graph edge CTE (rank <= 3)
+    // + 2 unrolled hard-majority rounds; the majority argmax mirrors
+    // the engine's max(struct(c, -label)) as row_number ORDER BY
+    // (c DESC, lab ASC). Integer-exact end to end.
+    "q_label_prop" -> {
+      def round(r: Int): String =
+        s"""v$r AS MATERIALIZED (
+           |  SELECT e.src, c.lab, CAST(count(*) AS BIGINT) AS c
+           |  FROM edges e JOIN lp${r - 1} c ON c.id = e.dst
+           |  WHERE c.lab IS NOT NULL GROUP BY 1, 2),
+           |w$r AS MATERIALIZED (
+           |  SELECT src AS id, lab AS wlab FROM (
+           |    SELECT src, lab,
+           |           row_number() OVER (PARTITION BY src ORDER BY c DESC, lab ASC) AS rn
+           |    FROM v$r)
+           |  WHERE rn = 1),
+           |lp$r AS MATERIALIZED (
+           |  SELECT p.id, COALESCE(p.lab, w.wlab) AS lab,
+           |         CASE WHEN p.lab IS NOT NULL THEN p.rnd
+           |              WHEN w.wlab IS NOT NULL THEN $r ELSE -1 END AS rnd
+           |  FROM lp${r - 1} p LEFT JOIN w$r w ON w.id = p.id)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |edges AS MATERIALIZED (SELECT src_id AS src, dst_id AS dst FROM r WHERE "rank" <= 3),
+         |lp0 AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         CASE WHEN vec_id % 17 = 0 THEN label END AS lab,
+         |         CASE WHEN vec_id % 17 = 0 THEN 0 ELSE -1 END AS rnd
+         |  FROM embeddings),
+         |${round(1)},
+         |${round(2)}
+         |SELECT id AS vec_id,
+         |       CAST(COALESCE(lab, -1) AS INTEGER) AS prop_label,
+         |       CAST(rnd AS INTEGER) AS round_labeled
+         |FROM lp2 ORDER BY vec_id""".stripMargin
+    },
+
     // Skew diagnostics: per-key histogram, top-5 heavy hitters, shape
     // stats; skew divides by the integer mean to stay BIGINT-safe.
     "q_skew_report" ->

@@ -2912,6 +2912,23 @@ object SparkEntry {
         anchorPred = col("vec_id") < 5, posMax = 0.9, k = 3)
       .orderBy(col("anchor_id"), col("role"), col("rank"))
 
+  /** kNN-graph LABEL PROPAGATION (X181 — ops.Graphs.labelPropagation):
+    * sparse seeds (vec_id % 17 == 0, ~6% of the store) hard-majority
+    * propagate over the auto-bits k=3 kNN graph for 2 unrolled rounds —
+    * the annotate-a-sliver, propagate-the-rest labeling pass of a
+    * large-corpus curation pipeline. Output: every vector's propagated
+    * label + the round it was reached (−1 = unreached). */
+  private def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ops.Graphs.labelPropagation(
+        emb.select(col("vec_id").as("id"), col("label"),
+          (col("vec_id") % 17 === 0).as("is_seed")),
+        Vectors.knnGraph(emb, "vec_id", "embedding", k = 3),
+        "src_id", "dst_id", rounds = 2)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Span-corruption mask plan (X167 — see TextOps.spanCorruptionPlan):
     * T5-style deterministic corruption spans, start rate 1/20, lengths
     * 1..5, overlap-merged accounting per document. */
@@ -3166,6 +3183,7 @@ object SparkEntry {
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_apply" -> (qWordpieceApply _),
     "q_tokenizer_families" -> (qTokenizerFamilies _),
+    "q_label_prop" -> (qLabelProp _),
     "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),

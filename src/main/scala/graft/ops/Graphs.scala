@@ -110,4 +110,62 @@ object Graphs {
       .select(col("v"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** LABEL PROPAGATION over a directed edge set — semi-supervised
+    * labeling of an embedding store from a sparse seed set (the
+    * annotate-1%-propagate-the-rest pattern of large-corpus data
+    * labeling; Zhu & Ghahramani 2002's graph label propagation, hard
+    * majority variant, unrolled a fixed number of rounds so the whole
+    * model is oracle-verifiable exact-integer arithmetic).
+    *
+    * `vertices` = (id, label, is_seed); seeds keep their label forever
+    * (round 0). Each round, every still-unlabeled vertex takes the
+    * MAJORITY label of its OUT-neighbors' current labels (count DESC,
+    * label ASC tie-break — deterministic); vertices whose neighbors are
+    * all unlabeled stay unlabeled and may be reached in a later round.
+    * Returns one row per vertex: (id, prop_label, round_labeled) with
+    * −1/−1 for never-reached vertices.
+    *
+    * Scale shape: the edge table is k·n rows (k-bounded per vertex by
+    * construction when it comes from [[graft.similarity.Vectors.knnGraph]]);
+    * each round is ONE map-side-combining (vertex, label) count
+    * aggregate, one 1-row-per-vertex argmax via max(struct(c, −label))
+    * (no window over anything bigger than a vertex's ≤ k·#labels vote
+    * rows), and one vertex-keyed left join — everything linear in k·n
+    * with the label state persisted per round and its predecessor
+    * dropped (the CC/BPE lineage-truncation discipline). */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var cur = graft.Caches.track(graft.Caches.materialize(
+      vertices.select(col("id"),
+        when(col("is_seed"), col("label")).as("lab"),
+        when(col("is_seed"), lit(0)).otherwise(lit(-1)).cast("int").as("rnd"))
+        .persist(lvl)))
+    for (r <- 1 to rounds) {
+      val votes = e.join(cur.filter(col("lab").isNotNull)
+          .select(col("id").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+      // majority with (count DESC, label ASC): max over (c, −label)
+      val win = votes.groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("wlab"))
+      val prev = cur
+      cur = graft.Caches.track(graft.Caches.materialize(
+        prev.join(win, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("lab"), col("wlab")).as("lab"),
+            when(col("lab").isNotNull, col("rnd"))
+              .when(col("wlab").isNotNull, lit(r))
+              .otherwise(lit(-1)).cast("int").as("rnd"))
+          .persist(lvl)))
+      prev.unpersist(false)
+    }
+    cur.select(col("id"),
+      coalesce(col("lab"), lit(-1)).cast("int").as("prop_label"),
+      col("rnd").as("round_labeled"))
+  }
 }

@@ -68,4 +68,40 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(got.length == 4 && got.forall(_._3 == 0L))
   }
+
+  test("labelPropagation: majority vote, tie to smaller label, multi-round reach, -1 unreached") {
+    // seeds: 0→7, 1→3. Edges (directed out-neighborhoods):
+    //   2 → {0, 1}    round 1: votes 7:1, 3:1 → TIE → smaller label 3
+    //   3 → {0}       round 1: 7
+    //   4 → {3, 3'}?  4 → {3} only: round 2 via 3's round-1 label 7
+    //   5 → {6}       6 unlabeled forever → 5 stays -1
+    val vertices = Seq(
+      (0L, 7, true), (1L, 3, true), (2L, 9, false), (3L, 9, false),
+      (4L, 9, false), (5L, 9, false), (6L, 9, false)
+    ).toDF("id", "label", "is_seed")
+    val edges = Seq((2L, 0L), (2L, 1L), (3L, 0L), (4L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    val out = Graphs.labelPropagation(vertices, edges, "src", "dst", rounds = 2)
+      .orderBy($"id").as[(Long, Int, Int)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq(
+      (0L, 7, 0),   // seed keeps label, round 0
+      (1L, 3, 0),
+      (2L, 3, 1),   // tie 7 vs 3 → smaller label
+      (3L, 7, 1),
+      (4L, 7, 2),   // reached through 3's round-1 label
+      (5L, -1, -1), // only neighbor never labeled
+      (6L, -1, -1)))
+  }
+
+  test("labelPropagation: clear majority beats the tie-break") {
+    val vertices = Seq(
+      (0L, 5, true), (1L, 5, true), (2L, 1, true), (3L, 9, false)
+    ).toDF("id", "label", "is_seed")
+    val edges = Seq((3L, 0L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val out = Graphs.labelPropagation(vertices, edges, "src", "dst", rounds = 1)
+      .filter($"id" === 3L).as[(Long, Int, Int)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq((3L, 5, 1)), "2×label-5 must beat 1×label-1 despite 1 < 5")
+  }
 }
