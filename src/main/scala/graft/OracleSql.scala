@@ -1032,6 +1032,38 @@ object OracleSql {
          |  GROUP BY 1, 2)
          |${jaccardSelect(0.8)}""".stripMargin,
 
+    // Sorted-neighborhood blocking: two global ranks (normalized-prefix
+    // key, reversed-prefix key; ties broken by doc_id — mirrors the
+    // engine's range-partitioned exact rank), rank-window candidates
+    // (y.r in (x.r, x.r + 5]), cross-pass dedup, exact-Jaccard verify.
+    "q_sorted_blocking" -> {
+      val normE = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[[:cntrl:]]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |nrm AS (SELECT doc_id, $normE AS nt FROM documents
+         |        WHERE doc_id IN (SELECT id FROM sh)),
+         |r1 AS (SELECT doc_id, row_number() OVER (
+         |          ORDER BY substring(nt, 1, 12), doc_id) AS r FROM nrm),
+         |r2 AS (SELECT doc_id, row_number() OVER (
+         |          ORDER BY substring(reverse(nt), 1, 12), doc_id) AS r FROM nrm),
+         |cand AS (
+         |  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+         |  FROM (
+         |    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |    FROM r1 x JOIN r1 y ON y.r > x.r AND y.r <= x.r + 5
+         |    UNION ALL
+         |    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |    FROM r2 x JOIN r2 y ON y.r > x.r AND y.r <= x.r + 5)),
+         |inter AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.id = cand.id_a
+         |  JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |${jaccardSelect(0.8)}""".stripMargin
+    },
+
     "q_minhash_lsh" -> {
       // double-hash permutations: one md5 per shingle, 60-bit halves
       val sigs = (1 to 6)
@@ -1468,6 +1500,57 @@ object OracleSql {
          |       CAST(COALESCE(lab, -1) AS INTEGER) AS prop_label,
          |       CAST(rnd AS INTEGER) AS round_labeled
          |FROM lp2 ORDER BY vec_id""".stripMargin
+    },
+
+    // kNN-graph k-core peel: the q_knn_graph edge CTE canonicalized
+    // undirected + 3 unrolled peel rounds at k=4; per round, degrees are
+    // recomputed over the surviving subgraph and deg<4 vertices peel.
+    // Survivors report their round-3 degree (the engine's uniform
+    // "degree at the last round the vertex participated in" contract).
+    "q_kcore" -> {
+      def round(r: Int): String =
+        s"""e$r AS MATERIALIZED (
+           |  SELECT und.a, und.b FROM und
+           |  JOIN s${r - 1} sa ON und.a = sa.id
+           |  JOIN s${r - 1} sb ON und.b = sb.id),
+           |d$r AS MATERIALIZED (
+           |  SELECT s.id, CAST(COALESCE(c.c, 0) AS BIGINT) AS deg
+           |  FROM s${r - 1} s LEFT JOIN (
+           |    SELECT id, count(*) AS c FROM (
+           |      SELECT a AS id FROM e$r UNION ALL SELECT b AS id FROM e$r)
+           |    GROUP BY 1) c ON c.id = s.id),
+           |p$r AS MATERIALIZED (
+           |  SELECT id, $r AS peel_round, deg AS last_deg FROM d$r WHERE deg < 4),
+           |s$r AS MATERIALIZED (SELECT id, deg FROM d$r WHERE deg >= 4)""".stripMargin
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+         |  FROM r WHERE "rank" <= 3 AND src_id <> dst_id),
+         |s0 AS MATERIALIZED (SELECT DISTINCT vec_id AS id FROM embeddings),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id AS vec_id, CAST(peel_round AS INTEGER) AS peel_round,
+         |       CAST(last_deg AS BIGINT) AS last_deg
+         |FROM (
+         |  SELECT id, -1 AS peel_round, deg AS last_deg FROM s3
+         |  UNION ALL SELECT id, peel_round, last_deg FROM p1
+         |  UNION ALL SELECT id, peel_round, last_deg FROM p2
+         |  UNION ALL SELECT id, peel_round, last_deg FROM p3)
+         |ORDER BY vec_id""".stripMargin
     },
 
     // Skew diagnostics: per-key histogram, top-5 heavy hitters, shape

@@ -2110,6 +2110,16 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Sorted-neighborhood blocking dedup (X183 — see Dedup
+    * .sortedNeighborhoodPairs): two-pass merge/purge (normalized prefix,
+    * reversed-prefix), window 5, exact-Jaccard verify at 0.8 — the
+    * skew-proof (exactly n·window·2 candidates) member of the blocking
+    * ensemble next to LSH (X3) and PPJoin (X33). */
+  private def qSortedBlocking(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(spread(t(s, d, "documents"), "doc_id"),
+      "doc_id", "text", n = 3, window = 5, prefixLen = 12, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text",
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
@@ -2929,6 +2939,22 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** kNN-graph K-CORE PEEL (X182 — ops.Graphs.kcorePeel): 3 unrolled
+    * peel rounds at k=4 over the undirected auto-bits k=3 kNN graph —
+    * the density filter separating dense semantic clusters (the core)
+    * from the outlier fringe a corpus selector down-weights; peel_round
+    * is the coreness proxy. Vertices = every embedding id (nn=0 rows
+    * are isolated and peel in round 1 with degree 0). */
+  private def qKcore(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ops.Graphs.kcorePeel(
+        emb.select(col("vec_id").as("id")),
+        Vectors.knnGraph(emb, "vec_id", "embedding", k = 3),
+        "src_id", "dst_id", k = 4, rounds = 3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
   /** Span-corruption mask plan (X167 — see TextOps.spanCorruptionPlan):
     * T5-style deterministic corruption spans, start rate 1/20, lengths
     * 1..5, overlap-merged accounting per document. */
@@ -3112,6 +3138,7 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_chunks" -> (qChunks _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_sorted_blocking" -> (qSortedBlocking _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),
@@ -3184,6 +3211,7 @@ object SparkEntry {
     "q_wordpiece_apply" -> (qWordpieceApply _),
     "q_tokenizer_families" -> (qTokenizerFamilies _),
     "q_label_prop" -> (qLabelProp _),
+    "q_kcore" -> (qKcore _),
     "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),

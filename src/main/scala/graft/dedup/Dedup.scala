@@ -131,6 +131,89 @@ object Dedup {
       shingleSets(docs, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Exact GLOBAL RANK 1..n of `df`'s rows by (k, id) — without the
+    * single-partition window a bare `row_number() OVER (ORDER BY …)`
+    * plans to. Shape: ONE range-repartition by (k, id) (Spark's own
+    * `orderBy` exchange — boundary sampling balances skew), a
+    * per-partition `row_number` window (each partition sorts locally),
+    * and per-partition row-count offsets computed as a window over the
+    * WIDTH-row count table (bounded by the shuffle width, never by data)
+    * and broadcast-joined back. Global rank = offset + local rank is
+    * exact for ANY boundary placement because range partitions are
+    * order-disjoint. Returns (id, k, r). */
+  private[graft] def globalRankByKey(df: DataFrame): DataFrame = {
+    val parted = df.select(col("id"), col("k"))
+      .repartitionByRange(graft.Par.widthFor(df), col("k"), col("id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lr",
+      row_number().over(Window.partitionBy(col("pid")).orderBy(col("k"), col("id"))))
+    val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offs), Seq("pid"))
+      .select(col("id"), col("k"), (col("off") + col("lr")).as("r"))
+  }
+
+  /** Multi-pass SORTED-NEIGHBORHOOD near-dup blocking (Hernández &
+    * Stolfo's merge/purge, DMKD 1998 — public algorithm): sort the
+    * corpus by a cheap blocking key, compare each record only to its
+    * `window` successors in that order, and run a second pass under a
+    * second key so records whose FIRST key diverges (a corrupted prefix)
+    * still meet under the other. Pass keys here: the first `prefixLen`
+    * chars of the normalized text, then of its REVERSE (prefix noise vs
+    * suffix noise). Candidates from both passes union, dedup, and are
+    * verified with the exact shingle Jaccard — the same verify the
+    * PPJoin path uses, so a pair this operator reports is a TRUE ≥ t
+    * near-dup; what blocking trades away is recall on pairs neither key
+    * brings within `window` (the documented miss class of every
+    * sort-based blocker).
+    *
+    * WHY alongside LSH/PPJoin (X3/X33): candidate volume is EXACTLY
+    * n·window·passes regardless of content — a sorted-neighborhood pass
+    * cannot blow up on an adversarial corpus the way a hot LSH bucket or
+    * frequent-shingle prefix can, so it is the skew-proof floor of a
+    * dedup ensemble. Scale shape: two global-rank sorts (range exchange +
+    * local sort — Spark's own orderBy shape), candidate generation is an
+    * EQUI-join of (r + off) against r on the dense integer rank (off
+    * exploded 1..window — uniform keys, zero skew by construction), and
+    * the verify probes the shared persisted shingle-set table. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ `threshold`. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int, window: Int, prefixLen: Int,
+                              threshold: Double): DataFrame = {
+    require(window >= 1 && window <= 64, s"window=$window out of range 1..64")
+    require(prefixLen >= 1, s"prefixLen=$prefixLen must be >= 1")
+    val sets = persistedSets(docs, idCol, textCol, n)
+    val norm = TextOps.normalizeText(col(textCol))
+    val keys = Seq(substring(norm, 1, prefixLen),
+      substring(reverse(norm), 1, prefixLen))
+    // docs with no shingles (< n tokens) can never verify at t > 0 —
+    // keep them out of the sort so they don't pad windows (and don't
+    // 0/0 the Jaccard)
+    val eligible = docs.join(
+      sets.filter(col("n_sh") > 0).select(col("id").as(idCol)), Seq(idCol),
+      "left_semi")
+    val cands = keys.map { key =>
+      val ranked = graft.Caches.materialize(
+        globalRankByKey(eligible.select(col(idCol).as("id"), key.as("k")))
+          .select(col("id"), col("r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val probe = ranked.select(col("id").as("ia"),
+          explode(sequence(lit(1L), lit(window.toLong))).as("off"), col("r"))
+        .select(col("ia"), (col("r") + col("off")).as("r"))
+      probe.join(ranked.select(col("id").as("ib"), col("r")), Seq("r"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+    }
+    // distinct BEFORE the verify: cross-pass duplicates are up to 2× and
+    // each candidate costs a merge walk over two shingle arrays, while
+    // the candidate table itself is two BIGINTs per row — the cheap side
+    // of that trade is the shuffle.
+    jaccardFromSets(cands.reduce(_ unionAll _).distinct(), sets, threshold)
+  }
+
   /** The canonical-order index on top of the set table — (id, n_sh,
     * ord_sh) with the doc's xxhash64'd shingles sorted by ascending
     * global document frequency, hashed shingle as tie-break (the

@@ -111,6 +111,77 @@ object Graphs {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** K-CORE PEEL over a directed edge list, undirected semantics — the
+    * density filter of a kNN graph (the k-core is the maximal subgraph
+    * where every vertex keeps >= k neighbors; peeling away the low-degree
+    * fringe isolates the dense semantic clusters that survive curation,
+    * while early-peeled vertices are the outliers/singletons a corpus
+    * selector down-weights). Matula & Beck 1983's peeling algorithm,
+    * unrolled a FIXED number of rounds so the whole model is
+    * oracle-verifiable exact-integer arithmetic (the fixpoint form is the
+    * CC-style iterate-until-converged loop; a bounded peel is already the
+    * useful curation signal — peel_round is a coreness proxy).
+    *
+    * Each round r computes every surviving vertex's degree in the
+    * CURRENT surviving subgraph and removes those with degree < k
+    * (isolated vertices peel in round 1 with degree 0). Returns one row
+    * per input vertex: (id, peel_round, last_deg) where peel_round is
+    * the 1-based round the vertex was removed (−1 = still in the core
+    * after `rounds` rounds) and last_deg its degree at the LAST round it
+    * participated in (peeled: degree that fell below k; survivors:
+    * degree in round `rounds`' subgraph, before that round's removals).
+    *
+    * Scale shape: edges canonicalize once to distinct (a < b) pairs and
+    * persist; each round is TWO vertex-keyed semi-joins of the edge table
+    * against the |V|-row survivor set (hash equi-joins — at kNN-graph
+    * input |E| <= k·|V|, so a round is linear in k·n), one map-side-
+    * combining degree aggregate, and one filter; survivor state persists
+    * per round and its predecessor is dropped (the CC/label-prop
+    * lineage-truncation discipline). Removed-vertex output accumulates as
+    * `rounds` bounded unions — no window, no cross product, no collect. */
+  def kcorePeel(vertices: DataFrame, edges: DataFrame,
+                srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range 1..16")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = graft.Caches.materialize(
+      edges.select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .persist(lvl))
+    var surv = graft.Caches.track(graft.Caches.materialize(
+      vertices.select(col("id")).distinct().persist(lvl)))
+    var removed: DataFrame = null
+    var lastDeg: DataFrame = null // survivors' degree table of the final round
+    for (r <- 1 to rounds) {
+      val e = und.join(surv.select(col("id").as("a")), Seq("a"))
+        .join(surv.select(col("id").as("b")), Seq("b"))
+      val deg = surv.join(
+          e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+            .groupBy(col("id")).agg(count(lit(1)).as("c")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
+      // materialize the peeled fringe BEFORE dropping the predecessor
+      // survivor state — the final union consumes it after the loop, and
+      // an unmaterialized handle would recompute every round's lineage
+      val peeled = graft.Caches.track(graft.Caches.materialize(
+        deg.filter(col("deg") < k)
+          .select(col("id"), lit(r).as("peel_round"), col("deg").as("last_deg"))
+          .persist(lvl)))
+      removed = if (removed == null) peeled else removed.unionAll(peeled)
+      val prev = surv
+      surv = graft.Caches.track(graft.Caches.materialize(
+        deg.filter(col("deg") >= k).persist(lvl)))
+      lastDeg = surv
+      prev.unpersist(false)
+    }
+    lastDeg.select(col("id"), lit(-1).as("peel_round"), col("deg").as("last_deg"))
+      .unionAll(removed)
+      .select(col("id"), col("peel_round").cast("int").as("peel_round"),
+        col("last_deg").cast("long").as("last_deg"))
+  }
+
   /** LABEL PROPAGATION over a directed edge set — semi-supervised
     * labeling of an embedding store from a sparse seed set (the
     * annotate-1%-propagate-the-rest pattern of large-corpus data

@@ -38,6 +38,67 @@ class DedupSpec extends SparkSpec {
     assert(j14 == 1.0)
   }
 
+  test("globalRankByKey equals the single-partition row_number, any input partitioning") {
+    val rows = (1L to 100L).map(i => (i, f"k${(i * 37) % 10}%s")) // 10-way key ties
+    val ref = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    Seq(1, 5, 32).foreach { p =>
+      val got = Dedup.globalRankByKey(rows.toDF("id", "k").repartition(p))
+        .select($"id", $"r").as[(Long, Long)].collect().toMap
+      assert(got == ref, s"parts=$p")
+    }
+  }
+
+  test("sortedNeighborhoodPairs finds adjacent near-dups, exact-verified") {
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        n = 3, window = 5, prefixLen = 12, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    graft.Caches.release()
+    // same result as the PPJoin path on this corpus: all three true pairs
+    // sort adjacently under the shared "the quick br" prefix key
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+  }
+
+  test("sortedNeighborhoodPairs second (reversed-key) pass catches prefix-corrupted dups") {
+    // 10 and 20 differ only in the FIRST word: pass-1 keys diverge
+    // (apple… vs melon…) with the filler sorting between them, but both
+    // REVERSED texts start "ekans regit " — adjacent in pass 2.
+    val d = Seq(
+      (10L, "apple zebra yak xylophone walrus vulture tiger snake"),
+      (15L, "coconut mango papaya guava lychee durian fig date"),
+      (20L, "melon zebra yak xylophone walrus vulture tiger snake")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        n = 3, window = 1, prefixLen = 12, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.Caches.release()
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((10L, 20L)))
+    assert(math.abs(got.head._3 - 5.0 / 7.0) < 1e-12) // 5 shared of 7 union trigrams
+  }
+
+  test("sortedNeighborhoodPairs documented miss: pair outside the window under BOTH keys") {
+    // 10 and 30 differ in first AND last word (J = 6/10 = 0.6 ≥ 0.5) and
+    // the filler 20 sorts between them under both keys ("beta…" between
+    // "alpha…"/"zeta…"; reversed "god…" between "agemo…"/"isp…") — at
+    // window=1 the blocker must miss the pair, at window=2 it must not.
+    val d = Seq(
+      (10L, "alpha m1 m2 m3 m4 m5 m6 m7 m8 omega"),
+      (20L, "beta x1 x2 x3 dog"),
+      (30L, "zeta m1 m2 m3 m4 m5 m6 m7 m8 psi")
+    ).toDF("doc_id", "text")
+    val missed = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        n = 3, window = 1, prefixLen = 12, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.Caches.release()
+    assert(missed.isEmpty)
+    val caught = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        n = 3, window = 2, prefixLen = 12, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.Caches.release()
+    assert(caught.map(p => (p._1, p._2)).toSeq == Seq((10L, 30L)))
+  }
+
   test("containmentPairs catches doc-contains-doc that jaccard misses") {
     // doc 8 EMBEDS doc 7 verbatim inside much more text: containment
     // C(7→8) = 1.0 while the jaccard dilutes below any useful threshold

@@ -94,6 +94,45 @@ class GraphsSpec extends SparkSpec {
       (6L, -1, -1)))
   }
 
+  // K4 {1,2,3,4} + path 4—5—6, isolated 7. Round-1 degrees:
+  // 1:3 2:3 3:3 4:4 5:2 6:1 7:0.
+  // k=2: r1 peels 6 (deg 1) and 7 (deg 0); r2 recomputes over
+  // {1..5} (K4 + 4—5): 5's degree drops to 1 → peeled; r3 over K4:
+  // everyone at degree 3 survives (4's degree fell 4→3 after losing 5).
+  test("kcorePeel: cascading peel with hand-computed rounds at k=2") {
+    val vertices = (1L to 7L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graphs.kcorePeel(vertices, edges, "src", "dst", k = 2, rounds = 3)
+      .orderBy($"id").as[(Long, Int, Long)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq(
+      (1L, -1, 3L), (2L, -1, 3L), (3L, -1, 3L), (4L, -1, 3L),
+      (5L, 2, 1L), (6L, 1, 1L), (7L, 1, 0L)))
+  }
+
+  // Same graph at k=4: only hub 4 (deg 4) survives round 1, then finds
+  // itself isolated in round 2 — the fringe-collapse cascade.
+  test("kcorePeel: k=4 cascade empties the core; direction/dup edges invariant") {
+    val vertices = (1L to 5L).toDF("id")
+    val canon = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val expect = Seq(
+      (1L, 1, 3L), (2L, 1, 3L), (3L, 1, 3L), (4L, 2, 0L), (5L, 1, 1L))
+    val out = Graphs.kcorePeel(vertices, canon.toDF("src", "dst"),
+        "src", "dst", k = 4, rounds = 3)
+      .orderBy($"id").as[(Long, Int, Long)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == expect)
+    // reversed + duplicated edges and a self-loop canonicalize away
+    val messy = (canon.map(_.swap) ++ canon ++ Seq((3L, 3L))).toDF("src", "dst")
+    val out2 = Graphs.kcorePeel(vertices, messy, "src", "dst", k = 4, rounds = 3)
+      .orderBy($"id").as[(Long, Int, Long)].collect()
+    graft.Caches.release()
+    assert(out2.toSeq == expect)
+  }
+
   test("labelPropagation: clear majority beats the tie-break") {
     val vertices = Seq(
       (0L, 5, true), (1L, 5, true), (2L, 1, true), (3L, 9, false)
