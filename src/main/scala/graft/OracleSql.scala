@@ -1615,6 +1615,49 @@ object OracleSql {
         |       CAST(base + CASE WHEN rk <= 12345 - sb THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
 
+    // Epoch-aware data-constrained mix plan: per-source (Σ tokens, mean
+    // fp6 quality) → epochs 1..4 exploded, greedily ordered by the
+    // integer key q_fp6·2^(4−e) (= q·2^−(e−1) compared without
+    // division), budget-prefix allocation with a partial boundary unit.
+    "q_epoch_mix" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, nt,
+         |         CAST(round(((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |           + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |           + (1.0 - punct_ratio) * 0.2) * 1000000.0) AS BIGINT) AS q6
+         |  FROM t),
+         |s AS (
+         |  SELECT source, CAST(sum(nt) AS BIGINT) AS toks,
+         |         CAST(sum(q6) // count(*) AS BIGINT) AS q_fp6
+         |  FROM q GROUP BY 1),
+         |u AS (
+         |  SELECT source, toks, q_fp6, unnest(range(1, 5)) AS epoch FROM s),
+         |o AS (
+         |  SELECT source, toks, q_fp6, epoch,
+         |         q_fp6 * (CAST(1 AS BIGINT) << (4 - epoch)) AS okey FROM u),
+         |c AS (
+         |  SELECT source, toks, q_fp6, epoch,
+         |         COALESCE(sum(toks) OVER (ORDER BY okey DESC, source, epoch
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM o)
+         |SELECT source, CAST(epoch AS INTEGER) AS epoch,
+         |       CAST(q_fp6 // (CAST(1 AS BIGINT) << (epoch - 1)) AS BIGINT) AS value_fp6,
+         |       CAST(greatest(0, least(toks, 60000 - cb)) AS BIGINT) AS alloc_tokens
+         |FROM c
+         |WHERE greatest(0, least(toks, 60000 - cb)) > 0
+         |ORDER BY source, epoch""".stripMargin
+    },
+
     // Hellinger² needs only sqrt/div/mul — all correctly rounded under
     // IEEE 754, so per-term doubles are bit-identical across engines;
     // they are fixed-pointed (1e12) and summed as integers, and the

@@ -2420,6 +2420,18 @@ object SparkEntry {
     corpus.Mixing.budgetAllocation(t(s, d, "documents"), "source", budget = 12345L)
       .orderBy(col("source"))
 
+  /** Epoch-aware data-constrained mix plan (X184 — see Mixing
+    * .epochMixPlan): greedy by per-epoch marginal value q_s·2^−(e−1)
+    * (mean fp6 quality per source, halving per repeat — Muennighoff et
+    * al. 2023), budget 60k tokens over ≤4 epochs of 20 sources; one
+    * corpus scan, model-sized everything after. Budget is the operand. */
+  private def qEpochMix(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.Stopwords.toMap.apply("en")
+    corpus.Mixing.epochMixPlan(t(s, d, "documents"), "source", "text",
+        en, budget = 60000L, maxEpochs = 4)
+      .orderBy(col("source"), col("epoch"))
+  }
+
   /** Sqrt-temperature domain re-weighting (the LLM data-mixing sampler):
     * deterministic md5-percentile keep decision against a broadcast
     * per-domain weight table — the corpus never shuffles. */
@@ -3152,6 +3164,7 @@ object SparkEntry {
     "q_domain_stats" -> (qDomainStats _),
     "q_domain_divergence" -> (qDomainDivergence _),
     "q_budget_alloc" -> (qBudgetAlloc _),
+    "q_epoch_mix" -> (qEpochMix _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_cms_freq" -> (qCmsFreq _),

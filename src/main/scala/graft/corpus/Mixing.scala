@@ -169,6 +169,59 @@ object Mixing {
         (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
   }
 
+  /** EPOCH-AWARE token-budget allocation under data constraints
+    * (Muennighoff et al., NeurIPS 2023 "Scaling Data-Constrained
+    * Language Models" — public result: repeating data has geometrically
+    * decaying marginal value, ~worthless past a few epochs). Plans how
+    * many epochs of EACH source to train on under a total token budget:
+    * every (source, epoch ≤ maxEpochs) unit carries marginal value
+    * density q_s · 2^−(e−1) — per-source mean quality (fp6 fixed-point,
+    * the [[graft.text.TextOps.qualityScore]] scorer) halving per repeat
+    * — and since a unit's density is constant per token, the greedy
+    * optimum is exactly: sort ALL units by density and allocate the
+    * budget prefix, the boundary unit partially. Integer-exact: the
+    * ORDER key is q_fp6 · 2^(maxEpochs − e) (compares q·2^−(e−1)
+    * without division), allocations are min/greatest on BIGINT counts;
+    * ties break (source ASC, epoch ASC).
+    *
+    * Scale shape: ONE map-side-combining corpus scan aggregates
+    * (Σ tokens, mean fp6 quality) per source; everything downstream is
+    * MODEL-sized (#sources · maxEpochs rows) — the epoch explode, the
+    * ordered cumulative-sum window (bounded by S·E, never by data), the
+    * clamp. Returns (source, epoch, value_fp6, alloc_tokens) for units
+    * with a positive allocation. */
+  def epochMixPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                   stopwords: Seq[String], budget: Long,
+                   maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"maxEpochs=$maxEpochs out of range 1..16")
+    val q6 = round(TextOps.qualityScore(col(textCol), stopwords) * 1e6)
+      .cast("long")
+    val src = docs
+      .select(col(sourceCol).as("source"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("nt"), q6.as("q6"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("toks"),
+        expr("sum(q6) div count(1)").as("q_fp6"))
+    val units = src
+      .select(col("source"), col("toks"), col("q_fp6"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("epoch"))
+      .withColumn("okey",
+        expr(s"q_fp6 * shiftleft(CAST(1 AS BIGINT), $maxEpochs - epoch)"))
+    val ord = Window.orderBy(col("okey").desc, col("source"), col("epoch"))
+    units
+      .withColumn("cum_before", coalesce(
+        sum(col("toks")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("alloc_tokens",
+        greatest(lit(0L), least(col("toks"), lit(budget) - col("cum_before"))))
+      .filter(col("alloc_tokens") > 0)
+      .select(col("source"), col("epoch").cast("int").as("epoch"),
+        expr("q_fp6 div shiftleft(CAST(1 AS BIGINT), epoch - 1)").as("value_fp6"),
+        col("alloc_tokens"))
+  }
+
   /** Token-budget sequence packing: within each (domain, shard), walk
     * documents in id order accumulating token counts and assign each doc
     * to the bin where its cumulative count ends: bin = (cumsum − 1) ÷

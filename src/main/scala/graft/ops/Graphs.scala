@@ -145,41 +145,66 @@ object Graphs {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range 1..16")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // The edge canonicalization is the one CORPUS-FACING build (its
+    // producer may be a whole kNN-graph pipeline) — materialized under
+    // the session's normal AQE regime. The peel loop's states are then
+    // built EAGERLY but under withModelLoopConf (AQE off + a
+    // width sized from the edge table): with AQE on, the 3-round chain
+    // planned ~68 driver jobs (per-stage re-plans + broadcast futures +
+    // cache builds) whose submission constants were 4.2 of 5.8 s at
+    // sf0.1 while actual task time was 1.5 s; AQE-off collapses each
+    // round to a handful of fixed-width narrow stages. Skew needs no
+    // AQE here: und is degree-bounded per vertex when it comes from a
+    // kNN graph, and the loop keys are vertex ids.
     val und = graft.Caches.materialize(
       edges.select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .persist(lvl))
-    var surv = graft.Caches.track(graft.Caches.materialize(
-      vertices.select(col("id")).distinct().persist(lvl)))
-    var removed: DataFrame = null
-    var lastDeg: DataFrame = null // survivors' degree table of the final round
-    for (r <- 1 to rounds) {
-      val e = und.join(surv.select(col("id").as("a")), Seq("a"))
-        .join(surv.select(col("id").as("b")), Seq("b"))
-      val deg = surv.join(
-          e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-            .groupBy(col("id")).agg(count(lit(1)).as("c")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
-      // materialize the peeled fringe BEFORE dropping the predecessor
-      // survivor state — the final union consumes it after the loop, and
-      // an unmaterialized handle would recompute every round's lineage
-      val peeled = graft.Caches.track(graft.Caches.materialize(
+    // width from the LOADED cache (accurate in-memory stats — a
+    // pre-materialization estimate walks the edge-producer's lineage and
+    // lands on the 32-wide cap, which planned 32 near-empty ~300 ms SHJ
+    // task waves per loop exchange)
+    val w = graft.Par.widthFor(und)
+    val spark = edges.sparkSession
+    graft.Caches.withModelLoopConf(spark, w) {
+      // ONE materialized table per round — the (id, deg) table; the
+      // survivor set and the peeled fringe are narrow FILTERS over that
+      // cache (no persist of their own), so a round costs exactly one
+      // action (measured: the two-materialize-per-round form paid ~160 ms
+      // of job-submission constants per extra action at any corpus size).
+      var surv = graft.Caches.track(graft.Caches.materialize(
+        vertices.select(col("id")).distinct().persist(lvl)))
+      val degTables = (1 to rounds).map { _ =>
+        // SHUFFLE_HASH on the survivor side: a broadcast would spawn a
+        // per-join driver sub-job here (~140 ms of submission constants
+        // each) and cannot exist at 100 TB where the survivor set is
+        // vertex-sized; a sort-merge fallback would sort the edge table
+        // every round. Hash side = survivors, streamed side = edges.
+        val e = und.join(surv.select(col("id").as("a")).hint("shuffle_hash"),
+            Seq("a"))
+          .join(surv.select(col("id").as("b")).hint("shuffle_hash"), Seq("b"))
+        val deg = graft.Caches.track(graft.Caches.materialize(
+          surv.join(
+              e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+                .groupBy(col("id")).agg(count(lit(1)).as("c")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
+            .persist(lvl)))
+        surv = deg.filter(col("deg") >= k).select(col("id"))
+        deg
+      }
+      val removed = degTables.zipWithIndex.map { case (deg, i) =>
         deg.filter(col("deg") < k)
-          .select(col("id"), lit(r).as("peel_round"), col("deg").as("last_deg"))
-          .persist(lvl)))
-      removed = if (removed == null) peeled else removed.unionAll(peeled)
-      val prev = surv
-      surv = graft.Caches.track(graft.Caches.materialize(
-        deg.filter(col("deg") >= k).persist(lvl)))
-      lastDeg = surv
-      prev.unpersist(false)
+          .select(col("id"), lit(i + 1).as("peel_round"),
+            col("deg").as("last_deg"))
+      }.reduce(_ unionAll _)
+      degTables.last.filter(col("deg") >= k)
+        .select(col("id"), lit(-1).as("peel_round"), col("deg").as("last_deg"))
+        .unionAll(removed)
+        .select(col("id"), col("peel_round").cast("int").as("peel_round"),
+          col("last_deg").cast("long").as("last_deg"))
     }
-    lastDeg.select(col("id"), lit(-1).as("peel_round"), col("deg").as("last_deg"))
-      .unionAll(removed)
-      .select(col("id"), col("peel_round").cast("int").as("peel_round"),
-        col("last_deg").cast("long").as("last_deg"))
   }
 
   /** LABEL PROPAGATION over a directed edge set — semi-supervised

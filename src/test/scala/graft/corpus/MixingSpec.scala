@@ -68,6 +68,39 @@ class MixingSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).sum == 37L)
   }
 
+  // Hand-computed quality fp6 (qualityScore = lenOk·0.4 + min(4·stop,1)·0.4
+  // + (1−punct)·0.2; all docs < 20 tokens ⇒ lenOk 0; no punctuation):
+  //   hi: "the the the the the" → stopRatio 1 → 0.4 + 0.2 = 0.6 → 600000
+  //   lo: "the b c d e"         → stopRatio 0.2 → 0.32 + 0.2 = 0.52 → 520000
+  // Unit order by q·2^−(e−1) (okey = q_fp6·2^(E−e), E = 2):
+  //   hi e1 (1.2e6) > lo e1 (1.04e6) > hi e2 (6e5) > lo e2 (5.2e5)
+  // toks: 5 each; budget 13 → hi e1: 5, lo e1: 5, hi e2: min(5, 13−10)=3,
+  // lo e2 starved. value_fp6 halves per epoch (600000 → 300000).
+  test("epochMixPlan: greedy by quality-decayed density, partial boundary unit") {
+    val docs = Seq(
+      ("hi", "the the the the the"),
+      ("lo", "the b c d e")
+    ).toDF("source", "text")
+    val en = graft.text.TextOps.Stopwords.toMap.apply("en")
+    val out = Mixing.epochMixPlan(docs, "source", "text", en,
+        budget = 13L, maxEpochs = 2)
+      .orderBy($"source", $"epoch").as[(String, Int, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("hi", 1, 600000L, 5L), ("hi", 2, 300000L, 3L), ("lo", 1, 520000L, 5L)))
+  }
+
+  test("epochMixPlan: zero budget allocates nothing; ample budget fills every epoch") {
+    val docs = Seq(("a", "x y z"), ("b", "p q r s")).toDF("source", "text")
+    val en = graft.text.TextOps.Stopwords.toMap.apply("en")
+    assert(Mixing.epochMixPlan(docs, "source", "text", en, 0L, 3).count() == 0)
+    val full = Mixing.epochMixPlan(docs, "source", "text", en, 1000L, 3)
+      .orderBy($"source", $"epoch").as[(String, Int, Long, Long)].collect()
+    // 2 sources × 3 epochs, every unit fully allocated (3 and 4 tokens)
+    assert(full.length == 6)
+    assert(full.filter(_._1 == "a").forall(_._4 == 3L))
+    assert(full.filter(_._1 == "b").forall(_._4 == 4L))
+  }
+
   test("temperatureSample is deterministic, a subset, and flattens domain skew") {
     val docs = corpus(400, 50)
     val s1 = Mixing.temperatureSample(docs, "source", "doc_id", baseFrac = 0.5)
