@@ -60,7 +60,9 @@ object Bench {
       // buffers across passes, which would flatter passes 2–3), and
       // q_sorted_blocking persists its two rank tables + the shared
       // shingle-set table — all cold-timed like their family peers.
-      "q_label_prop", "q_kcore", "q_sorted_blocking")
+      "q_label_prop", "q_kcore", "q_sorted_blocking",
+      // r12: per-step funnel state frames are persisted
+      "q_funnel_steps")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -599,6 +599,49 @@ object OracleSql {
         |       count(*) AS n_events
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
+    // Ordered conversion funnel: per-step state = (user, t1, t) with the
+    // earliest qualifying event strictly after the previous step within
+    // 24 h; per-step 1-row summaries unioned. sum(BIGINT) is HUGEINT in
+    // DuckDB — cast back down.
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS MATERIALIZED (
+        |  SELECT u, min(us) AS t1, min(us) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS MATERIALIZED (
+        |  SELECT e.u, min(s1.t1) AS t1, min(e.us) AS t
+        |  FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE e.event_type = 'click'
+        |    AND e.us > s1.t AND e.us <= s1.t + 86400000000
+        |  GROUP BY 1),
+        |s3 AS MATERIALIZED (
+        |  SELECT e.u, min(s2.t1) AS t1, min(e.us) AS t
+        |  FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.us > s2.t AND e.us <= s2.t + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+        |       count(*) AS n_users, CAST(0 AS BIGINT) AS sum_latency_us
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(*),
+        |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(*),
+        |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    // Cohort retention: epoch-week = integer µs division (no calendar
+    // semantics to diverge across engines).
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT u, min(us) // 604800000000 AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT u, us // 604800000000 AS week FROM e)
+        |SELECT cohort_week, CAST(week - cohort_week AS INTEGER) AS week_offset,
+        |       count(*) AS n_users
+        |FROM c JOIN a USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q_asof_join" ->
       """WITH o1 AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

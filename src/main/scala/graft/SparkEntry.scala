@@ -1377,6 +1377,28 @@ object SparkEntry {
     * user key). Times compared at µs precision (`ts div 1000`) so Spark's
     * nanos-as-long read and DuckDB's µs-truncated parquet timestamps
     * agree. */
+  /** Ordered conversion funnel (X185 — see Relational.funnelSteps):
+    * view → click → purchase, each step the earliest qualifying event
+    * strictly after the previous step within 24 h; per-step user counts
+    * + exact integer latency sums. */
+  private def qFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    Relational.funnelSteps(e, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), stepWindow = 86400000000L)
+      .orderBy(col("step"))
+  }
+
+  /** Cohort retention matrix (X186 — see Relational.cohortRetention):
+    * users cohorted by the epoch-week (integer µs div) of their first
+    * event; (cohort_week, week_offset) active-user counts. */
+  private def qCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"))
+    Relational.cohortRetention(e, "user_id", "us")
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
@@ -3124,6 +3146,8 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_sessionize" -> (qSessionize _),
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_cohort_retention" -> (qCohortRetention _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

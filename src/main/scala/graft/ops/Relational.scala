@@ -184,6 +184,84 @@ object Relational {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }
 
+  /** Ordered CONVERSION FUNNEL over an event stream — the product-
+    * analytics primitive (view → click → purchase): a user reaches step
+    * i+1 with the EARLIEST step-i+1 event strictly after their step-i
+    * time and within `stepWindow` of it. Returns one summary row per
+    * step: (step 1-based, event_type, n_users reaching it, total
+    * latency-from-step-1 µs summed over those users — integer-exact, so
+    * the mean is derivable without float aggregation order effects).
+    *
+    * Scale shape: pass i is ONE filter of the event table on its step
+    * type, one equi-join against the (user, t1, ti)-row state of pass
+    * i−1 on the user key, and one map-side-combining min aggregate —
+    * every exchange is on the SAME user key, so the per-pass shuffles
+    * of the (users-sized) state reuse one partitioning, and the event
+    * table is filtered to one type before it ever moves. Steps are a
+    * small constant; per-step summaries are 1-row aggregates unioned
+    * (model-sized). The earliest-qualifying-event rule makes the result
+    * a deterministic function of the set, independent of any order. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  stepWindow: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"steps=${steps.size} out of range 2..8")
+    require(stepWindow > 0, s"stepWindow=$stepWindow must be > 0")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var state = graft.Caches.track(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+        .select(col("u"), col("t").as("t1"), col("t"))
+        .persist(lvl))
+    val summaries = scala.collection.mutable.ArrayBuffer(
+      state.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_latency_us"))
+        .select(lit(1).as("step"), lit(steps.head).as("event_type"),
+          col("n_users"), col("sum_latency_us")))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), col(tsCol).as("ts2"))
+        .join(state, Seq("u"))
+        .filter(col("ts2") > col("t") && col("ts2") <= col("t") + stepWindow)
+        .groupBy(col("u")).agg(min(col("t1")).as("t1"), min(col("ts2")).as("t"))
+        .select(col("u"), col("t1"), col("t"))
+      state = graft.Caches.track(nxt.persist(lvl))
+      summaries += state
+        .agg(count(lit(1)).as("n_users"),
+          coalesce(sum(col("t") - col("t1")), lit(0L)).as("sum_latency_us"))
+        .select(lit(i + 1).as("step"), lit(st).as("event_type"),
+          col("n_users"), col("sum_latency_us"))
+    }
+    summaries.reduce(_ unionAll _)
+  }
+
+  /** COHORT RETENTION matrix — the activation/retention readout: users
+    * are cohorted by the (epoch-)week of their FIRST event of any type,
+    * and each (cohort_week, week_offset) cell counts the cohort's users
+    * active in that later week. Weeks are integer µs-since-epoch div
+    * 7·86400·10⁶ — pure integer division, no calendar/timezone
+    * semantics to diverge across engines.
+    *
+    * Scale shape: one user-keyed min aggregate (the cohort table), one
+    * distinct over (user, week) — both map-side combining on the event
+    * scan — then a user-keyed equi-join and a (cohort, offset)-keyed
+    * count. The matrix is #weeks² rows; everything upstream is user- or
+    * event-sized with partition reuse on the user key. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    // `div`, not `/`: BIGINT `/` is DOUBLE division (exactness past 2^53
+    // is the pageRankInt lesson); µs are non-negative so div == floor
+    val wk = expr(s"us div ${wkUs}L")
+    val e = events.select(col(userCol).as("u"), col(tsCol).as("us"))
+    val cohort = e.groupBy(col("u")).agg(min(col("us")).as("us"))
+      .select(col("u"), wk.as("cohort_week"))
+    val active = e.select(col("u"), wk.as("week")).distinct()
+    cohort.join(active, Seq("u"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** SCD-type-1 UPSERT (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT): apply a batch of updates onto a base snapshot, updates
     * winning on key collision. The update batch is first collapsed to

@@ -114,6 +114,52 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 20), (2, 30)))
   }
 
+  // u1 completes the funnel (and a later click must not shift the
+  // earliest-qualifying time); u2's click precedes its view (strictly-
+  // after fails); u3 never views (misses step 1 entirely); u4's click
+  // falls outside the 1000-µs step window; u5 clicks but its purchase
+  // precedes the click. Window 1000.
+  test("funnelSteps: strict order, step window, earliest-qualifying event") {
+    val e = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 250L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "view"), (2L, 50L, "click"),
+      (3L, 100L, "click"), (3L, 200L, "purchase"),
+      (4L, 100L, "view"), (4L, 1200L, "click"),
+      (5L, 100L, "view"), (5L, 150L, "click"), (5L, 140L, "purchase")
+    ).toDF("u", "us", "et")
+    val out = Relational.funnelSteps(e, "u", "us", "et",
+        Seq("view", "click", "purchase"), stepWindow = 1000L)
+      .orderBy($"step").as[(Int, String, Long, Long)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq(
+      (1, "view", 4L, 0L),       // u1, u2, u4, u5
+      (2, "click", 2L, 150L),    // u1 (200−100) + u5 (150−100)
+      (3, "purchase", 1L, 200L)))// u1 only (300−100)
+  }
+
+  test("funnelSteps: empty step still reports a zero row") {
+    val e = Seq((1L, 10L, "view")).toDF("u", "us", "et")
+    val out = Relational.funnelSteps(e, "u", "us", "et",
+        Seq("view", "click"), stepWindow = 10L)
+      .orderBy($"step").as[(Int, String, Long, Long)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq((1, "view", 1L, 0L), (2, "click", 0L, 0L)))
+  }
+
+  test("cohortRetention: cohort by first-event week, distinct weekly activity") {
+    val wk = 7L * 86400L * 1000000L
+    val e = Seq(
+      (1L, 0L), (1L, wk + 5L), (1L, 3 * wk),           // cohort 0, weeks 0/1/3
+      (2L, wk + 2L), (2L, wk + 9L), (2L, 2 * wk + 1L)  // cohort 1, weeks 1/1/2
+    ).toDF("u", "us")
+    val out = Relational.cohortRetention(e, "u", "us")
+      .orderBy($"cohort_week", $"week_offset")
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSeq == Seq(
+      (0L, 0, 1L), (0L, 1, 1L), (0L, 3, 1L),
+      (1L, 0, 1L), (1L, 1, 1L)))
+  }
+
   test("sessionize: gap splits sessions, equal-ts events share one, numbering is per-key") {
     // user 1: two events 10 apart, a 100 gap, one more;
     // user 2: equal timestamps, then a wide gap
