@@ -62,7 +62,11 @@ object Bench {
       // shingle-set table — all cold-timed like their family peers.
       "q_label_prop", "q_kcore", "q_sorted_blocking",
       // r12: per-step funnel state frames are persisted
-      "q_funnel_steps")
+      "q_funnel_steps",
+      // r12: both PageRank-family rows materialize the degree-annotated
+      // edge table + node set (q_domain_rank predates the cold-billing
+      // sweep — brought in for consistency)
+      "q_domain_rank", "q_trust_rank")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

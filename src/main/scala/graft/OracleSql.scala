@@ -2848,6 +2848,32 @@ object OracleSql {
          |SELECT v AS domain, r AS rank FROM r3 ORDER BY domain""".stripMargin
     },
 
+    // TrustRank: the q_domain_rank graph, but teleport mass only on the
+    // seed set (v % 5 = 0) — r0 = scale·seed, per-round base =
+    // (1−d)·scale·seed; propagation rounds mirror pageRankInt verbatim.
+    "q_trust_rank" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""c$t AS (
+           |  SELECT ed.dst, CAST(sum(r${t - 1}.r // ed.deg) AS BIGINT) AS s
+           |  FROM ed JOIN r${t - 1} ON r${t - 1}.v = ed.src GROUP BY 1),
+           |r$t AS (
+           |  SELECT n.v,
+           |         CAST(n.is_seed * 150000000000 + (17 * COALESCE(c$t.s, 0)) // 20 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$t ON c$t.dst = n.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+         |  FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src)),
+         |nodes AS (SELECT v, CASE WHEN v % 5 = 0 THEN 1 ELSE 0 END AS is_seed FROM
+         |  (SELECT DISTINCT v FROM
+         |    (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))),
+         |r0 AS (SELECT v, CAST(is_seed * 1000000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT v AS domain, r AS trust FROM r3 ORDER BY domain""".stripMargin
+    },
+
     // Blocklist audit: each pattern count recomputed portably as the
     // replace-delta — equal to the Aho-Corasick all-occurrence count
     // because the phrases are border-free (occurrences cannot

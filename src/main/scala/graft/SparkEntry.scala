@@ -720,6 +720,21 @@ object SparkEntry {
       .orderBy(col("domain"))
   }
 
+  /** Seed-personalized PageRank / TrustRank (X187 — ops.Graphs
+    * .personalizedPageRankInt): teleport mass lands only on the trusted
+    * seed domains (v ≡ 0 mod 5), 3 exact-integer rounds over the same
+    * synthetic domain graph as q_domain_rank — the crawl-frontier
+    * prioritizer / spam demoter next to raw PageRank. */
+  private def qTrustRank(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "documents").select(
+      pmod(col("doc_id"), lit(20L)).as("src"),
+      pmod(col("doc_id") * 7 + 3, lit(20L)).as("dst"))
+    val seeds = s.range(4).select((col("id") * 5).as("v"))
+    ops.Graphs.personalizedPageRankInt(edges, "src", "dst", seeds, iters = 3)
+      .select(col("v").as("domain"), col("trust"))
+      .orderBy(col("domain"))
+  }
+
   /** Ingest-volume anomaly detection — the monitoring query a
     * continuous-ingest deployment runs over its own landing table: daily
     * event counts z-scored against the trailing 7 full days. The daily
@@ -3252,6 +3267,7 @@ object SparkEntry {
     "q_dedup_ensemble" -> (qDedupEnsemble _),
     "q_bpe_apply" -> (qBpeApply _),
     "q_domain_rank" -> (qDomainRank _),
+    "q_trust_rank" -> (qTrustRank _),
     "q_weather_stg" -> (qWeatherStg _),
     "q_window_stats" -> (qWindowStats _),
     "q_cross_join" -> (qCrossJoin _),

@@ -74,6 +74,54 @@ object Graphs {
     ranks
   }
 
+  /** PERSONALIZED PageRank from a trusted SEED set (TrustRank — Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004, public method): identical
+    * integer-exact loop to [[pageRankInt]] except the teleport mass
+    * lands ONLY on seeds — r₀(v) = scale·seed(v) and the per-round base
+    * term is (1−d)·scale for seeds, 0 otherwise — so trust flows
+    * outward from the vetted set and a page's score measures its link
+    * distance from trust, the crawl-frontier prioritizer / spam
+    * demoter a corpus-ingest fleet runs next to raw PageRank. Same
+    * scale shape as pageRankInt: one src-keyed join + one dst-keyed
+    * aggregate per round over the |V|-row rank table; `seeds` is a
+    * 1-column (v) frame joined once into the node table (left join →
+    * 0/1 flag), never re-read in the loop. Same 17·s overflow guard.
+    * Returns (v, trust) with trust in `scale` units. */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                              seeds: DataFrame, iters: Int,
+                              scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters=$iters out of range 1..20")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val withDeg = graft.Caches.materialize(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = graft.Caches.track(graft.Caches.materialize(
+      e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+        .join(seeds.select(col(seeds.columns.head).as("v"))
+          .distinct().withColumn("is_seed", lit(1L)), Seq("v"), "left")
+        .select(col("v"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    val nV = nodes.count()
+    require(nV <= Long.MaxValue / 17L / scale,
+      s"personalizedPageRankInt: |V|=$nV with scale=$scale risks 64-bit " +
+        "overflow in the damping multiply; pass a smaller scale")
+    val base = col("is_seed") * lit(3L * scale / 20L) // (1−d)·scale·seed(v)
+    var ranks = nodes.select(col("v"), (col("is_seed") * scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"), col("is_seed"),
+          (base + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+    }
+    ranks.select(col("v"), col("r").as("trust"))
+  }
+
   /** Per-vertex TRIANGLE COUNT + degree over a directed edge list,
     * undirected semantics — the local-clustering diagnostic of a kNN
     * graph (a healthy near-neighbor graph is highly clustered; a

@@ -94,6 +94,24 @@ class GraphsSpec extends SparkSpec {
       (6L, -1, -1)))
   }
 
+  // Cycle 1→2→3→1 plus unlinked spammer 4→2; seed {1}, scale 100.
+  // r0: (100, 0, 0, 0). Round 1: contrib(2) = 100; seeds get base
+  // 3·100/20 = 15 → (15, 85, 0, 0). Round 2: contribs 15→2, 85→3 →
+  // (15, (17·15) div 20 = 12, (17·85) div 20 = 72, 0) — trust decays
+  // with link distance from the seed and the spammer never earns any.
+  test("personalizedPageRankInt: hand-computed trust rounds, spam node stays 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val r1 = Graphs.personalizedPageRankInt(edges, "src", "dst", seeds,
+      iters = 1, scale = 100L).as[(Long, Long)].collect().toMap
+    graft.Caches.release()
+    assert(r1 == Map(1L -> 15L, 2L -> 85L, 3L -> 0L, 4L -> 0L))
+    val r2 = Graphs.personalizedPageRankInt(edges, "src", "dst", seeds,
+      iters = 2, scale = 100L).as[(Long, Long)].collect().toMap
+    graft.Caches.release()
+    assert(r2 == Map(1L -> 15L, 2L -> 12L, 3L -> 72L, 4L -> 0L))
+  }
+
   // K4 {1,2,3,4} + path 4—5—6, isolated 7. Round-1 degrees:
   // 1:3 2:3 3:3 4:4 5:2 6:1 7:0.
   // k=2: r1 peels 6 (deg 1) and 7 (deg 0); r2 recomputes over
