@@ -1075,6 +1075,34 @@ object OracleSql {
          |  GROUP BY 1, 2)
          |${jaccardSelect(0.8)}""".stripMargin,
 
+    // Quality-vs-length Pareto front: the naive NOT-EXISTS dominance
+    // check (quadratic — fine at oracle scale; the engine runs the
+    // sorted-scan skyline instead).
+    "q_pareto_front" -> {
+      val hits = vocabHits(stop("en"))
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |         $hits AS hits,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE 0.0 END AS punct_ratio
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |         CAST(round(((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+         |           + least((CASE WHEN n_tokens > 0 THEN CAST(hits AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0) * 0.4
+         |           + (1.0 - punct_ratio) * 0.2) * 1000000.0) AS BIGINT) AS q_fp6,
+         |         CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM t)
+         |SELECT doc_id, q_fp6, n_tokens FROM p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM p d
+         |  WHERE d.q_fp6 >= p.q_fp6 AND d.n_tokens >= p.n_tokens
+         |    AND (d.q_fp6 > p.q_fp6 OR d.n_tokens > p.n_tokens))
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Sorted-neighborhood blocking: two global ranks (normalized-prefix
     // key, reversed-prefix key; ties broken by doc_id — mirrors the
     // engine's range-partitioned exact rank), rank-window candidates

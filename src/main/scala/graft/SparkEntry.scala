@@ -2147,6 +2147,17 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text", n = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Quality-vs-length Pareto front (X188 — see Relational.skyline2d):
+    * the documents no other document beats on BOTH fp6 quality and
+    * token count — the multi-objective corpus-selection frontier. */
+  private def qParetoFront(s: SparkSession, d: String): DataFrame = {
+    val en = TextOps.Stopwords.toMap.apply("en")
+    val p = t(s, d, "documents").select(col("doc_id"),
+      round(TextOps.qualityScore(col("text"), en) * 1e6).cast("long").as("q_fp6"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Relational.skyline2d(p, "q_fp6", "n_tokens").orderBy(col("doc_id"))
+  }
+
   /** Sorted-neighborhood blocking dedup (X183 — see Dedup
     * .sortedNeighborhoodPairs): two-pass merge/purge (normalized prefix,
     * reversed-prefix), window 5, exact-Jaccard verify at 0.8 — the
@@ -3190,6 +3201,7 @@ object SparkEntry {
     "q_chunks" -> (qChunks _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sorted_blocking" -> (qSortedBlocking _),
+    "q_pareto_front" -> (qParetoFront _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_posexplode" -> (qPosexplode _),

@@ -184,6 +184,49 @@ object Relational {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }
 
+  /** 2-D PARETO FRONT (skyline): rows not dominated in the (x, y) plane
+    * — d dominates p iff x_d ≥ x_p ∧ y_d ≥ y_p with one strict — the
+    * multi-objective selection primitive (e.g. the quality-vs-length
+    * frontier of a corpus: for every length, the best-quality document
+    * you cannot improve on in both axes at once; Börzsönyi et al.,
+    * ICDE 2001 "The Skyline Operator", public method).
+    *
+    * Algorithm (the sorted-scan skyline, made distributed): collapse to
+    * one (x, ymax) row per distinct x — within an x-group everything
+    * below ymax is dominated, ymax TIES all survive; a group then
+    * survives iff its ymax strictly exceeds every ymax at larger x.
+    * That strict prefix max over x-descending order is computed WITHOUT
+    * a single-partition window: range-repartition the group table by x
+    * DESC, per-partition running max, plus per-partition maxima combined
+    * by a WIDTH-row window (bounded by the shuffle width, never data)
+    * and broadcast back — the globalRankByKey offset pattern with max
+    * in place of sum. Surviving (x, ymax) pairs semi-join the input
+    * back on equality. Exact for any boundary placement (range
+    * partitions are order-disjoint); all comparisons integer. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val g = df.groupBy(col(xCol).as("__sk_x")).agg(max(col(yCol)).as("__sk_ymax"))
+    val parted = g.repartitionByRange(graft.Par.widthFor(g),
+        col("__sk_x").desc)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("__sk_x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("lmax", max(col("__sk_ymax")).over(wLocal))
+    val wPrev = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = parted.groupBy(col("pid")).agg(max(col("__sk_ymax")).as("pm"))
+      .withColumn("pmax", max(col("pm")).over(wPrev))
+      .select(col("pid"), col("pmax"))
+    val front = local.join(broadcast(prev), Seq("pid"))
+      // greatest() skips NULLs; both NULL (the very first group) → no
+      // larger-x group exists → keep unconditionally via the sentinel
+      .filter(col("__sk_ymax") > coalesce(greatest(col("lmax"), col("pmax")),
+        lit(Long.MinValue)))
+      .select(col("__sk_x"), col("__sk_ymax"))
+    df.join(front,
+      col(xCol) === col("__sk_x") && col(yCol) === col("__sk_ymax"),
+      "left_semi")
+  }
+
   /** Ordered CONVERSION FUNNEL over an event stream — the product-
     * analytics primitive (view → click → purchase): a user reaches step
     * i+1 with the EARLIEST step-i+1 event strictly after their step-i

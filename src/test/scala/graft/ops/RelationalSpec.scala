@@ -160,6 +160,31 @@ class RelationalSpec extends SparkSpec {
       (1L, 0, 1L), (1L, 1, 1L)))
   }
 
+  // Hand-computed dominance: (5,10) fronts; (5,4) loses to it on y at
+  // equal x; (4,10) loses to (5,10) on x at equal y; the (3,12) TWINS
+  // both survive (neither dominates the other); (2,12) loses to (3,12);
+  // (1,15) fronts (beats every larger-x ymax); (0,1) loses to everything.
+  test("skyline2d: exact pareto front incl. ties, partition-count invariant") {
+    val pts = Seq(
+      (1L, 5L, 10L), (2L, 5L, 4L), (3L, 3L, 12L), (4L, 3L, 12L),
+      (5L, 4L, 10L), (6L, 2L, 12L), (7L, 1L, 15L), (8L, 0L, 1L))
+    val expect = Set(1L, 3L, 4L, 7L)
+    Seq(1, 3, 32).foreach { p =>
+      val got = Relational.skyline2d(
+          pts.toDF("id", "x", "y").repartition(p), "x", "y")
+        .select($"id").as[Long].collect().toSet
+      assert(got == expect, s"parts=$p")
+    }
+  }
+
+  test("skyline2d: single point and all-identical points are their own front") {
+    val one = Relational.skyline2d(Seq((1L, 2L, 3L)).toDF("id", "x", "y"), "x", "y")
+    assert(one.select($"id").as[Long].collect().toSeq == Seq(1L))
+    val same = Relational.skyline2d(
+      Seq((1L, 2L, 3L), (2L, 2L, 3L), (3L, 2L, 3L)).toDF("id", "x", "y"), "x", "y")
+    assert(same.select($"id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("sessionize: gap splits sessions, equal-ts events share one, numbering is per-key") {
     // user 1: two events 10 apart, a 100 gap, one more;
     // user 2: equal timestamps, then a wide gap
