@@ -78,6 +78,7 @@ class PortabilitySpec extends SparkSpec {
     ("q_hard_negatives", "cosine") -> "exact-int-ratio",
     ("q_minhash_lsh", "jaccard") -> "exact-int-ratio",
     ("q_ngram_jaccard", "jaccard") -> "exact-int-ratio",
+    ("q_sorted_blocking", "jaccard") -> "exact-int-ratio", // same verify as q_ngram_jaccard
     ("q_incremental_neardup", "jaccard") -> "exact-int-ratio",
     ("q_containment", "c_ab") -> "exact-int-ratio",
     ("q_containment", "c_ba") -> "exact-int-ratio",
