@@ -66,7 +66,9 @@ object Bench {
       // r12: both PageRank-family rows materialize the degree-annotated
       // edge table + node set (q_domain_rank predates the cold-billing
       // sweep — brought in for consistency)
-      "q_domain_rank", "q_trust_rank")
+      "q_domain_rank", "q_trust_rank",
+      // r12: rfm persists the per-user aggregate for its 3 rank passes
+      "q_rfm_segments")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -631,6 +631,53 @@ object OracleSql {
         |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s3
         |ORDER BY step""".stripMargin,
 
+    // RFM quintiles: exact global rank by (metric ASC, user ASC) per
+    // axis, quint = (rank-1)*5 // n + 1; monetary in exact integer
+    // cents (round-half-away matches Spark's HALF_UP on both signs).
+    "q_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id AS u, max(epoch_us(ts)) AS rec,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+        |r AS (SELECT u, row_number() OVER (ORDER BY rec, u) AS rk FROM u),
+        |f AS (SELECT u, row_number() OVER (ORDER BY freq, u) AS rk FROM u),
+        |m AS (SELECT u, row_number() OVER (ORDER BY mon, u) AS rk FROM u),
+        |q AS (
+        |  SELECT r.u,
+        |         CAST((r.rk - 1) * 5 // nu + 1 AS INTEGER) AS r_quint,
+        |         CAST((f.rk - 1) * 5 // nu + 1 AS INTEGER) AS f_quint,
+        |         CAST((m.rk - 1) * 5 // nu + 1 AS INTEGER) AS m_quint
+        |  FROM r JOIN f USING (u) JOIN m USING (u), n)
+        |SELECT u AS user_id, r_quint, f_quint, m_quint,
+        |       CAST(r_quint * 100 + f_quint * 10 + m_quint AS INTEGER) AS rfm_code
+        |FROM q ORDER BY user_id""".stripMargin,
+
+    // Per-label centroid drift between id-parity halves: exact integer
+    // centroids (fp6 sums, truncating mean), L1 + dot/norm statistics.
+    "q_embedding_drift" ->
+      """WITH f AS (
+        |  SELECT label, vec_id % 2 AS half, u.i AS ord,
+        |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE embedding IS NOT NULL),
+        |s AS (SELECT label, half, ord, SUM(x) AS sx FROM f GROUP BY 1, 2, 3),
+        |nn AS (SELECT label, vec_id % 2 AS half, count(*) AS n FROM embeddings
+        |       WHERE embedding IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT s.label, s.half, ord, sx // n AS cx, n
+        |      FROM s JOIN nn ON nn.label = s.label AND nn.half = s.half)
+        |SELECT e.label,
+        |       CAST(e.n AS BIGINT) AS n_even, CAST(o.n AS BIGINT) AS n_odd,
+        |       CAST(SUM(abs(e.cx - o.cx)) AS BIGINT) AS l1_fp,
+        |       CAST(SUM(e.cx * o.cx) AS BIGINT) AS dot_fp,
+        |       CAST(SUM(e.cx * e.cx) AS BIGINT) AS norm_e_fp,
+        |       CAST(SUM(o.cx * o.cx) AS BIGINT) AS norm_o_fp
+        |FROM c e JOIN c o ON e.label = o.label AND e.ord = o.ord
+        |WHERE e.half = 0 AND o.half = 1
+        |GROUP BY e.label, e.n, o.n
+        |ORDER BY e.label""".stripMargin,
+
     // Cohort retention: epoch-week = integer µs division (no calendar
     // semantics to diverge across engines).
     "q_cohort_retention" ->

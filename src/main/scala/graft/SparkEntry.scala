@@ -1392,6 +1392,24 @@ object SparkEntry {
     * user key). Times compared at µs precision (`ts div 1000`) so Spark's
     * nanos-as-long read and DuckDB's µs-truncated parquet timestamps
     * agree. */
+  /** RFM user segmentation (X189 — see Relational.rfmSegments): exact
+    * population quintiles on recency/frequency/monetary via three
+    * global ranks of the user table; integer cents, packed rfm_code. */
+  private def qRfmSegments(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"), col("value"))
+    Relational.rfmSegments(e, "user_id", "us", "value")
+      .withColumnRenamed("u", "user_id")
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-label embedding centroid drift between store halves (X190 —
+    * see Vectors.centroidDrift): id-parity split, exact integer
+    * centroids, L1 + dot/norm sufficient statistics per label. */
+  private def qEmbeddingDrift(s: SparkSession, d: String): DataFrame =
+    Vectors.centroidDrift(t(s, d, "embeddings"), "label", "vec_id", "embedding")
+      .orderBy(col("label"))
+
   /** Ordered conversion funnel (X185 — see Relational.funnelSteps):
     * view → click → purchase, each step the earliest qualifying event
     * strictly after the previous step within 24 h; per-step user counts
@@ -3174,6 +3192,8 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_rfm_segments" -> (qRfmSegments _),
+    "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

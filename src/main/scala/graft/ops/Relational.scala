@@ -184,6 +184,42 @@ object Relational {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }
 
+  /** RFM SEGMENTATION (recency / frequency / monetary quintiles — the
+    * classic direct-marketing user segmentation, Hughes 1994): each user
+    * scores 1–5 on each axis by exact population quintile — quint =
+    * ⌊(rank−1)·5 / n⌋ + 1 with rank the EXACT global rank by
+    * (metric ASC, user ASC), so later last-activity, higher event count
+    * and higher spend all score higher — and rfm_code packs them as
+    * r·100 + f·10 + m. Monetary sums exact integer cents ([[cents]]);
+    * everything else is counts/timestamps — integer end to end.
+    *
+    * Scale shape: one user-keyed map-side-combining aggregate off the
+    * event scan, then THREE exact global ranks of the users-sized table
+    * via [[graft.dedup.Dedup.globalRankByKey]] (range exchange +
+    * per-partition row_number + width-bounded offsets — never a
+    * single-partition window over users), a broadcast 1-row total, and
+    * two user-keyed joins to zip the axes. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val u = graft.Caches.track(events.groupBy(col(userCol).as("u"))
+      .agg(max(col(tsCol)).as("rec"), count(lit(1)).as("freq"),
+        sum(cents(col(valueCol))).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = u.agg(count(lit(1)).as("nu"))
+    def quint(metric: String, out: String): DataFrame =
+      graft.dedup.Dedup.globalRankByKey(
+          u.select(col("u").as("id"), col(metric).as("k")))
+        .crossJoin(broadcast(total))
+        .select(col("id").as("u"),
+          (expr("((r - 1) * 5) div nu") + 1).cast("int").as(out))
+    quint("rec", "r_quint")
+      .join(quint("freq", "f_quint"), Seq("u"))
+      .join(quint("mon", "m_quint"), Seq("u"))
+      .select(col("u"), col("r_quint"), col("f_quint"), col("m_quint"),
+        (col("r_quint") * 100 + col("f_quint") * 10 + col("m_quint"))
+          .as("rfm_code"))
+  }
+
   /** 2-D PARETO FRONT (skyline): rows not dominated in the (x, y) plane
     * — d dominates p iff x_d ≥ x_p ∧ y_d ≥ y_p with one strict — the
     * multi-objective selection primitive (e.g. the quality-vs-length

@@ -633,6 +633,42 @@ object Vectors {
           .as("cos"))
   }
 
+  /** Per-label CENTROID DRIFT between two halves of an embedding store
+    * (split by id parity — in production, by ingest epoch): the
+    * embedding-freshness monitor a store deployment runs to catch
+    * encoder drift / distribution shift before it poisons retrieval.
+    * For each label present in BOTH halves: both integer centroids
+    * (fp6-quantized sums, truncating mean — the groupCentroidCosines
+    * numeric discipline, so every output is BIGINT-exact at any corpus
+    * size) and their exact L1 distance plus dot/norm sufficient
+    * statistics; the cosine/L2 displays derive outside the hash gate.
+    *
+    * Scale shape: ONE corpus scan into a (label, half)-keyed
+    * map-side-combining ArraySumFp aggregate (vectors stay in-row —
+    * never a posexplode of n·d component rows); the halves pair with a
+    * #labels-row self-join, trivially broadcast. */
+  def centroidDrift(vectors: DataFrame, groupCol: String, idCol: String,
+                    vecCol: String): DataFrame = {
+    val cents = vectors.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("g"), pmod(col(idCol), lit(2L)).as("half"),
+        fixedPoint(col(vecCol)).as("v"))
+      .groupBy(col("g"), col("half"))
+      .agg(graft.functions.ArraySumFp(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), col("half"), col("n"),
+        expr("transform(s, x -> x div n)").as("c"))
+    val even = cents.filter(col("half") === 0)
+      .select(col("g"), col("n").as("n_even"), col("c").as("c_e"))
+    val odd = cents.filter(col("half") === 1)
+      .select(col("g"), col("n").as("n_odd"), col("c").as("c_o"))
+    even.join(odd, Seq("g"))
+      .select(col("g").as("label"), col("n_even"), col("n_odd"),
+        expr("aggregate(zip_with(c_e, c_o, (x, y) -> abs(x - y)), 0L, (acc, x) -> acc + x)")
+          .as("l1_fp"),
+        dotFp(col("c_e"), col("c_o")).as("dot_fp"),
+        normSqFp(col("c_e")).as("norm_e_fp"),
+        normSqFp(col("c_o")).as("norm_o_fp"))
+  }
+
   /** RADEMACHER RANDOM PROJECTION (Johnson–Lindenstrauss with ±1
     * entries, Achlioptas '01 — public): project d-dim embeddings to
     * outDim dims with s_ji ∈ {±1} derived from md5("j:i") parity — the

@@ -160,6 +160,23 @@ class RelationalSpec extends SparkSpec {
       (1L, 0, 1L), (1L, 1, 1L)))
   }
 
+  // 5 users ⇒ quint = rank exactly. Ranks per axis (metric ASC, user
+  // ASC tie-break): recency u3(5) u1(10) u2(30) u4(42) u5(50);
+  // frequency ties 1,1,1 break by id → u1 u3 u5 then u2(2) u4(3);
+  // monetary u5(−100) u4(30) u1(100) u2(100 tie→after u1) u3(1000).
+  test("rfmSegments: exact quintiles with deterministic tie-breaks, packed code") {
+    val e = Seq(
+      (1L, 10L, 1.00), (2L, 20L, 0.50), (2L, 30L, 0.50), (3L, 5L, 10.00),
+      (4L, 40L, 0.10), (4L, 41L, 0.10), (4L, 42L, 0.10), (5L, 50L, -1.00)
+    ).toDF("u", "us", "value")
+    val out = Relational.rfmSegments(e, "u", "us", "value")
+      .orderBy($"u").as[(Long, Int, Int, Int, Int)].collect()
+    graft.Caches.release()
+    assert(out.toSeq == Seq(
+      (1L, 2, 1, 3, 213), (2L, 3, 4, 4, 344), (3L, 1, 2, 5, 125),
+      (4L, 4, 5, 2, 452), (5L, 5, 3, 1, 531)))
+  }
+
   // Hand-computed dominance: (5,10) fronts; (5,4) loses to it on y at
   // equal x; (4,10) loses to (5,10) on x at equal y; the (3,12) TWINS
   // both survive (neither dominates the other); (2,12) loses to (3,12);

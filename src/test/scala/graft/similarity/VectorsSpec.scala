@@ -411,6 +411,21 @@ class VectorsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  // label 7: even half {id 2: [1,0], id 4: [3,2]} → centroid (2e6, 1e6);
+  // odd half {id 1: [2,4]} → (2e6, 4e6). L1 = 3e6; dot = 8e12;
+  // norms 5e12 / 2e13. Label 9 exists only in the even half → dropped;
+  // a NULL embedding contributes nothing.
+  test("centroidDrift: hand-computed halves, one-sided labels dropped, nulls excluded") {
+    val vecs = Seq(
+      (1L, 7, Seq(2f, 4f)), (2L, 7, Seq(1f, 0f)), (4L, 7, Seq(3f, 2f)),
+      (6L, 9, Seq(5f, 5f)), (8L, 7, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "label", "embedding")
+    val out = Vectors.centroidDrift(vecs, "label", "vec_id", "embedding")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (7, 2L, 1L, 3000000L, 8000000000000L, 5000000000000L, 20000000000000L)))
+  }
+
   test("groupCentroidCosines: matches a driver-side double computation, bounded pairs") {
     val vecs = Seq(
       (1L, 0, Seq(1f, 0f, 0f)), (2L, 0, Seq(1f, 0.2f, 0f)),
