@@ -631,6 +631,27 @@ object OracleSql {
         |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s3
         |ORDER BY step""".stripMargin,
 
+    // TPC-H Q1-shaped pricing summary: exact fixed-point money (cents /
+    // fp4 / fp6), truncating integer means derived from the sums.
+    "q_pricing_summary" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |       CAST(sum(base_c) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(base_c * (100 - disc_c)) AS BIGINT) AS sum_disc_fp4,
+        |       CAST(sum(base_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_fp6,
+        |       count(*) AS count_order,
+        |       CAST(sum(qty) // count(*) AS BIGINT) AS avg_qty,
+        |       CAST(sum(base_c) // count(*) AS BIGINT) AS avg_price_cents,
+        |       CAST(sum(disc_c) // count(*) AS BIGINT) AS avg_disc_c
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // RFM quintiles: exact global rank by (metric ASC, user ASC) per
     // axis, quint = (rank-1)*5 // n + 1; monetary in exact integer
     // cents (round-half-away matches Spark's HALF_UP on both signs).

@@ -1392,6 +1392,41 @@ object SparkEntry {
     * user key). Times compared at µs precision (`ts div 1000`) so Spark's
     * nanos-as-long read and DuckDB's µs-truncated parquet timestamps
     * agree. */
+  /** TPC-H Q1-shaped pricing summary (X191): per (returnflag,
+    * linestatus) quantity/price/discount/charge roll-up with EXACT
+    * fixed-point money — cents for base price, hundredths for
+    * discount/tax, so disc price is fp4 and charge fp6, all BIGINT
+    * sums (order-free, engine-exact); averages are truncating integer
+    * means DERIVED from the sums. One map-side-combining aggregate
+    * over the filtered scan — the canonical whole-stage-codegen shape.
+    * 100 TB note: fp6 row terms reach ~1e11, so a 1e12-row group would
+    * overflow BIGINT — ANSI mode fails LOUDLY there, and the deploy
+    * rule (knobs audit) is two-level aggregation into DECIMAL(38,0). */
+  private def qPricingSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        Relational.cents(col("l_extendedprice")).as("base_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"),
+        round(col("l_tax") * 100).cast("long").as("tax_c"))
+      .withColumn("disc_fp4", col("base_c") * (lit(100L) - col("disc_c")))
+      .withColumn("charge_fp6", col("disc_fp4") * (lit(100L) + col("tax_c")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("base_c")).as("sum_base_cents"),
+        sum(col("disc_fp4")).as("sum_disc_fp4"),
+        sum(col("charge_fp6")).as("sum_charge_fp6"),
+        sum(col("disc_c")).as("sum_disc_c"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_cents"), col("sum_disc_fp4"),
+        col("sum_charge_fp6"), col("count_order"),
+        expr("sum_qty div count_order").as("avg_qty"),
+        expr("sum_base_cents div count_order").as("avg_price_cents"),
+        expr("sum_disc_c div count_order").as("avg_disc_c"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
   /** RFM user segmentation (X189 — see Relational.rfmSegments): exact
     * population quintiles on recency/frequency/monetary via three
     * global ranks of the user table; integer cents, packed rfm_code. */
@@ -3194,6 +3229,7 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_rfm_segments" -> (qRfmSegments _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
+    "q_pricing_summary" -> (qPricingSummary _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
