@@ -652,6 +652,26 @@ object OracleSql {
         |       CAST(sum(disc_c) // count(*) AS BIGINT) AS avg_disc_c
         |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // TPC-H Q3-shaped shipping priority: top-10 unshipped-revenue orders
+    // for the BUILDING segment, revenue in exact fp4; ISO date string
+    // (timestamps hash differently across engines).
+    "q_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o.o_orderpriority,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_fp4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_fp4 DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+
     // RFM quintiles: exact global rank by (metric ASC, user ASC) per
     // axis, quint = (rank-1)*5 // n + 1; monetary in exact integer
     // cents (round-half-away matches Spark's HALF_UP on both signs).

@@ -1427,6 +1427,35 @@ object SparkEntry {
         expr("sum_disc_c div count_order").as("avg_disc_c"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q3-shaped shipping priority (X192): top-10 unshipped-revenue
+    * orders for one market segment — revenue in exact fp4 (cents ×
+    * (100−disc_c)) summed as BIGINT. Plan: the tiny filtered customer
+    * dim broadcasts, orders filter-pushes its date bound and joins it,
+    * lineitem (date-filtered at the scan) equi-joins on orderkey, one
+    * map-side-combining per-order aggregate, then TakeOrderedAndProject
+    * — the fact table shuffles once, on the join key, and only the
+    * top-10 crosses to the driver. */
+  private def qShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp_ntz")
+    val cust = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (Relational.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_fp4"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(sum(col("rev_fp4")).as("revenue_fp4"))
+      .orderBy(col("revenue_fp4").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** RFM user segmentation (X189 — see Relational.rfmSegments): exact
     * population quintiles on recency/frequency/monetary via three
     * global ranks of the user table; integer cents, packed rfm_code. */
@@ -3230,6 +3259,7 @@ object SparkEntry {
     "q_rfm_segments" -> (qRfmSegments _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_pricing_summary" -> (qPricingSummary _),
+    "q_shipping_priority" -> (qShippingPriority _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
