@@ -3014,6 +3014,61 @@ object OracleSql {
         |       CAST(CAST(sum(c5) AS BIGINT) AS VARCHAR) AS pattern_totals_csv
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
+    // MAD robust outliers: lower median = element at rank (D+1)//2
+    // ordering (value, day); MAD = lower median of |n − med|; all
+    // integer.
+    "q_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM daily),
+        |med AS (
+        |  SELECT n AS m FROM (
+        |    SELECT n, row_number() OVER (ORDER BY n, day) AS r FROM daily), dd
+        |  WHERE r = (d + 1) // 2),
+        |dev AS (SELECT day, n, abs(n - m) AS dev FROM daily, med),
+        |mad AS (
+        |  SELECT dev AS mad FROM (
+        |    SELECT dev, day, row_number() OVER (ORDER BY dev, day) AS r FROM dev), dd
+        |  WHERE r = (d + 1) // 2)
+        |SELECT day, n, m AS med, dev, mad, dev > 3 * mad AS is_outlier
+        |FROM dev, med, mad ORDER BY day""".stripMargin,
+
+    // kNN-graph degree histogram + reciprocity permille: the q_knn_graph
+    // edge CTE, undirected census + reversed-key existence count.
+    "q_graph_degree_stats" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |dedges AS MATERIALIZED (
+         |  SELECT src_id AS src, dst_id AS dst FROM r WHERE "rank" <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM dedges),
+         |deg AS (SELECT vtx, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT a AS vtx FROM und UNION ALL SELECT b AS vtx FROM und)
+         |        GROUP BY 1),
+         |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM dedges x
+         |        WHERE EXISTS (SELECT 1 FROM dedges y
+         |                      WHERE y.src = x.dst AND y.dst = x.src)),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_dir FROM dedges)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices,
+         |       CAST((1000 * n_recip) // n_dir AS BIGINT) AS recip_permille
+         |FROM deg, rec, ne
+         |GROUP BY deg, n_recip, n_dir
+         |ORDER BY deg""".stripMargin,
+
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
     // are correctly-rounded IEEE ⇒ bit-equal).

@@ -766,6 +766,67 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** MAD-based robust ingest anomaly detection (X193): daily event
+    * counts flagged by MEDIAN ± k·MAD instead of mean ± k·σ — the
+    * robust twin of q_anomaly_zscore (one bad day inflates σ and hides
+    * itself; the median absolute deviation is breakdown-point-0.5,
+    * Hampel's rule). INTEGER-EXACT end to end: lower median = the
+    * element at rank (D+1) div 2 ordering (value ASC, day ASC), MAD =
+    * lower median of |n − med|, flag = dev > 3·mad. The day table is
+    * TIME-BOUNDED (one row per day regardless of corpus size), so its
+    * single-partition rank windows are bounded like the Par-width
+    * offset tables — the corpus-sized work is only the day aggregate. */
+  private def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, vCol: String): DataFrame = {
+      val r = df.withColumn("__r",
+        row_number().over(Window.orderBy(col(vCol), col("day"))))
+      val cnt = df.agg(count(lit(1)).as("__d"))
+      r.crossJoin(broadcast(cnt))
+        .filter(col("__r") === expr("(__d + 1) div 2"))
+        .select(col(vCol).as("m"))
+    }
+    val med = lowerMedian(daily, "n")
+    val dev = daily.crossJoin(broadcast(med))
+      .select(col("day"), col("n"), abs(col("n") - col("m")).as("dev"))
+    val mad = lowerMedian(dev.select(col("day"), col("dev")), "dev")
+      .select(col("m").as("mad"))
+    dev.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("day"), col("n"), col("m").as("med"), col("dev"),
+        col("mad"), (col("dev") > lit(3L) * col("mad")).as("is_outlier"))
+      .orderBy(col("day"))
+  }
+
+  /** kNN-graph DEGREE DIAGNOSTICS (X194): the undirected degree
+    * histogram plus the reciprocity rate (share of directed edges whose
+    * reverse also exists) — the two cheapest health signals of a
+    * near-neighbor graph (a healthy kNN graph is strongly reciprocal
+    * and its undirected degrees concentrate just above k; a flat or
+    * heavy-tailed histogram says the embedding space or the candidate
+    * generator broke). One edge scan for reciprocity (self-join on the
+    * reversed key — vertex-keyed hash join), one for degrees; output is
+    * histogram-sized. Integer-exact permille. */
+  private def qGraphDegreeStats(s: SparkSession, d: String): DataFrame = {
+    val e = Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val recip = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val nEdges = e.agg(count(lit(1)).as("n_dir"))
+    deg.groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(broadcast(recip)).crossJoin(broadcast(nEdges))
+      .select(col("deg"), col("n_vertices"),
+        expr("(1000 * n_recip) div n_dir").as("recip_permille"))
+      .orderBy(col("deg"))
+  }
+
   /** Blocklist / phrase-filter audit — the crawl-hygiene pass that
     * screens every document against a phrase blocklist and reports
     * per-source hit totals. The portable formulation is P chained
@@ -3345,6 +3406,8 @@ object SparkEntry {
     "q_url_parse" -> (qUrlParse _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_anomaly_zscore" -> (qAnomalyZscore _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_graph_degree_stats" -> (qGraphDegreeStats _),
     "q_blocklist" -> (qBlocklist _),
     "q_robots_filter" -> (qRobotsFilter _),
     "q_quality_margin" -> (qQualityMargin _),
