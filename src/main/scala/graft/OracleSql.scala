@@ -730,6 +730,60 @@ object OracleSql {
         |FROM c JOIN a USING (u)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
+    // First-order Markov transitions: per-user lead() pairs, counts +
+    // exact out-share permille (sum(BIGINT) is HUGEINT — cast down).
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id, event_type
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY u ORDER BY us, event_id)
+        |               AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST((1000 * c.n) // t.n_out AS BIGINT) AS permille
+        |FROM c JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // Last-touch attribution: running last non-purchase type per user
+    // (IGNORE NULLS over the strictly-preceding frame), 'direct' when
+    // none; integer cents, share permille.
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id,
+        |                  event_type, value FROM events),
+        |t AS (SELECT event_type, value,
+        |             last_value(CASE WHEN event_type <> 'purchase'
+        |                             THEN event_type END IGNORE NULLS)
+        |               OVER (PARTITION BY u ORDER BY us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS touch
+        |      FROM e),
+        |c AS (SELECT COALESCE(touch, 'direct') AS touch_type,
+        |             CAST(count(*) AS BIGINT) AS n_conversions,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |               AS revenue_cents
+        |      FROM t WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS nt FROM c)
+        |SELECT touch_type, n_conversions, revenue_cents,
+        |       CAST((1000 * n_conversions) // nt AS BIGINT) AS share_permille
+        |FROM c, tot ORDER BY touch_type""".stripMargin,
+
+    // DAU/WAU stickiness: epoch-day and epoch-week integer division,
+    // two distinct aggregates, permille ratio.
+    "q_stickiness" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id AS u
+        |           FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        |        FROM e GROUP BY 1),
+        |wau AS (SELECT day // 7 AS week, CAST(count(DISTINCT u) AS BIGINT) AS wau
+        |        FROM e GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |       CAST((1000 * d.dau) // w.wau AS BIGINT) AS stickiness_permille
+        |FROM dau d JOIN wau w ON d.day // 7 = w.week
+        |ORDER BY d.day""".stripMargin,
+
     "q_asof_join" ->
       """WITH o1 AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (

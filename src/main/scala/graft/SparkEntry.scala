@@ -1557,6 +1557,52 @@ object SparkEntry {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** First-order Markov event-transition matrix (X195 — see
+    * Relational.eventTransitions): per-user consecutive event-type
+    * pairs, counts + exact out-share permille. One user-keyed window
+    * exchange, matrix-sized output. */
+  private def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    Relational.eventTransitions(e, "user_id", "us", "event_type",
+        tieBreak = col("event_id"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Last-touch conversion attribution (X196 — see
+    * Relational.lastTouchAttribution): each purchase credited to the
+    * user's latest preceding non-purchase event type ('direct' when
+    * none); conversions, exact revenue cents, share permille. */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"), col("value"))
+    Relational.lastTouchAttribution(e, "user_id", "us", "event_type",
+        "value", convType = "purchase", tieBreak = col("event_id"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** DAU/WAU stickiness (X197): per-day distinct actives over the
+    * enclosing epoch-week's distinct actives, in exact integer permille
+    * — the engagement-health ratio (how much of the weekly audience
+    * shows up on a given day). Weeks are integer µs division like
+    * q_cohort_retention (no calendar surface). Two distinct aggregates
+    * over the event scan — both map-side combining on (period, user) —
+    * then a broadcast join of the calendar-bounded week table onto the
+    * calendar-bounded day table. At any corpus size the output is
+    * bounded by days, and the corpus-sized work is the two distincts. */
+  private def qStickiness(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+    val dau = e.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = e.select(expr("day div 7").as("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.withColumn("week", expr("day div 7"))
+      .join(broadcast(wau), Seq("week"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(1000 * dau) div wau").as("stickiness_permille"))
+      .orderBy(col("day"))
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
@@ -3318,6 +3364,9 @@ object SparkEntry {
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_rfm_segments" -> (qRfmSegments _),
+    "q_event_transitions" -> (qEventTransitions _),
+    "q_attribution" -> (qAttribution _),
+    "q_stickiness" -> (qStickiness _),
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_shipping_priority" -> (qShippingPriority _),

@@ -341,6 +341,67 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX (first-order Markov chain over the
+    * event stream) — the sequence-analytics readout behind "what do
+    * users do next": per user, events ordered by (ts, tieBreak) yield
+    * consecutive (from_type → to_type) pairs; the matrix reports each
+    * transition's count and its out-share of the from-state in exact
+    * integer permille (the empirical transition probability).
+    *
+    * Scale shape: ONE user-keyed window exchange (per-user sequencing —
+    * the partition is a user's own events, the same bound every
+    * sequence-analytics operator carries: sessionize, funnel), then one
+    * map-side-combining aggregate straight down to the |types|²-sized
+    * matrix. The per-state out-totals derive from the matrix itself
+    * (model-sized) and broadcast back — the corpus is scanned once and
+    * shuffled once. Integer-exact end to end. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), tieBreak)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(outTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) div n_out").as("permille"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics primitive: every
+    * conversion event (`convType`) is credited to the user's LATEST
+    * preceding non-conversion event type ("touch"), or to `'direct'`
+    * when the conversion has no preceding touch; the report aggregates
+    * conversions and exact integer revenue cents per touch type with
+    * each type's share of conversions in permille.
+    *
+    * Scale shape: one user-keyed window exchange carries the running
+    * last-touch state (last(_, ignoreNulls) over the per-user order —
+    * Spark evaluates the running frame incrementally, never
+    * re-scanning the preceding rows per row), then one map-side-
+    * combining aggregate down to the |types|-sized report plus a
+    * broadcast 1-row total for the shares. Deterministic under the
+    * total (ts, tieBreak) order; money in [[cents]]. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           valueCol: String, convType: String,
+                           tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), tieBreak)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events.withColumn("__touch",
+      last(when(col(typeCol) =!= convType, col(typeCol)),
+        ignoreNulls = true).over(w))
+    val rep = touched.filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(cents(col(valueCol))).as("revenue_cents"))
+    val tot = rep.agg(sum(col("n_conversions")).as("nt"))
+    rep.crossJoin(broadcast(tot))
+      .select(col("touch_type"), col("n_conversions"), col("revenue_cents"),
+        expr("(1000 * n_conversions) div nt").as("share_permille"))
+  }
+
   /** SCD-type-1 UPSERT (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT): apply a batch of updates onto a base snapshot, updates
     * winning on key collision. The update batch is first collapsed to

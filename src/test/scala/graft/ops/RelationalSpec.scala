@@ -146,6 +146,44 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 1L, 0L), (2, "click", 0L, 0L)))
   }
 
+  // u1: A@1→B@2→A@3→C@4 gives A→B, B→A, A→C; u2: B@1→B@2 gives B→B.
+  // Out-totals: A=2, B=2 → every transition is 500‰. The two equal-ts
+  // events of u3 order by the event-id tie-break (id 1 before id 2),
+  // so C→A — not A→C — is the u3 transition.
+  test("eventTransitions: per-user lead pairs, out-share permille, tie-break") {
+    val e = Seq(
+      (10L, 1L, 1L, "A"), (11L, 1L, 2L, "B"), (12L, 1L, 3L, "A"), (13L, 1L, 4L, "C"),
+      (20L, 2L, 1L, "B"), (21L, 2L, 2L, "B"),
+      (1L, 3L, 5L, "C"), (2L, 3L, 5L, "A")
+    ).toDF("event_id", "u", "us", "et")
+    val out = Relational.eventTransitions(e, "u", "us", "et", tieBreak = $"event_id")
+      .orderBy($"from_type", $"to_type")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", "B", 1L, 500L), ("A", "C", 1L, 500L),
+      ("B", "A", 1L, 500L), ("B", "B", 1L, 500L),
+      ("C", "A", 1L, 1000L))) // C's only out-transition → 1000‰ of C
+  }
+
+  // u1's two purchases both credit the click (the latest non-purchase
+  // before EACH of them — the view@1 is superseded, and purchase@3
+  // itself must not become a touch for purchase@4); u2 converts with
+  // no preceding touch → 'direct'. Shares: 2/3 → 666‰, 1/3 → 333‰.
+  test("lastTouchAttribution: latest preceding non-conversion touch, direct fallback") {
+    val e = Seq(
+      (1L, 1L, 1L, "view", 0.0), (2L, 1L, 2L, "click", 0.0),
+      (3L, 1L, 3L, "purchase", 1.0), (4L, 1L, 4L, "purchase", 2.0),
+      (5L, 2L, 1L, "purchase", 0.5)
+    ).toDF("event_id", "u", "us", "et", "v")
+    val out = Relational.lastTouchAttribution(e, "u", "us", "et", "v",
+        convType = "purchase", tieBreak = $"event_id")
+      .orderBy($"touch_type")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("click", 2L, 300L, 666L),
+      ("direct", 1L, 50L, 333L)))
+  }
+
   test("cohortRetention: cohort by first-event week, distinct weekly activity") {
     val wk = 7L * 86400L * 1000000L
     val e = Seq(
