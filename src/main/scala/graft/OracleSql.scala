@@ -672,6 +672,56 @@ object OracleSql {
         |ORDER BY revenue_fp4 DESC, order_date, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    // TPC-H Q18-shaped large-volume customers: per-order quantity sum
+    // HAVING > 300, exact integer quantities + cents, ISO dates,
+    // deterministic top-100 (ties broken by orderkey).
+    "q_big_orders" ->
+      """WITH bq AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > 300)
+        |SELECT c.c_name, o.o_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |       bq.total_qty
+        |FROM bq
+        |JOIN orders o ON o.o_orderkey = bq.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY totalprice_cents DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q5-shaped local-supplier revenue: ASIA customers served by
+    // a same-nation supplier within one order year, exact fp4 revenue.
+    "q_region_revenue" ->
+      """SELECT n.n_name,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_fp4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |                AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue_fp4 DESC, n_name""".stripMargin,
+
+    // Benford first-digit audit: leading digit of exact cents, counts +
+    // permille; the log-expected comparison stays outside the gate.
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+        |SELECT digit, n, CAST((1000 * n) // nt AS BIGINT) AS permille
+        |FROM g, tot ORDER BY digit""".stripMargin,
+
     // RFM quintiles: exact global rank by (metric ASC, user ASC) per
     // axis, quint = (rank-1)*5 // n + 1; monetary in exact integer
     // cents (round-half-away matches Spark's HALF_UP on both signs).

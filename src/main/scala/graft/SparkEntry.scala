@@ -1517,6 +1517,92 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** TPC-H Q18-shaped large-volume customers (X198): orders whose total
+    * line quantity exceeds 300, with their customer, date, and exact
+    * integer totals — the "whales" report. The HAVING aggregate is ONE
+    * map-side-combining per-order sum off the lineitem scan; its
+    * surviving set is tiny by construction (selective threshold), so
+    * AQE broadcasts it into orders and nothing else shuffles — at
+    * 100 TB the per-order aggregate is the single fact exchange, the
+    * customer dim broadcasts, and the top-100 runs as
+    * TakeOrderedAndProject (only 100 rows reach the driver). Quantities
+    * sum as exact integers, money as cents, dates as ISO strings
+    * (timestamps hash differently across engines). */
+  private def qBigOrders(s: SparkSession, d: String): DataFrame = {
+    val bigQ = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    t(s, d, "orders").join(bigQ, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        Relational.cents(col("o_totalprice")).as("totalprice_cents"),
+        col("total_qty"))
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue (X199): per-nation revenue
+    * for ASIA-region customers served by a SAME-nation supplier within
+    * one order year — the classic multi-dim star probe. Dim chain
+    * region→nation broadcasts into customer and supplier; the
+    * date-filtered orders⋈customer edge produces the (orderkey,
+    * cust-nation) probe set (AQE broadcasts it at gate scale; at 100 TB
+    * it is the one custkey shuffle, and lineitem⋈orders the one
+    * orderkey shuffle); the supplier side broadcasts with the
+    * same-nation equality folded into the join condition, so mismatched
+    * rows never reach the aggregate. Revenue in exact fp4 BIGINT. */
+  private def qRegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val natAsia = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val custAsia = t(s, d, "customer")
+      .join(broadcast(natAsia), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val suppAsia = t(s, d, "supplier")
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ordAsia = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (Relational.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_fp4"))
+      .join(ordAsia, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppAsia),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_fp4")).as("revenue_fp4"))
+      .orderBy(col("revenue_fp4").desc, col("n_name"))
+  }
+
+  /** Benford first-digit audit (X200): the leading-significant-digit
+    * distribution of order totals — the classic fabricated-data /
+    * ingest-corruption screen (organic multiplicative amounts follow
+    * Benford's law; flat or spiked first digits say synthetic or
+    * truncated money). Exact integer cents (the leading digit of
+    * cents equals the leading digit of the positive amount — decimal
+    * shifts preserve it), digit via one substring on the cast — ONE
+    * map-side-combining aggregate to 9 rows plus a broadcast total.
+    * The expected-frequency comparison (log₁₀(1+1/d)) stays out of the
+    * hash gate — transcendental-free discipline. */
+  private def qBenford(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "orders")
+      .select(substring(Relational.cents(col("o_totalprice")).cast("string"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nt"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), expr("(1000 * n) div nt").as("permille"))
+      .orderBy(col("digit"))
+  }
+
   /** RFM user segmentation (X189 — see Relational.rfmSegments): exact
     * population quintiles on recency/frequency/monetary via three
     * global ranks of the user table; integer cents, packed rfm_code. */
@@ -3370,6 +3456,9 @@ object SparkEntry {
     "q_embedding_drift" -> (qEmbeddingDrift _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_shipping_priority" -> (qShippingPriority _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_region_revenue" -> (qRegionRevenue _),
+    "q_benford" -> (qBenford _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
