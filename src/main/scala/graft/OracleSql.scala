@@ -722,6 +722,51 @@ object OracleSql {
         |SELECT digit, n, CAST((1000 * n) // nt AS BIGINT) AS permille
         |FROM g, tot ORDER BY digit""".stripMargin,
 
+    // LIX readability per source: exact per-doc counts (words,
+    // max(1, terminator-runs) sentences, >6-char longwords) summed,
+    // index = 100W//S + 10000LW//W from the sums.
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> length(x) > 0)) AS BIGINT) AS w,
+        |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |              AS BIGINT) AS s,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              x -> length(x) > 6)) AS BIGINT) AS lw
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(w) AS BIGINT) AS n_words,
+        |             CAST(sum(s) AS BIGINT) AS n_sentences,
+        |             CAST(sum(lw) AS BIGINT) AS n_longwords
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_sentences, n_longwords,
+        |       CAST((100 * n_words) // n_sentences
+        |            + (10000 * n_longwords) // n_words AS BIGINT) AS lix_x100
+        |FROM g ORDER BY source""".stripMargin,
+
+    // RAKE: non-letters then stopwords become the phrase delimiter
+    // (regexp_replace needs the 'g' flag here — DuckDB replaces only
+    // the first match by default, Spark replaces all), word
+    // freq/degree over the phrase explode, top-20 by permille score.
+    "q_rake_keywords" ->
+      """WITH s AS (
+        |  SELECT regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z ]+', '.', 'g'),
+        |           '\b(the|a|of|and|to|in|is|it|that|for)\b', '.', 'g') AS t
+        |  FROM documents),
+        |p AS (SELECT unnest(string_split(t, '.')) AS phrase FROM s),
+        |w AS (SELECT list_filter(string_split_regex(phrase, ' +'),
+        |                         x -> length(x) > 0) AS ws FROM p),
+        |x AS (SELECT unnest(ws) AS word, CAST(len(ws) AS BIGINT) AS plen
+        |      FROM w WHERE len(ws) > 0),
+        |g AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |             CAST(sum(plen) AS BIGINT) AS degree
+        |      FROM x GROUP BY 1)
+        |SELECT word, freq, degree,
+        |       CAST((1000 * degree) // freq AS BIGINT) AS score_permille
+        |FROM g ORDER BY score_permille DESC, word LIMIT 20""".stripMargin,
+
     // RFM quintiles: exact global rank by (metric ASC, user ASC) per
     // axis, quint = (rank-1)*5 // n + 1; monetary in exact integer
     // cents (round-half-away matches Spark's HALF_UP on both signs).

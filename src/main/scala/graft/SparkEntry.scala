@@ -827,6 +827,21 @@ object SparkEntry {
       .orderBy(col("deg"))
   }
 
+  /** LIX readability per source (X201 — see TextOps.lixReport): exact
+    * summed counts + the integer ×100 index derived from the sums. */
+  private def qReadability(s: SparkSession, d: String): DataFrame =
+    TextOps.lixReport(t(s, d, "documents"), "text", "source")
+      .orderBy(col("source"))
+
+  /** RAKE keyword extraction (X202 — see TextOps.rakeWordScores): the
+    * top-20 words by degree/freq permille (score DESC, word ASC
+    * tie-break → deterministic TakeOrderedAndProject). */
+  private def qRakeKeywords(s: SparkSession, d: String): DataFrame =
+    TextOps.rakeWordScores(t(s, d, "documents"), "text",
+        TextOps.Stopwords.toMap.apply("en"))
+      .orderBy(col("score_permille").desc, col("word"))
+      .limit(20)
+
   /** Blocklist / phrase-filter audit — the crawl-hygiene pass that
     * screens every document against a phrase blocklist and reports
     * per-source hit totals. The portable formulation is P chained
@@ -3459,6 +3474,8 @@ object SparkEntry {
     "q_big_orders" -> (qBigOrders _),
     "q_region_revenue" -> (qRegionRevenue _),
     "q_benford" -> (qBenford _),
+    "q_readability" -> (qReadability _),
+    "q_rake_keywords" -> (qRakeKeywords _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

@@ -46,6 +46,70 @@ object TextOps {
       })
   }
 
+  /** LIX READABILITY report per group (Björnsson 1968 — the classic
+    * transcendental-free readability index: LIX = words/sentences +
+    * 100·longwords/words, longword = more than 6 characters): exact
+    * per-document counts summed per group, with the index reported as
+    * an integer ×100 derived from the sums by truncating division —
+    * the aggregate readability of the group's corpus, order-free and
+    * engine-exact. A document with no terminal punctuation counts as
+    * ONE sentence (the max(1, terminator-runs) rule), so token-stream
+    * corpora don't divide by zero.
+    *
+    * Scale shape: pure codegen per-row counts on the scan, ONE
+    * map-side-combining aggregate to the #groups-sized report. */
+  def lixReport(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    docs.select(col(groupCol),
+        size(toks).cast("long").as("w"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("s"),
+        size(filter(tokens(col(textCol)), t => length(t) > 6))
+          .cast("long").as("lw"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("lw")).as("n_longwords"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_longwords"),
+        // a words-free group has no readability — NULL, never div-0
+        when(col("n_words") > 0,
+          expr("(100 * n_words) div n_sentences + (10000 * n_longwords) div n_words"))
+          .as("lix_x100"))
+  }
+
+  /** RAKE keyword scoring (Rose et al. 2010 "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal runs between stopwords and punctuation; every word scores
+    * freq (occurrences) and degree (summed length of its phrases —
+    * co-occurrence mass including itself), and RAKE's keyword metric is
+    * degree/freq — words living in long content phrases outrank evenly
+    * scattered ones. Reported as exact integer permille.
+    *
+    * Portability: non-letter runs become the delimiter FIRST (so the
+    * stopword pass sees only `[a-z ]`), then stopwords fall to the same
+    * delimiter via an ASCII `\b` alternation — identical semantics in
+    * Java regex and RE2 (both define `\b` on `[A-Za-z0-9_]`; the input
+    * alphabet here is already reduced to letters). Scale shape: two
+    * codegen regex passes + one explode on the scan, ONE word-keyed
+    * map-side-combining aggregate; output is vocabulary-sized. */
+  def rakeWordScores(docs: DataFrame, textCol: String,
+                     stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      "stopwords must be lowercase ASCII words (they enter a regex alternation)")
+    val delim = regexp_replace(lower(col(textCol)), "[^a-z ]+", ".")
+    val stopped = regexp_replace(delim,
+      "\\b(" + stopwords.mkString("|") + ")\\b", ".")
+    docs.select(explode(split(stopped, "\\.")).as("phrase"))
+      .select(filter(split(col("phrase"), " +"), t => length(t) > 0).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(col("ws")).as("word"),
+        size(col("ws")).cast("long").as("plen"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("word"), col("freq"), col("degree"),
+        expr("(1000 * degree) div freq").as("score_permille"))
+  }
+
   /** Normalization pass upstream of tokenization/dedup: control chars
     * become spaces, everything lowercases, space runs collapse, ends
     * trim. Control chars are mapped to spaces FIRST so the collapse step

@@ -228,6 +228,40 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  // Doc 1: 4 words ("ccccccc." is 8 chars → longword), 2 terminator
+  // runs; doc 2: 3 words, NO terminators → the max(1, runs) rule makes
+  // it one sentence. Totals W=7 S=3 LW=1 →
+  // lix_x100 = 700 div 3 + 10000 div 7 = 233 + 1428 = 1661.
+  test("lixReport: exact counts, one-sentence fallback, words-free group is NULL") {
+    val docs = Seq(("aa bb ccccccc. dd!", "s1"), ("x y z", "s1"), ("", "s2"))
+      .toDF("text", "source")
+    val out = TextOps.lixReport(docs, "text", "source").orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("s1", 2L, 7L, 3L, 1L, Some(1661L)),
+      ("s2", 1L, 0L, 1L, 0L, None)))
+  }
+
+  // "of" delimits doc 1 into [deep learning] and [deep graphs]; doc 2
+  // is the 1-word phrase [deep]. deep: freq 3, degree 2+2+1=5 → 1666‰;
+  // learning/graphs: freq 1, degree 2 → 2000‰. The \b fence must not
+  // let the stopword "is" split "this".
+  test("rakeWordScores: phrase delimiting, degree/freq permille, \\b stopword fence") {
+    val docs = Seq("deep learning of deep graphs!", "deep").toDF("text")
+    val out = TextOps.rakeWordScores(docs, "text",
+        TextOps.Stopwords.toMap.apply("en"))
+      .orderBy($"score_permille".desc, $"word")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("graphs", 1L, 2L, 2000L),
+      ("learning", 1L, 2L, 2000L),
+      ("deep", 3L, 5L, 1666L)))
+    val fence = TextOps.rakeWordScores(Seq("this is fine").toDF("text"),
+        "text", TextOps.Stopwords.toMap.apply("en"))
+      .orderBy($"word").as[(String, Long, Long, Long)].collect().toSeq
+    assert(fence == Seq(("fine", 1L, 1L, 1000L), ("this", 1L, 1L, 1000L)))
+  }
+
   test("filterFunnel: a doc violating several rules is counted once") {
     // violates min_tokens AND blocklist — must be charged to stage 1 only
     val docs = Seq(("xx", 2L, "fr"), ("a b", 3L, "en"))
