@@ -68,7 +68,10 @@ object Bench {
       // sweep — brought in for consistency)
       "q_domain_rank", "q_trust_rank",
       // r12: rfm persists the per-user aggregate for its 3 rank passes
-      "q_rfm_segments")
+      "q_rfm_segments",
+      // r12: k-center seeding persists the projected fixed-point table
+      // its k argmax rounds re-read
+      "q_kcenter_seeds")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -98,6 +98,11 @@ object OracleSql {
     s"CAST(list_sum(list_transform(range(1, len($q.fv) + 1), i -> $q.fv[i] * $c.fv[i])) AS DOUBLE)" +
       s" / (sqrt(CAST($q.nn AS DOUBLE)) * sqrt(CAST($c.nn AS DOUBLE)))"
 
+  /** Exact integer squared L2 between two fixed-point list columns. */
+  private def sqDistExpr(p: String, c: String): String =
+    s"list_sum(list_transform(range(1, len($p.fv) + 1), " +
+      s"i -> ($p.fv[i] - $c.fv[i]) * ($p.fv[i] - $c.fv[i])))"
+
   /** Sign-LSH bucket over the first 4 raw float components. The engine
     * self-sizes the width from the corpus cardinality
     * (Vectors.bitsFor: clamp(ceil(log2 n) - 7, 4, 24)); every gate/bench
@@ -3217,6 +3222,73 @@ object OracleSql {
          |FROM deg, rec, ne
          |GROUP BY deg, n_recip, n_dir
          |ORDER BY deg""".stripMargin,
+
+    // Link prediction by common neighbors over the kNN graph: wedge
+    // self-join of the symmetric edge list, adjacency anti-check,
+    // Jaccard of neighbor sets in exact permille.
+    "q_common_neighbors" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |$fpVecCte,
+         |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nn > 0),
+         |sc AS (
+         |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+         |         ${cosineExpr("x", "y")} AS cosine
+         |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (
+         |  SELECT src_id, dst_id,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc),
+         |dedges AS MATERIALIZED (
+         |  SELECT src_id AS src, dst_id AS dst FROM r WHERE "rank" <= 3),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM dedges),
+         |sym AS (SELECT a AS uu, b AS vv FROM und
+         |        UNION ALL SELECT b AS uu, a AS vv FROM und),
+         |deg AS (SELECT uu, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+         |cn AS (
+         |  SELECT l.vv AS a, r2.vv AS b, CAST(count(*) AS BIGINT) AS cn
+         |  FROM sym l JOIN sym r2 ON l.uu = r2.uu AND l.vv < r2.vv
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |na AS (SELECT cn.a, cn.b, cn.cn FROM cn
+         |       WHERE NOT EXISTS (SELECT 1 FROM und
+         |                         WHERE und.a = cn.a AND und.b = cn.b))
+         |SELECT na.a, na.b, na.cn,
+         |       CAST((1000 * na.cn) // (da.deg + db.deg - na.cn) AS BIGINT)
+         |         AS jaccard_permille
+         |FROM na JOIN deg da ON na.a = da.uu JOIN deg db ON na.b = db.uu
+         |ORDER BY a, b""".stripMargin,
+
+    // Gonzalez farthest-point k-center, k=4 unrolled: seed = smallest
+    // id, each round argmax over the running min squared-L2 (exact
+    // integers, ties → smallest id).
+    "q_kcenter_seeds" ->
+      s"""WITH $fpVecCte,
+         |p AS (SELECT vec_id, fv FROM fp WHERE fv IS NOT NULL),
+         |c0 AS (SELECT vec_id AS id, fv FROM p
+         |       WHERE vec_id = (SELECT min(vec_id) FROM p)),
+         |d1 AS (SELECT p.vec_id, CAST(${sqDistExpr("p", "c0")} AS BIGINT) AS mind
+         |       FROM p, c0),
+         |s1 AS (SELECT vec_id, mind FROM d1 ORDER BY mind DESC, vec_id LIMIT 1),
+         |c1 AS (SELECT p.vec_id AS id, p.fv FROM p JOIN s1 ON p.vec_id = s1.vec_id),
+         |d2 AS (SELECT p.vec_id,
+         |              least(d1.mind, CAST(${sqDistExpr("p", "c1")} AS BIGINT)) AS mind
+         |       FROM p JOIN d1 ON p.vec_id = d1.vec_id, c1),
+         |s2 AS (SELECT vec_id, mind FROM d2 ORDER BY mind DESC, vec_id LIMIT 1),
+         |c2 AS (SELECT p.vec_id AS id, p.fv FROM p JOIN s2 ON p.vec_id = s2.vec_id),
+         |d3 AS (SELECT p.vec_id,
+         |              least(d2.mind, CAST(${sqDistExpr("p", "c2")} AS BIGINT)) AS mind
+         |       FROM p JOIN d2 ON p.vec_id = d2.vec_id, c2),
+         |s3 AS (SELECT vec_id, mind FROM d3 ORDER BY mind DESC, vec_id LIMIT 1)
+         |SELECT CAST(0 AS INTEGER) AS seed_idx, id AS vec_id,
+         |       CAST(0 AS BIGINT) AS dist_fp FROM c0
+         |UNION ALL SELECT CAST(1 AS INTEGER), vec_id, mind FROM s1
+         |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, mind FROM s2
+         |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
+         |ORDER BY seed_idx""".stripMargin,
 
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt

@@ -842,6 +842,46 @@ object SparkEntry {
       .orderBy(col("score_permille").desc, col("word"))
       .limit(20)
 
+  /** kNN-graph LINK PREDICTION by common neighbors (X203): for every
+    * non-adjacent vertex pair at distance 2, the shared-neighbor count
+    * and the Jaccard of their neighbor sets in exact permille
+    * (Liben-Nowell & Kleinberg 2003's strongest cheap predictors) —
+    * the "these two documents should probably be neighbors" candidate
+    * generator that repairs a kNN graph's missed edges before
+    * clustering. Wedge enumeration is the oriented two-hop self-join
+    * of the symmetric edge list — the same vertex-keyed equi-join
+    * family as q_knn_triangles, fan-out bounded by Σdeg² which the
+    * kNN construction caps near k²·n; the adjacency check is one
+    * left-anti join, degrees one census aggregate. Integer-exact:
+    * jaccard = 1000·cn div (deg_a + deg_b − cn). */
+  private def qCommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
+      .select(col("src_id").as("src"), col("dst_id").as("dst"))
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val cn = sym.as("l").join(sym.as("r"),
+        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
+      .groupBy(col("l.v").as("a"), col("r.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    cn.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        expr("(1000 * cn) div (da + db - cn)").as("jaccard_permille"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Gonzalez farthest-point k-center seeding (X204 — see
+    * Vectors.kcenterSeeds): 4 deterministic rounds, exact integer
+    * squared-L2, one aggregate per round. */
+  private def qKcenterSeeds(s: SparkSession, d: String): DataFrame =
+    Vectors.kcenterSeeds(t(s, d, "embeddings"), "vec_id", "embedding", k = 4)
+      .orderBy(col("seed_idx"))
+
   /** Blocklist / phrase-filter audit — the crawl-hygiene pass that
     * screens every document against a phrase blocklist and reports
     * per-source hit totals. The portable formulation is P chained
@@ -3476,6 +3516,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_readability" -> (qReadability _),
     "q_rake_keywords" -> (qRakeKeywords _),
+    "q_common_neighbors" -> (qCommonNeighbors _),
+    "q_kcenter_seeds" -> (qKcenterSeeds _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

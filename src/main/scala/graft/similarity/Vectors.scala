@@ -448,6 +448,67 @@ object Vectors {
         col("cosine"), col("rank"))
   }
 
+  /** GONZALEZ FARTHEST-POINT k-CENTER SEEDING (Gonzalez 1985 "Clustering
+    * to minimize the maximum intercluster distance" — the 2-approximation
+    * k-center heuristic and the deterministic cousin of k-means++ D²
+    * seeding): start from the smallest-id vector, then k−1 times pick
+    * the point FARTHEST from the chosen set (max over points of min over
+    * centers of exact integer squared L2; ties → smallest id). The
+    * monotone radius sequence is the classic coverage diagnostic, and
+    * the seeds are the spread-out initialization a deterministic Lloyd
+    * trainer wants instead of head-of-corpus ids.
+    *
+    * Scale shape: the projected fixed-point table persists ONCE and
+    * each round re-reads the cache (k corpus scans total — the
+    * trainCentroids precedent); a round is ONE map-side-combining
+    * argmax aggregate — max(struct(min-dist, −id, fv)) — with the ≤k
+    * chosen centers riding as broadcast DATA (collected-struct frame:
+    * constant plan shape across rounds, codegen cache hits), and
+    * exactly one (1+d)-value row reaches the driver per round. The
+    * min-over-centers uses the dot identity ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²
+    * so the inner product runs through the codegen DotProductFp kernel
+    * and the norms are computed once per row/center. Exact BIGINT
+    * (d=64 fixed-point terms ≤ ~4e12 each, sums ≤ ~5e14 — no overflow),
+    * deterministic ties ⇒ the seed set is a pure function of the
+    * corpus. */
+  def kcenterSeeds(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of range 1..64")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), fixedPoint(col(vecCol)).as("fv"))
+      .withColumn("nn", normSqFp(col("fv")))
+    val pv = graft.Caches.track(
+      v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val first = pv.orderBy(col("id")).limit(1)
+      .select(col("id"), col("fv")).collect()(0)
+    var chosen = Vector((0, first.getLong(0), 0L,
+      first.getSeq[Long](1).toArray))
+    var r = 1
+    while (r < k) {
+      val centDf = chosen.map { case (_, cid, _, cv) =>
+          (cid, cv.toSeq, cv.map(x => x * x).sum) }
+        .toDF("cent_id", "cent_v", "cent_n")
+        .agg(collect_list(struct(col("cent_id"), col("cent_v"),
+          col("cent_n"))).as("cs"))
+      val best = pv.crossJoin(broadcast(centDf))
+        .select(col("id"), col("fv"),
+          array_min(transform(col("cs"), c =>
+            col("nn") - lit(2L) * dotFp(col("fv"), c.getField("cent_v")) +
+              c.getField("cent_n"))).as("mind"))
+        .agg(max(struct(col("mind"), (-col("id")).as("nid"),
+          col("fv").as("fv"))).as("b"))
+        .select(col("b.mind"), (-col("b.nid")).as("id"), col("b.fv"))
+        .collect()(0)
+      chosen = chosen :+ ((r, best.getLong(1), best.getLong(0),
+        best.getSeq[Long](2).toArray))
+      r += 1
+    }
+    chosen.map { case (i, id, dist, _) => (i, id, dist) }
+      .toDF("seed_idx", "vec_id", "dist_fp")
+  }
+
   /** MMR diversified rerank (Carbonell & Goldstein, SIGIR 1998): greedy
     * maximal-marginal-relevance selection of `k` results from the
     * `poolK`-candidate cosine pool of one query — the retrieval stage

@@ -23,6 +23,32 @@ class VectorsSpec extends SparkSpec {
     assert(out(2)._2 == -1.0)                           // antiparallel
   }
 
+  // 1-D points 0, 1, 2, 3 (ids 1..4): seed = id 1 (smallest id, dist 0);
+  // round 1 farthest = id 4 at (3e6)² = 9e12; round 2 min-dists to
+  // {0, 3} are id 2 → 1e12, id 3 → min(4e12, 1e12) = 1e12 — tie → the
+  // smaller id 2 wins at 1e12.
+  test("kcenterSeeds: deterministic farthest-point rounds, exact integer radii, id tie-break") {
+    val pts = Seq(
+      (1L, Array(0.0f)), (2L, Array(1.0f)), (3L, Array(2.0f)), (4L, Array(3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.kcenterSeeds(pts, "vec_id", "embedding", k = 3)
+      .orderBy($"seed_idx").as[(Int, Long, Long)].collect().toSeq
+    graft.Caches.release()
+    assert(out == Seq(
+      (0, 1L, 0L),
+      (1, 4L, 9000000000000L),
+      (2, 2L, 1000000000000L)))
+  }
+
+  test("kcenterSeeds: null embeddings are excluded, k=1 is just the seed") {
+    val pts = Seq((7L, Array(1.0f, 2.0f)), (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Vectors.kcenterSeeds(pts, "vec_id", "embedding", k = 1)
+      .as[(Int, Long, Long)].collect().toSeq
+    graft.Caches.release()
+    assert(out == Seq((0, 7L, 0L)))
+  }
+
   test("zero-magnitude query yields no results instead of NaN ranks") {
     val out = Vectors.bruteForceTopK(vecs.filter($"vec_id" === 4), vecs, "vec_id", "embedding", 3)
     assert(out.count() == 0)
