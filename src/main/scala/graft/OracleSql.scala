@@ -3290,6 +3290,41 @@ object OracleSql {
          |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
          |ORDER BY seed_idx""".stripMargin,
 
+    // Day-of-week profile: epoch-day mod 7 phase, truncating mean from
+    // the sums.
+    "q_dow_profile" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(n) AS BIGINT) AS total_events,
+        |             CAST(min(n) AS BIGINT) AS min_day,
+        |             CAST(max(n) AS BIGINT) AS max_day
+        |      FROM daily GROUP BY 1)
+        |SELECT dow, n_days, total_events,
+        |       CAST(total_events // n_days AS BIGINT) AS mean_per_day,
+        |       min_day, max_day
+        |FROM p ORDER BY dow""".stripMargin,
+
+    // Inter-event gap spectrum: per-(user, type) lag gaps bucketed by
+    // binary digit count − 1 (⌊log₂⌋, transcendental-free; bin() is
+    // unpadded in both engines, bin(0)='0' → bucket 0).
+    "q_interevent_gaps" ->
+      """WITH e AS (SELECT user_id AS u, event_type, event_id,
+        |                  epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |             us - lag(us) OVER (PARTITION BY u, event_type
+        |                                ORDER BY us, event_id) AS gap
+        |      FROM e)
+        |SELECT event_type,
+        |       CAST(length(bin(gap)) - 1 AS INTEGER) AS log2_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
     // are correctly-rounded IEEE ⇒ bit-equal).

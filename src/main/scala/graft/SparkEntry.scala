@@ -842,6 +842,51 @@ object SparkEntry {
       .orderBy(col("score_permille").desc, col("word"))
       .limit(20)
 
+  /** Day-of-week ingest seasonality profile (X205): per weekday-slot
+    * (epoch-day mod 7 — a pure integer phase, no calendar/tz surface)
+    * the day count, total events, truncating-integer mean and min/max
+    * day volumes — the baseline the anomaly rows (z-score/MAD) should
+    * be read against: a "spike" that is just the weekly rhythm isn't
+    * one. ONE map-side corpus aggregate to the calendar-bounded day
+    * table, then a 7-row profile aggregate. Integer-exact. */
+  private def qDowProfile(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    daily.groupBy(pmod(col("day"), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_events"),
+        min(col("n")).as("min_day"), max(col("n")).as("max_day"))
+      .select(col("dow"), col("n_days"), col("total_events"),
+        expr("total_events div n_days").as("mean_per_day"),
+        col("min_day"), col("max_day"))
+      .orderBy(col("dow"))
+  }
+
+  /** Inter-event gap spectrum (X206): per event type, the histogram of
+    * consecutive same-type gaps per user in log₂(µs) buckets — the
+    * burstiness/periodicity readout (bot traffic concentrates in one
+    * bucket; a healthy human mix spreads). The bucket is the BINARY
+    * DIGIT COUNT minus one — length(bin(gap)) − 1 = ⌊log₂ gap⌋ for
+    * gap ≥ 1 and 0 for the equal-timestamp gap — the transcendental-
+    * free log that hashes identically across engines (bin() renders
+    * unpadded in both). One (user, type)-keyed lag window (the
+    * sequence-analytics partition bound), one map-side aggregate to
+    * the ~40·|types|-row histogram with exact min/max gap fences. */
+  private def qIntereventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"),
+        (length(bin(col("gap"))) - 1).cast("int").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+      .orderBy(col("event_type"), col("log2_bucket"))
+  }
+
   /** kNN-graph LINK PREDICTION by common neighbors (X203): for every
     * non-adjacent vertex pair at distance 2, the shared-neighbor count
     * and the Jaccard of their neighbor sets in exact permille
@@ -3518,6 +3563,8 @@ object SparkEntry {
     "q_rake_keywords" -> (qRakeKeywords _),
     "q_common_neighbors" -> (qCommonNeighbors _),
     "q_kcenter_seeds" -> (qKcenterSeeds _),
+    "q_dow_profile" -> (qDowProfile _),
+    "q_interevent_gaps" -> (qIntereventGaps _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
