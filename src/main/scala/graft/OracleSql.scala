@@ -3325,6 +3325,36 @@ object OracleSql {
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
 
+    // SQL-surface parity: the SAME text runs on both engines. Bounded
+    // recursion (depth < 5 fences cycles), 40-row edge table.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE r(start, v, d) AS (
+        |  SELECT n, n, 0 FROM (SELECT DISTINCT doc_id % 20 AS n FROM documents)
+        |  UNION ALL
+        |  SELECT r.start, e.dst, r.d + 1
+        |  FROM r JOIN (SELECT DISTINCT doc_id % 20 AS src,
+        |                      (7 * doc_id + 3) % 20 AS dst FROM documents
+        |               UNION
+        |               SELECT DISTINCT doc_id % 20, (3 * doc_id + 11) % 20
+        |               FROM documents) e
+        |    ON e.src = r.v
+        |  WHERE r.d < 5)
+        |SELECT start, v, CAST(min(d) AS INTEGER) AS hops
+        |FROM r GROUP BY start, v ORDER BY start, v""".stripMargin,
+
+    // SQL-surface parity: correlated LATERAL with per-group LIMIT, the
+    // SAME text on both engines; ties inside the LIMIT break on
+    // orderkey so the selected set is deterministic.
+    "q_lateral_topn" ->
+      """SELECT s.c_mktsegment, l.o_orderkey, l.price_cents
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |LATERAL (SELECT o.o_orderkey,
+        |                CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        |         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |         WHERE c.c_mktsegment = s.c_mktsegment
+        |         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) l
+        |ORDER BY s.c_mktsegment, l.price_cents DESC""".stripMargin,
+
     // Rolling z-score over exact-integer power sums; the double
     // arithmetic repeats Spark's expression tree verbatim (sum/div/sqrt
     // are correctly-rounded IEEE ⇒ bit-equal).

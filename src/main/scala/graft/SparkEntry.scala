@@ -544,6 +544,39 @@ object SparkEntry {
     s.sql(OracleSql.all("q_scalar_subquery"))
   }
 
+  /** Recursive CTE through the SQL entry point (X207): bounded-depth
+    * multi-source reachability (min hop distance ≤ 5 from every node)
+    * over the 20-node synthetic domain graph — the same SQL text runs
+    * verbatim on both engines (Spark 4's WITH RECURSIVE executes as a
+    * driver-coordinated loop of per-level jobs under UnionLoopExec;
+    * DuckDB iterates natively). The recursion fence is structural:
+    * depth < 5 bounds the loop regardless of cycles, and the edge table
+    * is 40-row bounded (two arithmetic generators over 20 residues), so
+    * every level is model-sized. At 100 TB the corpus-sized part is the
+    * DISTINCT edge/node derivation — one map-side aggregate each —
+    * and the loop never touches the corpus again. */
+  private def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").createOrReplaceTempView("documents")
+    s.sql(OracleSql.all("q_recursive_cte"))
+  }
+
+  /** Correlated LATERAL subquery with per-group LIMIT through the SQL
+    * entry point (X208): top-2 orders per market segment — Catalyst
+    * decorrelates the LIMIT-per-group into a per-segment row_number
+    * window over the orders⋈customer join filtered to rn ≤ 2
+    * (plan-read at the gate; no WindowGroupLimit fires on the
+    * decorrelated form, so the window ranks every order per segment —
+    * at 100 TB the hand-optimized shape is the X27 bounded
+    * top-k-per-key aggregate, and this row is the SQL-surface parity
+    * for it, not the scale path). The SAME text is the oracle; exact
+    * integer cents; ties inside the LIMIT break on orderkey so the
+    * selected SET is deterministic. */
+  private def qLateralTopn(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(OracleSql.all("q_lateral_topn"))
+  }
+
   /** The REFERENCE-CORE pipeline (ingest → stg_weather) under the hard
     * oracle gate: raw Weatherstack payloads are synthesized closed-form
     * from doc_id (ref: dags/weatherstack_full_pipeline.py:80-107 payload
@@ -3565,6 +3598,8 @@ object SparkEntry {
     "q_kcenter_seeds" -> (qKcenterSeeds _),
     "q_dow_profile" -> (qDowProfile _),
     "q_interevent_gaps" -> (qIntereventGaps _),
+    "q_recursive_cte" -> (qRecursiveCte _),
+    "q_lateral_topn" -> (qLateralTopn _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
