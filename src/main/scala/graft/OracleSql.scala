@@ -98,6 +98,30 @@ object OracleSql {
     s"CAST(list_sum(list_transform(range(1, len($q.fv) + 1), i -> $q.fv[i] * $c.fv[i])) AS DOUBLE)" +
       s" / (sqrt(CAST($q.nn AS DOUBLE)) * sqrt(CAST($c.nn AS DOUBLE)))"
 
+  /** Shared CTE prefix for the kNN-graph diagnostics: the auto-bits
+    * (4 at every gate corpus) k-nearest-neighbor DIRECTED edges as
+    * `dedges` plus the deduped UNDIRECTED edge list as `und(a, b)`. */
+  private def knnUndCte(k: Int): String =
+    s"""b AS (
+       |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+       |$fpVecCte,
+       |v AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+       |      WHERE nn > 0),
+       |sc AS (
+       |  SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+       |         ${cosineExpr("x", "y")} AS cosine
+       |  FROM v x JOIN v y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |r AS (
+       |  SELECT src_id, dst_id,
+       |         CAST(row_number() OVER (PARTITION BY src_id
+       |                                 ORDER BY cosine DESC, dst_id ASC) AS INTEGER) AS "rank"
+       |  FROM sc),
+       |dedges AS MATERIALIZED (
+       |  SELECT src_id AS src, dst_id AS dst FROM r WHERE "rank" <= $k),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM dedges)""".stripMargin
+
   /** Exact integer squared L2 between two fixed-point list columns. */
   private def sqDistExpr(p: String, c: String): String =
     s"list_sum(list_transform(range(1, len($p.fv) + 1), " +
@@ -3324,6 +3348,46 @@ object OracleSql {
         |       CAST(max(gap) AS BIGINT) AS max_gap_us
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+
+    // Per-vertex local clustering coefficient: oriented a<b<c triangle
+    // enumeration credits each corner, coeff = 2000·tri // deg(deg−1)
+    // in permille, NULL for deg < 2.
+    "q_clustering_coeff" ->
+      s"""WITH ${knnUndCte(3)},
+         |deg AS (SELECT vtx, CAST(count(*) AS BIGINT) AS deg FROM (
+         |          SELECT a AS vtx FROM und UNION ALL SELECT b AS vtx FROM und)
+         |        GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |        WHERE EXISTS (SELECT 1 FROM und e3
+         |                      WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |tv AS (SELECT vtx, CAST(count(*) AS BIGINT) AS tri FROM (
+         |         SELECT x AS vtx FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+         |SELECT deg.vtx AS v, deg.deg,
+         |       COALESCE(tv.tri, CAST(0 AS BIGINT)) AS tri,
+         |       CASE WHEN deg.deg >= 2
+         |            THEN CAST((2000 * COALESCE(tv.tri, 0))
+         |                      // (deg.deg * (deg.deg - 1)) AS BIGINT)
+         |       END AS coeff_permille
+         |FROM deg LEFT JOIN tv ON deg.vtx = tv.vtx
+         |ORDER BY v""".stripMargin,
+
+    // Degree assortativity sufficient statistics: symmetric endpoint-
+    // degree sums (n, Σx, Σx², Σxy) — Pearson's r derives outside the
+    // hash gate.
+    "q_degree_assortativity" ->
+      s"""WITH ${knnUndCte(3)},
+         |sym AS (SELECT a AS uu, b AS vv FROM und
+         |        UNION ALL SELECT b AS uu, a AS vv FROM und),
+         |deg AS (SELECT uu, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+         |       CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+         |       CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+         |       CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy
+         |FROM sym JOIN deg dx ON sym.uu = dx.uu
+         |         JOIN deg dy ON sym.vv = dy.uu""".stripMargin,
 
     // SQL-surface parity: the SAME text runs on both engines. Bounded
     // recursion (depth < 5 fences cycles), 40-row edge table.

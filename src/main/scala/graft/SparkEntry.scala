@@ -953,6 +953,61 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT (X209): triangles through
+    * each vertex over C(deg,2) in exact permille (Watts & Strogatz
+    * 1998) — the per-point "is my neighborhood coherent" signal that
+    * separates tight semantic clusters (→1000‰) from hub-like bridge
+    * vectors (→0‰) before a density-based selector trusts the graph.
+    * Triangle enumeration is the oriented a<b<c two-join (the
+    * q_knn_triangles shape, fan-out capped by forward degree); each
+    * triangle credits its three corners via a 3-way unionAll into ONE
+    * vertex-keyed count, degrees come from the census aggregate, and
+    * deg<2 vertices report NULL (no pair to close — never div-0). */
+  private def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val und = Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
+      .select(least(col("src_id"), col("dst_id")).as("a"),
+        greatest(col("src_id"), col("dst_id")).as("b")).distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triV = tri.select(col("x").as("v"))
+      .unionAll(tri.select(col("y").as("v")))
+      .unionAll(tri.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(triV, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coeff_permille",
+        when(col("deg") >= 2, expr("(2000 * tri) div (deg * (deg - 1))")))
+      .orderBy(col("v"))
+  }
+
+  /** Degree ASSORTATIVITY sufficient statistics (X210, Newman 2002):
+    * does the kNN graph wire similar-degree vertices together
+    * (assortative, r>0) or hubs to leaves (disassortative, r<0)?
+    * Exact integer sufficient statistics over the both-direction edge
+    * list — n, Σx, Σx² and Σxy of endpoint degrees (symmetric
+    * counting makes Σx=Σy, so these four determine Pearson's r, which
+    * derives OUTSIDE the hash gate — the centroid-cosine numeric
+    * discipline). Two vertex-keyed degree joins + ONE 1-row aggregate;
+    * everything is edge-table-sized. */
+  private def qDegreeAssortativity(s: SparkSession, d: String): DataFrame = {
+    val und = Vectors.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
+      .select(least(col("src_id"), col("dst_id")).as("a"),
+        greatest(col("src_id"), col("dst_id")).as("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    sym.join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("dx")).as("sum_x"),
+        sum(col("dx") * col("dx")).as("sum_x2"),
+        sum(col("dx") * col("dy")).as("sum_xy"))
+  }
+
   /** Gonzalez farthest-point k-center seeding (X204 — see
     * Vectors.kcenterSeeds): 4 deterministic rounds, exact integer
     * squared-L2, one aggregate per round. */
@@ -3600,6 +3655,8 @@ object SparkEntry {
     "q_interevent_gaps" -> (qIntereventGaps _),
     "q_recursive_cte" -> (qRecursiveCte _),
     "q_lateral_topn" -> (qLateralTopn _),
+    "q_clustering_coeff" -> (qClusteringCoeff _),
+    "q_degree_assortativity" -> (qDegreeAssortativity _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
