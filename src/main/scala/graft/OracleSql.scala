@@ -739,6 +739,47 @@ object OracleSql {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue_fp4 DESC, n_name""".stripMargin,
 
+    // TPC-H Q6-shaped revenue band: full-pushdown 1-row aggregate,
+    // exact fp4 (cents × discount-cents).
+    "q_revenue_band" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_fp4,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q14-shaped promo share: one conditional aggregate over the
+    // month × part join, exact permille.
+    "q_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_fp4,
+        |         p.p_type = 'PROMO' AS is_promo
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-10-01'),
+        |a AS (SELECT CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_fp4 END), 0)
+        |                  AS BIGINT) AS promo_fp4,
+        |             CAST(sum(rev_fp4) AS BIGINT) AS total_fp4
+        |      FROM j)
+        |SELECT promo_fp4, total_fp4,
+        |       CAST((1000 * promo_fp4) // total_fp4 AS BIGINT) AS promo_permille
+        |FROM a""".stripMargin,
+
+    // TPC-H Q16-shaped supplier census: distinct suppliers per
+    // (brand, size), promo type and one brand excluded.
+    "q_supplier_parts" ->
+      """SELECT p.p_brand, p.p_size,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type <> 'PROMO' AND p.p_brand <> 'Brand#4'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
     // Benford first-digit audit: leading digit of exact cents, counts +
     // permille; the log-expected comparison stays outside the gate.
     "q_benford" ->

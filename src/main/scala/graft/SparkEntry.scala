@@ -1770,6 +1770,63 @@ object SparkEntry {
       .orderBy(col("revenue_fp4").desc, col("n_name"))
   }
 
+  /** TPC-H Q6-shaped revenue band (X211): the canonical full-pushdown
+    * aggregate — one scan with ALL THREE predicates (date window,
+    * discount band, quantity cap) in PushedFilters feeding a single
+    * 1-row map-side aggregate; no join, no shuffle beyond the final
+    * 1-row combine. The raw-double band compare is identical on both
+    * engines (same parquet doubles, same IEEE comparison); the money
+    * aggregates in exact fp4 (cents × discount-cents). */
+  private def qRevenueBand(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(Relational.cents(col("l_extendedprice")) *
+          round(col("l_discount") * 100).cast("long")).as("revenue_fp4"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14-shaped promo revenue share (X212): the conditional-
+    * aggregate-over-a-dim-join shape — one month of lineitem joined to
+    * the broadcast part dim, promo vs total revenue in ONE aggregate
+    * (two conditional sums, never two scans), share derived as exact
+    * integer permille. At 100 TB part exceeds broadcast and the
+    * partkey equi-join is the single fact shuffle. */
+  private def qPromoShare(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      .select(col("l_partkey"),
+        (Relational.cents(col("l_extendedprice")) *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_fp4"))
+    li.join(broadcast(t(s, d, "part")
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(coalesce(sum(when(col("is_promo"), col("rev_fp4"))), lit(0L))
+          .as("promo_fp4"),
+        sum(col("rev_fp4")).as("total_fp4"))
+      .select(col("promo_fp4"), col("total_fp4"),
+        expr("(1000 * promo_fp4) div total_fp4").as("promo_permille"))
+  }
+
+  /** TPC-H Q16-shaped supplier-per-part census (X213): distinct
+    * suppliers per (brand, size) excluding one brand and the promo
+    * type — the count-distinct-over-dim-join shape. The filtered part
+    * dim broadcasts (its equality/inequality predicates push into the
+    * scan); the distinct runs as Spark's two-level aggregate (partial
+    * distinct on (group, supp) before the group shuffle). */
+  private def qSupplierParts(s: SparkSession, d: String): DataFrame = {
+    val pt = t(s, d, "part")
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#4")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   /** Benford first-digit audit (X200): the leading-significant-digit
     * distribution of order totals — the classic fabricated-data /
     * ingest-corruption screen (organic multiplicative amounts follow
@@ -3657,6 +3714,9 @@ object SparkEntry {
     "q_lateral_topn" -> (qLateralTopn _),
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_degree_assortativity" -> (qDegreeAssortativity _),
+    "q_revenue_band" -> (qRevenueBand _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_supplier_parts" -> (qSupplierParts _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
