@@ -792,6 +792,38 @@ object OracleSql {
         |SELECT digit, n, CAST((1000 * n) // nt AS BIGINT) AS permille
         |FROM g, tot ORDER BY digit""".stripMargin,
 
+    // Lexical diversity: (source, word) counts → TTR + hapax share in
+    // exact permille.
+    "q_lexical_diversity" ->
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '),
+        |                                    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS n
+        |      FROM w GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_hapax
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |       CAST((1000 * n_types) // n_tokens AS BIGINT) AS ttr_permille,
+        |       CAST((1000 * n_hapax) // n_types AS BIGINT) AS hapax_permille
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Embedding squared-norm spectrum: exact fixed-point norms in
+    // ⌊log₂⌋ buckets (bin()-length), zero vectors → bucket −1.
+    "q_norm_histogram" ->
+      s"""WITH $fpVecCte,
+         |h AS (SELECT CASE WHEN nn = 0 THEN -1
+         |                  ELSE length(bin(nn)) - 1 END AS log2_bucket, nn
+         |      FROM nv WHERE fv IS NOT NULL)
+         |SELECT CAST(log2_bucket AS INTEGER) AS log2_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(min(nn) AS BIGINT) AS min_normsq_fp,
+         |       CAST(max(nn) AS BIGINT) AS max_normsq_fp
+         |FROM h GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
     // LIX readability per source: exact per-doc counts (words,
     // max(1, terminator-runs) sentences, >6-char longwords) summed,
     // index = 100W//S + 10000LW//W from the sums.

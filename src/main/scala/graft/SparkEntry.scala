@@ -860,6 +860,47 @@ object SparkEntry {
       .orderBy(col("deg"))
   }
 
+  /** Lexical diversity per source (X214): type-token ratio and hapax
+    * share in exact permille — the vocabulary-richness screen that
+    * separates template/boilerplate sources (low TTR, few hapax
+    * legomena) from organic text before corpus mixing weights them.
+    * Two-level aggregate: ONE (source, word)-keyed map-side count off
+    * the token explode, then ONE source-keyed roll-up — the shuffles
+    * carry distinct (source, word) pairs and #sources rows, never raw
+    * tokens. Integer-exact; NULL (not div-0) on degenerate groups. */
+  private def qLexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("word"))
+    words.groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") > 0, expr("(1000 * n_types) div n_tokens"))
+          .as("ttr_permille"),
+        when(col("n_types") > 0, expr("(1000 * n_hapax) div n_types"))
+          .as("hapax_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** Embedding L2-norm spectrum (X215): the squared-norm histogram in
+    * ⌊log₂⌋ buckets (the bin()-length trick, X206) plus the
+    * zero-vector bucket (−1) — the cheapest embedding-store health
+    * check: a collapsed or mis-scaled encoder concentrates the
+    * spectrum, zero rows mean upstream nulls. One narrow codegen pass
+    * (fixed-point + exact integer norm) into ONE map-side aggregate;
+    * output ≤ ~50 rows with exact min/max fences per bucket. */
+  private def qNormHistogram(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(Vectors.normSqFp(Vectors.fixedPoint(col("embedding"))).as("nn"))
+    v.groupBy(when(col("nn") === 0, lit(-1))
+        .otherwise(length(bin(col("nn"))) - 1).cast("int").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("nn")).as("min_normsq_fp"), max(col("nn")).as("max_normsq_fp"))
+      .orderBy(col("log2_bucket"))
+  }
+
   /** LIX readability per source (X201 — see TextOps.lixReport): exact
     * summed counts + the integer ×100 index derived from the sums. */
   private def qReadability(s: SparkSession, d: String): DataFrame =
@@ -3717,6 +3758,8 @@ object SparkEntry {
     "q_revenue_band" -> (qRevenueBand _),
     "q_promo_share" -> (qPromoShare _),
     "q_supplier_parts" -> (qSupplierParts _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_norm_histogram" -> (qNormHistogram _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
