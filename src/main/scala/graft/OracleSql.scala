@@ -792,6 +792,53 @@ object OracleSql {
         |SELECT digit, n, CAST((1000 * n) // nt AS BIGINT) AS permille
         |FROM g, tot ORDER BY digit""".stripMargin,
 
+    // Curriculum phases: exact global rank by (score, id), phase =
+    // (rank−1)·4 // n + 1 (the rfm-quintile arithmetic).
+    "q_curriculum" ->
+      """WITH dsc AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |                                      x -> length(x) > 0)) AS BIGINT)
+        |           AS score
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dsc),
+        |r AS (SELECT doc_id, score,
+        |             row_number() OVER (ORDER BY score, doc_id) AS r FROM dsc)
+        |SELECT doc_id, score,
+        |       CAST(((r - 1) * 4) // n + 1 AS INTEGER) AS phase
+        |FROM r, n ORDER BY doc_id""".stripMargin,
+
+    // Luhn audit: synthesized 16-digit run per doc (the q_pii_redact
+    // synthesis pattern), regexp extraction, mod-10 validation via the
+    // list_transform mirror of the engine's aggregate HOF.
+    "q_luhn_audit" ->
+      """WITH tt AS (
+        |  SELECT source, doc_id,
+        |         text || ' card ' ||
+        |         CAST(4000000000000000 + doc_id * 9973 AS VARCHAR) AS t
+        |  FROM documents),
+        |cand AS (
+        |  SELECT source, doc_id,
+        |         unnest(regexp_extract_all(t, '[0-9]{13,19}')) AS num
+        |  FROM tt),
+        |v AS (
+        |  SELECT source, doc_id,
+        |         list_sum(list_transform(range(1, length(num) + 1), i ->
+        |           CASE WHEN i % 2 = 0
+        |                THEN CASE WHEN 2 * CAST(substr(reverse(num), i, 1) AS INT) > 9
+        |                          THEN 2 * CAST(substr(reverse(num), i, 1) AS INT) - 9
+        |                          ELSE 2 * CAST(substr(reverse(num), i, 1) AS INT) END
+        |                ELSE CAST(substr(reverse(num), i, 1) AS INT) END)) % 10 = 0
+        |           AS ok
+        |  FROM cand),
+        |pd AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nc,
+        |              CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS nv
+        |       FROM v GROUP BY 1, 2)
+        |SELECT source, CAST(sum(nc) AS BIGINT) AS n_candidates,
+        |       CAST(sum(nv) AS BIGINT) AS n_valid,
+        |       CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_docs_flagged
+        |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
+
     // Lexical diversity: (source, word) counts → TTR + hapax share in
     // exact permille.
     "q_lexical_diversity" ->

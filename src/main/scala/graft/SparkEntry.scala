@@ -860,6 +860,45 @@ object SparkEntry {
       .orderBy(col("deg"))
   }
 
+  /** Curriculum phase assignment (X216 — see Mixing.curriculumPhases):
+    * exact length-quartile phases over the corpus (easy-to-hard
+    * ordering), the rfm-quintile rank pattern on documents. */
+  private def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => length(w) > 0))
+        .cast("long").as("n_tokens"))
+    corpus.Mixing.curriculumPhases(docs, "doc_id", "n_tokens", phases = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Luhn card-number audit (X217 — see TextOps.luhnValid): the
+    * checksum-validation stage of the PII scrub — 13-19-digit runs are
+    * extracted and mod-10-validated, reported per source as candidate /
+    * valid / flagged-doc counts. Like q_pii_redact, the corpus has no
+    * natural card numbers, so one deterministic 16-digit run per doc is
+    * synthesized closed-form from doc_id (≈10% Luhn-valid by
+    * arithmetic accident — both branches exercised) and the REAL
+    * extraction + validation runs over it. Scan-linear explode into a
+    * (source, doc)-keyed aggregate then a source roll-up. */
+  private def qLuhnAudit(s: SparkSession, d: String): DataFrame = {
+    val withNum = t(s, d, "documents").select(col("source"), col("doc_id"),
+      concat(col("text"), lit(" card "),
+        (lit(4000000000000000L) + col("doc_id") * 9973L).cast("string"))
+        .as("t"))
+    val cand = withNum.select(col("source"), col("doc_id"),
+      explode(regexp_extract_all(col("t"), lit("[0-9]{13,19}"), lit(0)))
+        .as("num"))
+    cand.withColumn("ok", TextOps.luhnValid(col("num")))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nc"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("nv"))
+      .groupBy(col("source"))
+      .agg(sum(col("nc")).as("n_candidates"), sum(col("nv")).as("n_valid"),
+        sum(when(col("nv") > 0, 1L).otherwise(0L)).as("n_docs_flagged"))
+      .orderBy(col("source"))
+  }
+
   /** Lexical diversity per source (X214): type-token ratio and hapax
     * share in exact permille — the vocabulary-richness screen that
     * separates template/boilerplate sources (low TTR, few hapax
@@ -3760,6 +3799,8 @@ object SparkEntry {
     "q_supplier_parts" -> (qSupplierParts _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
     "q_norm_histogram" -> (qNormHistogram _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_luhn_audit" -> (qLuhnAudit _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

@@ -452,6 +452,27 @@ object Mixing {
     * ONE corpus scan to the O(#sources) count table; everything after is
     * arithmetic on that table. Returns a single row (n_docs, n_sources,
     * max_n, max_share_permille, eff_sources_permille, gini_permille). */
+  /** CURRICULUM PHASE ASSIGNMENT (Bengio et al. 2009 curriculum
+    * learning, the data-ordering half): every document gets a training
+    * phase 1..`phases` by EXACT population quantile of its difficulty
+    * score (ties → smaller id) — phase = ⌊(rank−1)·phases/n⌋ + 1, the
+    * easy-to-hard schedule a curriculum sampler consumes. The exact
+    * global rank runs through [[graft.dedup.Dedup.globalRankByKey]]
+    * (range exchange + per-partition row_number + width-bounded
+    * offsets — never a single-partition window over the corpus), with
+    * a broadcast 1-row total; the rfm-quintile pattern applied to the
+    * corpus itself. Integer-exact, output corpus-sized. */
+  def curriculumPhases(docs: DataFrame, idCol: String, scoreCol: String,
+                       phases: Int): DataFrame = {
+    require(phases >= 2 && phases <= 100, s"phases=$phases out of range 2..100")
+    val ranked = graft.dedup.Dedup.globalRankByKey(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("k")))
+    val total = docs.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("id"), col("k").as("score"),
+        (expr(s"((r - 1) * $phases) div n") + 1).cast("int").as("phase"))
+  }
+
   def sourceBalance(docs: DataFrame, keyCol: String): DataFrame = {
     val per = docs.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
     val ranked = per.select(col("n"),

@@ -110,6 +110,27 @@ object TextOps {
         expr("(1000 * degree) div freq").as("score_permille"))
   }
 
+  /** LUHN CHECKSUM validation (ISO/IEC 7812 mod-10 — the card-number
+    * / account-id checksum every PII scrubbing fleet validates
+    * candidates against before redacting): from the RIGHT, every
+    * second digit doubles (minus 9 past 9), and the total must divide
+    * by 10. Pure Column HOF over the digit string — the per-digit
+    * lambda is interpreted (the HOF rule), but candidates are ≤19
+    * chars so the work is bounded per row; no UDF, engine-portable
+    * (same reverse/substring/aggregate semantics in DuckDB's
+    * list_transform mirror). NULL-safe: a NULL candidate yields NULL,
+    * never a crash. */
+  def luhnValid(num: Column): Column = {
+    val rev = reverse(num)
+    def digitAt(i: Column): Column =
+      substring(rev, i, lit(1)).cast("int")
+    def term(i: Column): Column = when(i % 2 === 0,
+        when(digitAt(i) * 2 > 9, digitAt(i) * 2 - 9).otherwise(digitAt(i) * 2))
+      .otherwise(digitAt(i))
+    aggregate(sequence(lit(1), length(num)), lit(0),
+      (acc, i) => acc + term(i)) % 10 === 0
+  }
+
   /** Normalization pass upstream of tokenization/dedup: control chars
     * become spaces, everything lowercases, space runs collapse, ends
     * trim. Control chars are mapped to spaces FIRST so the collapse step

@@ -262,6 +262,19 @@ class TextOpsSpec extends SparkSpec {
     assert(fence == Seq(("fine", 1L, 1L, 1000L), ("this", 1L, 1L, 1000L)))
   }
 
+  // Canonical mod-10 vectors: 79927398713 is the textbook Luhn example,
+  // 4111111111111111 the classic valid test PAN; a last-digit bump and
+  // an adjacent transposition (the two error classes Luhn exists to
+  // catch) must both fail.
+  test("luhnValid: textbook vectors, last-digit bump, transposition") {
+    val out = Seq("79927398713", "4111111111111111", "4111111111111112",
+        "79927398714", "79927398731", null)
+      .toDF("num").select(TextOps.luhnValid($"num").as("ok"))
+      .as[Option[Boolean]].collect().toSeq
+    assert(out == Seq(Some(true), Some(true), Some(false),
+      Some(false), Some(false), None))
+  }
+
   test("filterFunnel: a doc violating several rules is counted once") {
     // violates min_tokens AND blocklist — must be charged to stage 1 only
     val docs = Seq(("xx", 2L, "fr"), ("a b", 3L, "en"))
