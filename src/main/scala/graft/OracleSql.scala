@@ -2972,6 +2972,37 @@ object OracleSql {
         |FROM d JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Frame-level audio energy: 256-sample frame Σs² recomputed from
+    // the SynthAudio closed form; peak = row_number over (energy DESC,
+    // frame ASC).
+    "q_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         CAST(800 + doc_id % 400 AS INTEGER) AS n_samples,
+        |         length(text) AS len
+        |  FROM documents),
+        |e AS (
+        |  SELECT d.doc_id, CAST(u.i // 256 AS INTEGER) AS f,
+        |         CAST(sum(
+        |           CAST((ord(substr(d.text, CAST(u.i % d.len AS INTEGER) + 1, 1))
+        |                 - 128) * 256 AS BIGINT)
+        |           * CAST((ord(substr(d.text, CAST(u.i % d.len AS INTEGER) + 1, 1))
+        |                   - 128) * 256 AS BIGINT)) AS BIGINT) AS en
+        |  FROM d, unnest(range(0, d.n_samples)) AS u(i)
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames,
+        |         CAST(sum(en) AS BIGINT) AS total_energy
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, f AS peak_frame, en AS peak_energy
+        |  FROM (SELECT doc_id, f, en,
+        |               row_number() OVER (PARTITION BY doc_id
+        |                                  ORDER BY en DESC, f) AS rn
+        |        FROM e) WHERE rn = 1)
+        |SELECT a.doc_id, a.n_frames, p.peak_frame, p.peak_energy, a.total_energy
+        |FROM a JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // PII scrub: synthesized payloads (closed-form from doc_id), RE2-side
     // of the alternation-free patterns; counts over raw text, md5 over the
     // redacted string; DuckDB regexp_replace needs the 'g' flag.
@@ -3433,6 +3464,36 @@ object OracleSql {
          |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, mind FROM s2
          |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
          |ORDER BY seed_idx""".stripMargin,
+
+    // Growth accounting: per-user active-day lag classifies new /
+    // retained (≤14d) / resurrected (>14d); cumulative new-user sum
+    // over the calendar-bounded day table.
+    "q_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |st AS (
+        |  SELECT day,
+        |         CASE WHEN lag(day) OVER (PARTITION BY u ORDER BY day) IS NULL
+        |              THEN 'new'
+        |              WHEN day - lag(day) OVER (PARTITION BY u ORDER BY day) <= 14
+        |              THEN 'retained'
+        |              ELSE 'resurrected' END AS status
+        |  FROM ud),
+        |daily AS (
+        |  SELECT day, count(*) AS n_active,
+        |         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_new,
+        |         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_retained,
+        |         CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_resurrected
+        |  FROM st GROUP BY 1)
+        |SELECT day, n_active, n_new, n_retained, n_resurrected,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
 
     // Day-of-week profile: epoch-day mod 7 phase, truncating mean from
     // the sums.

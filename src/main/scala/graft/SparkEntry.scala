@@ -955,6 +955,37 @@ object SparkEntry {
       .orderBy(col("score_permille").desc, col("word"))
       .limit(20)
 
+  /** GROWTH ACCOUNTING (X218): the social-analytics decomposition of
+    * daily actives into NEW (first-ever day), RETAINED (previous active
+    * day ≤ 14 days back) and RESURRECTED (returned after > 14 days) —
+    * plus the cumulative user count — the DAU movement every growth
+    * team reads first. One (user, day) distinct off the scan, one
+    * user-keyed lag window over the per-user DAY list (bounded by
+    * active days, tighter than raw events), one map-side day aggregate;
+    * the running cumulative sum is a window over the calendar-bounded
+    * day table (the q_anomaly_zscore bound). Integer-exact. */
+  private def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val ud = t(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val st = ud.withColumn("prev", lag(col("day"), 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, "new")
+          .when(col("day") - col("prev") <= 14, "retained")
+          .otherwise("resurrected").as("status"))
+    val daily = st.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    daily.withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week ingest seasonality profile (X205): per weekday-slot
     * (epoch-day mod 7 — a pure integer phase, no calendar/tz surface)
     * the day count, total events, truncating-integer mean and min/max
@@ -2617,6 +2648,20 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Frame-level audio energy (X219 — see Multimodal.extractAudioFrames):
+    * 256-sample frame energies through the REAL RIFF/PCM decoder —
+    * per-doc frame count, exact-integer peak frame (lowest-index ties)
+    * and total Σs²; every value recomputed by the oracle from the text
+    * column alone (the SynthAudio closed form), so the decoder's frame
+    * walk is result-verified, not just spec'd. */
+  private def qAudioFrames(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .extractAudioFrames(
+        graft.multimodal.SynthAudio.packSynth(t(s, d, "documents"), "doc_id", "text"),
+        frameLen = 256)
+      .toDF()
+      .orderBy(col("doc_id"))
+
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     graft.multimodal.Multimodal
       .sampleFrames(graft.multimodal.Multimodal.packText(t(s, d, "documents"), "doc_id", "text"), 64)
@@ -3801,6 +3846,8 @@ object SparkEntry {
     "q_norm_histogram" -> (qNormHistogram _),
     "q_curriculum" -> (qCurriculum _),
     "q_luhn_audit" -> (qLuhnAudit _),
+    "q_growth_accounting" -> (qGrowthAccounting _),
+    "q_audio_frames" -> (qAudioFrames _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

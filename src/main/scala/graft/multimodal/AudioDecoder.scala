@@ -26,7 +26,10 @@ object AudioDecoder {
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  def decode(bytes: Array[Byte]): AudioMeta = {
+  /** The shared chunk walk: validates the container and returns
+    * (sampleRate, dataOffset, nSamples). Every decode path goes through
+    * here so the validation semantics cannot drift between features. */
+  private def locate(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 12, s"not a RIFF file: ${bytes.length} bytes")
     require(tag(bytes, 0) == "RIFF", "missing RIFF magic")
     require(tag(bytes, 8) == "WAVE", "missing WAVE form type")
@@ -60,7 +63,11 @@ object AudioDecoder {
     require(dataOff >= 0, "no data chunk")
     require(channels == 1, s"unsupported channel count $channels")
     require(bits == 16, s"unsupported bit depth $bits")
-    val n = dataLen / 2
+    (rate, dataOff, dataLen / 2)
+  }
+
+  def decode(bytes: Array[Byte]): AudioMeta = {
+    val (rate, dataOff, n) = locate(bytes)
     var sum = 0L
     var i = 0
     while (i < n) {
@@ -69,5 +76,24 @@ object AudioDecoder {
       i += 1
     }
     AudioMeta(rate, n, if (n == 0) 0L else sum / n)
+  }
+
+  /** Per-frame ENERGY (exact integer sum of squared samples over
+    * consecutive `frameLen`-sample frames, last frame ragged) — the
+    * frame-level feature pass (VAD gating, silence trimming, loudness
+    * normalization) that follows decode in a real audio pipeline.
+    * Exact by construction: s² ≤ 2³⁰ and a frame sums ≤ frameLen of
+    * them — no floating point anywhere. */
+  def frameEnergies(bytes: Array[Byte], frameLen: Int): Array[Long] = {
+    require(frameLen >= 1, s"frameLen=$frameLen must be >= 1")
+    val (_, dataOff, n) = locate(bytes)
+    val out = new Array[Long]((n + frameLen - 1) / frameLen)
+    var i = 0
+    while (i < n) {
+      val s = (le16(bytes, dataOff + 2 * i).toShort).toLong
+      out(i / frameLen) += s * s
+      i += 1
+    }
+    out
   }
 }

@@ -90,6 +90,35 @@ object Multimodal {
     }
   }
 
+  case class AudioFrameFeatures(doc_id: Long, n_frames: Int, peak_frame: Int,
+                                peak_energy: Long, total_energy: Long)
+
+  /** Frame-level audio features through the REAL decoder: per-doc frame
+    * count, the peak-energy frame (exact integer Σs², ties → lowest
+    * frame index) and the total energy — the VAD/silence-trim/loudness
+    * readout that follows decode in a real audio pipeline. Same
+    * mapPartitions batch shape as every decoder pass: narrow, one
+    * decoder walk per row, parallelizes with the scan. */
+  def extractAudioFrames(media: Dataset[MediaRow],
+                         frameLen: Int): Dataset[AudioFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val e = AudioDecoder.frameEnergies(r.bytes, frameLen)
+        var peak = 0
+        var total = 0L
+        var i = 0
+        while (i < e.length) {
+          total += e(i)
+          if (e(i) > e(peak)) peak = i // strict > keeps the LOWEST index on ties
+          i += 1
+        }
+        AudioFrameFeatures(r.doc_id, e.length, if (e.isEmpty) -1 else peak,
+          if (e.isEmpty) 0L else e(peak), total)
+      }
+    }
+  }
+
   /** Deterministic frame sampling for video-ish payloads: fixed-size
     * frames with ceil(len/frameBytes) frames per doc, exploded via
     * flatMap — a narrow transform, so frame extraction parallelizes with

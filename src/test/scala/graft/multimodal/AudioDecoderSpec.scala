@@ -13,6 +13,16 @@ class AudioDecoderSpec extends AnyFunSuite {
     assert(m.meanAbs == 8447L)
   }
 
+  test("frameEnergies: exact per-frame sums of squares, ragged last frame") {
+    val pcm = Array[Short](1, -2, 3, 0, 10)       // frames of 2: [1,-2] [3,0] [10]
+    val e = AudioDecoder.frameEnergies(SynthAudio.wav(8000, pcm), frameLen = 2)
+    assert(e.toSeq == Seq(5L, 9L, 100L))          // 1+4, 9+0, 100
+    val whole = AudioDecoder.frameEnergies(SynthAudio.wav(8000, pcm), frameLen = 5)
+    assert(whole.toSeq == Seq(114L))
+    assert(AudioDecoder
+      .frameEnergies(SynthAudio.wav(8000, Array.empty[Short]), 4).isEmpty)
+  }
+
   test("empty data chunk decodes to zero samples, zero loudness") {
     val m = AudioDecoder.decode(SynthAudio.wav(8000, Array.empty[Short]))
     assert(m.nSamples == 0 && m.meanAbs == 0L)
