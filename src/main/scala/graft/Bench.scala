@@ -71,7 +71,16 @@ object Bench {
       "q_rfm_segments",
       // r12: k-center seeding persists the projected fixed-point table
       // its k argmax rounds re-read
-      "q_kcenter_seeds")
+      "q_kcenter_seeds",
+      // r12: the kNN edge table is one memoized persisted artifact
+      // (Vectors.knnGraph) shared by the whole graph-diagnostics family
+      // (triangles, census, label-prop, k-core, link prediction,
+      // clustering coeff, assortativity). The alphabetically-FIRST
+      // consumer cold-bills the build each pass (the q_bpe_apply
+      // precedent); the family's other non-caching rows are warm-timed
+      // ON PURPOSE — the artifact existing is the deployment semantic
+      // (a production pipeline materializes the graph once).
+      "q_clustering_coeff")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)

@@ -431,21 +431,37 @@ object Vectors {
     * 6.6×, sublinear vs candidates) at FIXED bits; the build is
     * candidate-bound while the output stays k-bounded per vertex.
     * Returns (src_id, dst_id, cosine, rank ≤ k), zero vectors excluded.
-    */
+    *
+    * The finished edge table is MEMOIZED per (input plan, k, bits)
+    * epoch ([[graft.Caches.memo]] + persist + materialize): the graph
+    * is the shared input artifact of an entire diagnostics family
+    * (triangles, degree census, label propagation, k-core, link
+    * prediction, clustering coefficient, assortativity — 8+ registry
+    * consumers), and a production deployment materializes it ONCE and
+    * lets every downstream read the artifact — rebuilding the bucketed
+    * self-join per consumer is the in-session analogue of re-crawling
+    * the corpus per query. First consumer pays the build (Bench
+    * cold-bills it through the family's caching rows); later consumers
+    * in the epoch reuse the persisted handle. */
   def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
                k: Int, bits: Int = AutoBits): DataFrame = {
     val w = resolveBits(vectors, bits)
-    val v = vectors.select(col(idCol).as("id"),
-      fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), w).as("bucket"))
-      .withColumn("nn", normSqFp(col("fv")))
-      .filter(col("nn") > 0)
-    val scored = v.as("x").join(v.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("match_id"),
-        cosineFromNorms(col("x.fv"), col("y.fv"), col("x.nn"), col("y.nn")).as("cosine"))
-    rankTopK(scored, k)
-      .select(col("query_id").as("src_id"), col("match_id").as("dst_id"),
-        col("cosine"), col("rank"))
+    graft.Caches.memo(("knn-graph",
+      vectors.queryExecution.logical.canonicalized, idCol, vecCol, k, w)) {
+      val v = vectors.select(col(idCol).as("id"),
+        fixedPoint(col(vecCol)).as("fv"), signBucket(col(vecCol), w).as("bucket"))
+        .withColumn("nn", normSqFp(col("fv")))
+        .filter(col("nn") > 0)
+      val scored = v.as("x").join(v.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("query_id"), col("y.id").as("match_id"),
+          cosineFromNorms(col("x.fv"), col("y.fv"), col("x.nn"), col("y.nn")).as("cosine"))
+      graft.Caches.materialize(
+        rankTopK(scored, k)
+          .select(col("query_id").as("src_id"), col("match_id").as("dst_id"),
+            col("cosine"), col("rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
   }
 
   /** GONZALEZ FARTHEST-POINT k-CENTER SEEDING (Gonzalez 1985 "Clustering
