@@ -1553,6 +1553,59 @@ object OracleSql {
          |${jaccardSelect(0.7)}""".stripMargin
     },
 
+    // MinHash estimator calibration: per match-count bucket the exact
+    // true-Jaccard mean/min/max permille over the candidate pairs.
+    "q_minhash_calibration" -> {
+      val sigs = (1 to 6)
+        .map(i => s"min(h1 + $i * h2) AS sig_$i")
+        .mkString(",\n         ")
+      val bands = (0 until 3)
+        .map(b => s"SELECT id, $b AS band, concat_ws('|', CAST(sig_${2 * b + 1} AS VARCHAR), CAST(sig_${2 * b + 2} AS VARCHAR)) AS bucket FROM sigs")
+        .mkString("\n  UNION ALL\n  ")
+      val matches = (1 to 6)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shinglesCte,
+         |$shingleCountsCte,
+         |sigs AS (
+         |  SELECT id,
+         |         $sigs
+         |  FROM (SELECT id,
+         |               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+         |               CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS h2
+         |        FROM sh) GROUP BY id),
+         |buckets AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+         |m AS (
+         |  SELECT cand.id_a, cand.id_b, CAST($matches AS INTEGER) AS n_matches
+         |  FROM cand JOIN sigs a ON a.id = cand.id_a
+         |            JOIN sigs b ON b.id = cand.id_b),
+         |inter AS (
+         |  SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+         |  FROM cand
+         |  JOIN sh sa ON sa.id = cand.id_a
+         |  JOIN sh sb ON sb.id = cand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |pj AS (
+         |  SELECT m.n_matches,
+         |         CAST((1000 * COALESCE(i.n_inter, 0))
+         |              // (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)) AS BIGINT)
+         |           AS jp
+         |  FROM m
+         |  LEFT JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+         |  JOIN counts ca ON ca.id = m.id_a
+         |  JOIN counts cb ON cb.id = m.id_b)
+         |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(jp) // count(*) AS BIGINT) AS mean_true_permille,
+         |       CAST(min(jp) AS BIGINT) AS min_true_permille,
+         |       CAST(max(jp) AS BIGINT) AS max_true_permille
+         |FROM pj GROUP BY 1 ORDER BY n_matches""".stripMargin
+    },
+
     // Banding-quality eval: q_minhash_lsh's sigs/buckets CTEs generate
     // the DISTINCT candidate set; truth = the full quadratic
     // exact-Jaccard >= 0.7 pairs; integer-permille precision/recall.
@@ -2311,6 +2364,60 @@ object OracleSql {
          |       COALESCE(ht.n_hit, 0) * 1000 // nb.n_bf AS recall_permille
          |FROM nb LEFT JOIN ht ON nb.query_id = ht.query_id
          |ORDER BY nb.query_id""".stripMargin,
+
+    // IVF recall gate: brute-force truth vs the seeded-IVF candidate
+    // top-10 (q_ann_ivf's CTEs at k=10), integer-permille recall.
+    "q_ivf_recall" -> {
+      val cosQC =
+        "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +
+          " / (sqrt(CAST(q_n AS DOUBLE)) * sqrt(CAST(c_n AS DOUBLE)))"
+      val centCos =
+        "CAST(list_sum(list_transform(range(1, len(v.fv) + 1), i -> v.fv[i] * cents.cent_v[i])) AS DOUBLE)" +
+          " / (sqrt(CAST(v.nn AS DOUBLE)) * sqrt(CAST(cents.cent_n AS DOUBLE)))"
+      s"""WITH $fpVecCte,
+         |bf AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |                              ORDER BY ${cosineExpr("q", "c")} DESC, c.vec_id ASC) AS rk
+         |    FROM nv q, nv c
+         |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.nn > 0 AND c.nn > 0)
+         |  WHERE rk <= 10),
+         |cents AS (SELECT vec_id AS cent_id, fv AS cent_v, nn AS cent_n
+         |          FROM nv WHERE vec_id < 16 AND nn > 0),
+         |casgn AS (
+         |  SELECT c_id, c_v, c_n, cent_id FROM (
+         |    SELECT v.vec_id AS c_id, v.fv AS c_v, v.nn AS c_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $centCos DESC, cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0)
+         |  WHERE r = 1),
+         |qasgn AS (
+         |  SELECT q_id, q_v, q_n, cent_id FROM (
+         |    SELECT v.vec_id AS q_id, v.fv AS q_v, v.nn AS q_n, cents.cent_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $centCos DESC, cents.cent_id ASC) AS r
+         |    FROM nv v, cents WHERE v.nn > 0 AND v.vec_id < 5)
+         |  WHERE r <= 4),
+         |sc AS (
+         |  SELECT DISTINCT q_id AS query_id, c_id AS match_id, $cosQC AS cosine
+         |  FROM qasgn JOIN casgn USING (cent_id) WHERE c_id <> q_id),
+         |iv AS (
+         |  SELECT query_id, match_id FROM (
+         |    SELECT query_id, match_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY cosine DESC, match_id ASC) AS rk
+         |    FROM sc)
+         |  WHERE rk <= 10),
+         |nb AS (SELECT query_id, count(*) AS n_bf FROM bf GROUP BY query_id),
+         |ht AS (SELECT bf.query_id, count(*) AS n_hit
+         |       FROM bf JOIN iv ON bf.query_id = iv.query_id AND bf.match_id = iv.match_id
+         |       GROUP BY bf.query_id)
+         |SELECT nb.query_id, nb.n_bf, COALESCE(ht.n_hit, 0) AS n_hit,
+         |       COALESCE(ht.n_hit, 0) * 1000 // nb.n_bf AS recall_permille
+         |FROM nb LEFT JOIN ht ON nb.query_id = ht.query_id
+         |ORDER BY nb.query_id""".stripMargin
+    },
 
     // JL projection: the ±1 matrix regenerates from md5("j:i") parity in
     // any engine; components are exact integer dots of fp6 vectors.

@@ -2818,6 +2818,17 @@ object SparkEntry {
       n = 3, k = 6, rowsPerBand = 2, threshold = 0.7)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash estimator calibration (X220 — see
+    * Dedup.minhashCalibration): per match-count bucket, the exact
+    * true-Jaccard statistics of the LSH candidate pairs — the
+    * sketch-accuracy readout behind choosing k. Same (n=3, k=6,
+    * rowsPerBand=2) knobs as the dedup family, so the persisted
+    * set/bucket artifacts are shared within an epoch. */
+  private def qMinhashCalibration(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCalibration(spread(t(s, d, "documents"), "doc_id"),
+        "doc_id", "text", n = 3, k = 6, rowsPerBand = 2)
+      .orderBy(col("n_matches"))
+
   /** Dedup ENSEMBLE audit — the method-overlap study a production
     * pipeline runs before choosing its dedup stack: every non-canonical
     * document flagged by any of the three text methods (exact
@@ -3497,6 +3508,30 @@ object SparkEntry {
       .orderBy(col("query_id"))
   }
 
+  /** IVF recall gate (X221): recall@10 of the seeded IVF index
+    * (nProbe=4 of 16 lists) against brute-force truth for the probe
+    * queries — the q_ann_recall discipline applied to the second index
+    * family, guarding the nProbe/nCentroids knobs the way the LSH row
+    * guards auto-bits. Truth and index candidates are both bounded
+    * top-k aggregates; the compare is a left-semi on (query, match). */
+  private def qIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val bf = Vectors.bruteForceTopK(qs, emb, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("match_id"))
+    val ivf = Vectors.ivfTopK(qs, emb, "vec_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("match_id"))
+    val nBf = bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_bf"))
+    val hits = bf.join(ivf, Seq("query_id", "match_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    nBf.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_bf"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_bf"))
+      .orderBy(col("query_id"))
+  }
+
   /** Rademacher (JL) random projection of the embedding store to 16
     * dims (Vectors.rademacherProject): compile-time ±1 sign literals,
     * one codegen DotProductFp per output dim, zero exchange. */
@@ -3878,6 +3913,7 @@ object SparkEntry {
     "q_pareto_front" -> (qParetoFront _),
     "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_minhash_calibration" -> (qMinhashCalibration _),
     "q_posexplode" -> (qPosexplode _),
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -3901,6 +3937,7 @@ object SparkEntry {
     "q_char_entropy" -> (qCharEntropy _),
     "q_random_projection" -> (qRandomProjection _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ivf_recall" -> (qIvfRecall _),
     "q_incremental_cdc" -> (qIncrementalCdc _),
     "q_quality_pr" -> (qQualityPr _),
     "q_split_leakage" -> (qSplitLeakage _),

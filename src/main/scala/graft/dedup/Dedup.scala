@@ -594,6 +594,53 @@ object Dedup {
     smallPairs.union(bigPairs)
   }
 
+  /** MINHASH ESTIMATOR CALIBRATION — the sketch-accuracy readout behind
+    * choosing k: for every LSH candidate pair, the estimator
+    * (matching signature components out of k — E[matches/k] = true
+    * Jaccard, Broder 1997) is binned against the EXACT shingle Jaccard,
+    * reporting per match-count bucket the pair count and the true-
+    * Jaccard mean/min/max in exact integer permille. A well-calibrated
+    * sketch shows mean_true ≈ 1000·matches/k per bucket; drift says the
+    * double-hash family or k is wrong for the corpus.
+    *
+    * Scale shape: reuses the SAME persisted artifacts as the dedup
+    * family (set table via [[persistedSets]], bucket table inside
+    * [[minhashCandidatePairs]]) so an epoch pays them once; the
+    * candidate table is dup-bounded, each pair costs one k-component
+    * zip (in-row) and one [[graft.functions.SortedIntersectCount]]
+    * merge walk; output is ≤ k+1 rows. Signature lookups ride the same
+    * size-gated SHUFFLE_HASH discipline as the exact verify. */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val sets = persistedSets(docs, idCol, textCol, n)
+    val sigs = sets.filter(col("n_sh") > 0)
+      .select(col("id"), col("sh_arr"), col("n_sh"),
+        graft.functions.MinHashSigsFp(col("sh_arr"), k).as("sigs"))
+    val cand = minhashCandidatePairs(docs, idCol, textCol, n, k, rowsPerBand)
+      .distinct()
+      .repartition(graft.Par.widthFor(sets), col("id_a"))
+    val s = shuffleHashIfBig(sigs)
+    cand
+      .join(s.as("ca"), col("id_a") === col("ca.id"))
+      .join(s.as("cb"), col("id_b") === col("cb.id"))
+      .select(
+        aggregate(zip_with(col("ca.sigs"), col("cb.sigs"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("int").as("n_matches"),
+        graft.functions.SortedIntersectCount(col("ca.sh_arr"), col("cb.sh_arr"))
+          .as("ni"),
+        col("ca.n_sh").as("na"), col("cb.n_sh").as("nb"))
+      .select(col("n_matches"),
+        expr("(1000 * ni) div (na + nb - ni)").as("jp"))
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jp")).as("sj"),
+        min(col("jp")).as("min_true_permille"),
+        max(col("jp")).as("max_true_permille"))
+      .select(col("n_matches"), col("n_pairs"),
+        expr("sj div n_pairs").as("mean_true_permille"),
+        col("min_true_permille"), col("max_true_permille"))
+  }
+
   /** Incremental MinHash near-dup — the daily-ingest form of
     * [[minhashLshPairs]]: only the NEW batch's signatures band-join the
     * existing corpus's, so the admission check costs O(batch), never
