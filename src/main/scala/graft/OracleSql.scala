@@ -628,6 +628,51 @@ object OracleSql {
         |       count(*) AS n_events
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
+    // Exact per-group lower median: per-group rank (v, id), element at
+    // (n+1)//2 — equals the engine's composite-key global-rank form.
+    "q_grouped_median" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  o_orderkey AS id
+        |           FROM orders),
+        |r AS (SELECT g, v,
+        |             row_number() OVER (PARTITION BY g ORDER BY v, id) AS lr
+        |      FROM o),
+        |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows FROM o GROUP BY 1)
+        |SELECT r.g AS o_orderpriority, c.n_rows,
+        |       CAST(r.v AS BIGINT) AS median_cents
+        |FROM r JOIN c ON r.g = c.g
+        |WHERE r.lr = (c.n_rows + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Session basket affinity: gap-sessionized DISTINCT (session, type)
+    // items, pair counts + exact lift·1000.
+    "q_basket_affinity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |g AS (SELECT user_id, event_type,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sx
+        |      FROM f),
+        |it AS (SELECT DISTINCT user_id AS u, sx, event_type AS t FROM g),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sess
+        |       FROM (SELECT DISTINCT u, sx FROM it)),
+        |si AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY 1),
+        |pr AS (SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM it a JOIN it b ON a.u = b.u AND a.sx = b.sx AND a.t < b.t
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, pr.n_ab, sa.n AS n_a, sb.n AS n_b,
+        |       CAST((1000 * pr.n_ab * ns.n_sess) // (sa.n * sb.n) AS BIGINT)
+        |         AS lift_x1000
+        |FROM pr JOIN si sa ON sa.t = pr.type_a
+        |        JOIN si sb ON sb.t = pr.type_b, ns
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // Ordered conversion funnel: per-step state = (user, t1, t) with the
     // earliest qualifying event strictly after the previous step within
     // 24 h; per-step 1-row summaries unioned. sum(BIGINT) is HUGEINT in

@@ -2045,6 +2045,53 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Exact per-group median at scale (X222 — see
+    * Relational.groupedLowerMedian): median order total cents per
+    * priority via ONE composite-key global range rank — never a
+    * corpus-sized single-task group window. */
+  private def qGroupedMedian(s: SparkSession, d: String): DataFrame =
+    Relational.groupedLowerMedian(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          Relational.cents(col("o_totalprice")).as("cents")),
+        "o_orderkey", "o_orderpriority", "cents")
+      .withColumnRenamed("median", "median_cents")
+      .orderBy(col("o_orderpriority"))
+
+  /** Session market-basket affinity (X223): which event types co-occur
+    * within a session beyond chance — lift·1000 = 1000·n_ab·n_sessions
+    * div (n_a·n_b), the classic association readout (Agrawal & Srikant
+    * 1994's support/lift, computed exactly). Sessions from the gap
+    * sessionizer; per-session DISTINCT items (one row per (session,
+    * type) — support semantics); the pair join is session-keyed with
+    * fan-out ≤ |types|² per session (bounded), singles and the session
+    * total are broadcast model-sized tables. Integer-exact. */
+  private def qBasketAffinity(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+    val items = Relational.sessionize(e, "user_id", "us",
+        gap = 30L * 60 * 1000000, tieBreak = col("event_id"))
+      .select(col("user_id"), col("session_idx"), col("event_type")).distinct()
+    val nSess = items.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val singles = items.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_idx") === col("b.session_idx") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(singles.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000 * n_ab * n_sess) div (n_a * n_b)").as("lift_x1000"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   private def qSessionize(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
@@ -3883,6 +3930,8 @@ object SparkEntry {
     "q_luhn_audit" -> (qLuhnAudit _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_audio_frames" -> (qAudioFrames _),
+    "q_grouped_median" -> (qGroupedMedian _),
+    "q_basket_affinity" -> (qBasketAffinity _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),

@@ -341,6 +341,30 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** EXACT PER-GROUP LOWER MEDIAN at corpus scale: median = the
+    * element at per-group rank (cnt+1) div 2 under (value, id) order.
+    * The naive shape — row_number PARTITION BY group — puts an entire
+    * group (corpus/|groups| rows) in one task when groups are few; this
+    * one computes a single GLOBAL rank by the composite (group, value,
+    * id) key through [[graft.dedup.Dedup.globalRankByKey]] (range
+    * exchange — no hot key, groups span partitions freely) and recovers
+    * each group's LOCAL rank as r − min(r over the group) + 1 with a
+    * broadcast #groups-row stats table. One range exchange + one
+    * map-side group aggregate total; integer-exact, deterministic
+    * ties. */
+  def groupedLowerMedian(df: DataFrame, idCol: String, groupCol: String,
+                         valCol: String): DataFrame = {
+    val ranked = graft.dedup.Dedup.globalRankByKey(
+      df.select(col(idCol).as("id"),
+        struct(col(groupCol).as("g"), col(valCol).as("v")).as("k")))
+    val parts = ranked.select(col("k.g").as("g"), col("k.v").as("v"), col("r"))
+    val stats = parts.groupBy(col("g"))
+      .agg(min(col("r")).as("r0"), count(lit(1)).as("n_rows"))
+    parts.join(broadcast(stats), Seq("g"))
+      .filter(col("r") - col("r0") + 1 === expr("(n_rows + 1) div 2"))
+      .select(col("g").as(groupCol), col("n_rows"), col("v").as("median"))
+  }
+
   /** EVENT-TYPE TRANSITION MATRIX (first-order Markov chain over the
     * event stream) — the sequence-analytics readout behind "what do
     * users do next": per user, events ordered by (ts, tieBreak) yield

@@ -146,6 +146,22 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 1L, 0L), (2, "click", 0L, 0L)))
   }
 
+  // g1 = [10, 20, 30] → lower median 20 (rank (3+1) div 2 = 2);
+  // g2 = [5, 7] → rank (2+1) div 2 = 1 → 5 (LOWER median);
+  // g3 = [9] → 9. Value ties (g4 = [4, 4]) break by id, still 4.
+  test("groupedLowerMedian: exact per-group rank selection, lower-median rule") {
+    val df = Seq(
+      (1L, "g1", 30L), (2L, "g1", 10L), (3L, "g1", 20L),
+      (4L, "g2", 7L), (5L, "g2", 5L),
+      (6L, "g3", 9L),
+      (7L, "g4", 4L), (8L, "g4", 4L)
+    ).toDF("id", "g", "v")
+    val out = Relational.groupedLowerMedian(df, "id", "g", "v")
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("g1", 3L, 20L), ("g2", 2L, 5L),
+      ("g3", 1L, 9L), ("g4", 2L, 4L)))
+  }
+
   // u1: A@1→B@2→A@3→C@4 gives A→B, B→A, A→C; u2: B@1→B@2 gives B→B.
   // Out-totals: A=2, B=2 → every transition is 500‰. The two equal-ts
   // events of u3 order by the event-id tie-break (id 1 before id 2),
