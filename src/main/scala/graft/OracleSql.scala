@@ -884,6 +884,25 @@ object OracleSql {
         |         AS n_docs_flagged
         |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // Vocabulary coverage curve: top-20 words, cumulative token share
+    // in exact permille.
+    "q_coverage_curve" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                            x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+        |top AS (SELECT word, n,
+        |               CAST(row_number() OVER (ORDER BY n DESC, word)
+        |                    AS INTEGER) AS "rank"
+        |        FROM c ORDER BY n DESC, word LIMIT 20)
+        |SELECT "rank", word, n,
+        |       CAST((1000 * sum(n) OVER (ORDER BY "rank"
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // nt
+        |            AS BIGINT) AS cum_coverage_permille
+        |FROM top, tot ORDER BY "rank"""".stripMargin,
+
     // Lexical diversity: (source, word) counts → TTR + hapax share in
     // exact permille.
     "q_lexical_diversity" ->

@@ -899,6 +899,32 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary coverage curve (X224): the cumulative corpus-token
+    * share of the top-20 words in exact permille — the how-small-can-
+    * the-vocab-be readout a tokenizer budget decision starts from
+    * (Zipfian corpora saturate fast; a flat curve says the corpus is
+    * template-free). ONE word-keyed map-side count off the explode,
+    * top-20 as TakeOrderedAndProject, then a 20-row running window +
+    * broadcast 1-row total — everything after the count is
+    * model-sized. */
+  private def qCoverageCurve(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "documents")
+      .select(explode(filter(split(col("text"), " "), w => length(w) > 0))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("nt"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("word"))))
+    top.withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("n").desc, col("word"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("n"),
+        expr("(1000 * cum_n) div nt").as("cum_coverage_permille"))
+      .orderBy(col("rank"))
+  }
+
   /** Lexical diversity per source (X214): type-token ratio and hapax
     * share in exact permille — the vocabulary-richness screen that
     * separates template/boilerplate sources (low TTR, few hapax
@@ -3932,6 +3958,7 @@ object SparkEntry {
     "q_audio_frames" -> (qAudioFrames _),
     "q_grouped_median" -> (qGroupedMedian _),
     "q_basket_affinity" -> (qBasketAffinity _),
+    "q_coverage_curve" -> (qCoverageCurve _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
