@@ -216,6 +216,52 @@ class PlanInvariantsSpec extends SparkSpec {
       s"the fixed-size vocab must broadcast onto the token stream in:\n$plan")
   }
 
+  test("q_revenue_band: all three predicates reach the parquet scan, schema pruned") {
+    val dir = "/root/testdata/sf0.001"
+    // the plan STRING elides long PushedFilters lists — read the scan's
+    // metadata directly (AQE off for the inspection: the adaptive
+    // wrapper hides the scan behind leaf query stages, the DPP-test
+    // precedent)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scan = try SparkEntry.queries("q_revenue_band")(spark, dir)
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no FileSourceScanExec leaf"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val pushed = scan.metadata("PushedFilters")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(f), s"predicate $f not pushed: $pushed")
+    // the projection must prune to the 4 referenced columns
+    assert(scan.metadata("ReadSchema").startsWith(
+      "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:"),
+      s"scan not column-pruned: ${scan.metadata("ReadSchema")}")
+  }
+
+  test("q_big_orders: top-100 runs as TakeOrderedAndProject, never a global sort") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_big_orders")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected bounded top-k in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      "a LIMIT-bounded query must not range-exchange the corpus")
+  }
+
+  test("q_grouped_median: range exchange, no PARTITION-BY-group data window") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_grouped_median")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected the composite-key range rank exchange in:\n$plan")
+    // the only windows allowed are the per-partition local rank and the
+    // width-bounded offset window — never one keyed on the GROUP column
+    assert(!plan.contains("windowspecdefinition(g#"),
+      s"a per-group data window sneaked in:\n$plan")
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
