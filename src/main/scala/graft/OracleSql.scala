@@ -3636,6 +3636,28 @@ object OracleSql {
          |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
          |ORDER BY seed_idx""".stripMargin,
 
+    // Salted count-distinct: the oracle is the PLAIN distinct count —
+    // any salt-routing error in the two-level form hash-mismatches.
+    "q_salted_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // NOT IN with a NULL in the subquery vs NOT EXISTS — the SAME text
+    // runs on both engines; the NOT IN branch must return 0.
+    "q_null_semantics" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END
+        |           AS nullable_key
+        |  FROM customer WHERE c_custkey < 50)
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT nullable_key FROM s))
+        |    AS not_in_count,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM s
+        |                     WHERE s.nullable_key = o.o_custkey))
+        |    AS not_exists_count""".stripMargin,
+
     // Growth accounting: per-user active-day lag classifies new /
     // retained (≤14d) / resurrected (>14d); cumulative new-user sum
     // over the calendar-bounded day table.

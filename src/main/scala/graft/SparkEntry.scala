@@ -981,6 +981,42 @@ object SparkEntry {
       .orderBy(col("score_permille").desc, col("word"))
       .limit(20)
 
+  /** Salted COUNT DISTINCT (X225): exact distinct users per event type
+    * through a TWO-LEVEL aggregate — level 1 groups by (type, salt)
+    * with salt DERIVED FROM THE DISTINCT KEY (user_id mod 16), so the
+    * salt buckets partition each type's user space disjointly and the
+    * level-2 sums are exactly the distinct counts. This is the
+    * skew-proof shape for distinct-aggregation hot keys: a plain
+    * count(distinct) funnels a hot group's whole key set through one
+    * reducer (distinct can't map-side-combine across the group),
+    * while the salted form bounds any reducer at |group|/16 — the
+    * aggregation twin of q_salted_join, and like it the oracle is the
+    * PLAIN aggregate, so a salt-routing error hash-mismatches. */
+  private def qSaltedDistinct(s: SparkSession, d: String): DataFrame = {
+    val lvl1 = t(s, d, "events")
+      .select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(16L)).as("salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(countDistinct(col("user_id")).as("d"))
+    lvl1.groupBy(col("event_type")).agg(sum(col("d")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** NOT IN vs NOT EXISTS three-valued-logic parity (X226): the
+    * classic SQL-semantics trap under the hash gate — a NOT IN whose
+    * subquery contains a NULL returns ZERO rows (every comparison is
+    * UNKNOWN), while the NOT EXISTS form anti-joins normally. The SAME
+    * text runs on both engines (the q_scalar_subquery discipline);
+    * Catalyst plans the NOT IN as a null-aware anti join
+    * (NullAwareAntiJoin) and the NOT EXISTS as a plain left-anti. A
+    * dialect that silently rewrote one into the other would
+    * hash-mismatch here. */
+  private def qNullSemantics(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    s.sql(OracleSql.all("q_null_semantics"))
+  }
+
   /** GROWTH ACCOUNTING (X218): the social-analytics decomposition of
     * daily actives into NEW (first-ever day), RETAINED (previous active
     * day ≤ 14 days back) and RESURRECTED (returned after > 14 days) —
@@ -3959,6 +3995,8 @@ object SparkEntry {
     "q_grouped_median" -> (qGroupedMedian _),
     "q_basket_affinity" -> (qBasketAffinity _),
     "q_coverage_curve" -> (qCoverageCurve _),
+    "q_salted_distinct" -> (qSaltedDistinct _),
+    "q_null_semantics" -> (qNullSemantics _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_token_count" -> (qTokenCount _),
