@@ -3636,6 +3636,19 @@ object OracleSql {
          |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
          |ORDER BY seed_idx""".stripMargin,
 
+    // Window distribution functions over the calendar-bounded day
+    // table; percent_rank/cume_dist are exact-integer-rank divisions.
+    "q_window_distribution" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |       percent_rank() OVER (ORDER BY n, day) AS pct_rank,
+        |       cume_dist() OVER (ORDER BY n, day) AS cume,
+        |       CAST(ntile(4) OVER (ORDER BY n, day) AS INTEGER) AS quartile
+        |FROM daily ORDER BY day""".stripMargin,
+
     // Salted count-distinct: the oracle is the PLAIN distinct count —
     // any salt-routing error in the two-level form hash-mismatches.
     "q_salted_distinct" ->

@@ -1048,6 +1048,26 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Window DISTRIBUTION functions (X227): percent_rank, cume_dist and
+    * ntile(4) of daily event volumes — the remaining ANSI window
+    * family beyond rank/lag/running/range/stats/ntile rows, exercised
+    * over the CALENDAR-BOUNDED day table (the only place an
+    * unpartitioned ordered window is scale-safe — the q_anomaly_zscore
+    * bound). percent_rank/cume_dist are single IEEE divisions of exact
+    * integer ranks ((r−1)/(n−1), r/n) — correctly rounded, identical
+    * expression tree both engines ⇒ hash-stable doubles. */
+  private def qWindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .select(expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n"), col("day"))
+    daily.select(col("day"), col("n"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week ingest seasonality profile (X205): per weekday-slot
     * (epoch-day mod 7 — a pure integer phase, no calendar/tz surface)
     * the day count, total events, truncating-integer mean and min/max
@@ -3996,6 +4016,7 @@ object SparkEntry {
     "q_basket_affinity" -> (qBasketAffinity _),
     "q_coverage_curve" -> (qCoverageCurve _),
     "q_salted_distinct" -> (qSaltedDistinct _),
+    "q_window_distribution" -> (qWindowDistribution _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
