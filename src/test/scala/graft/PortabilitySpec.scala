@@ -105,7 +105,12 @@ class PortabilitySpec extends SparkSpec {
     // audited fixed trees over exact integer inputs
     ("q_anomaly_zscore", "mean7") -> "fixed-tree-exact-int",
     ("q_anomaly_zscore", "z") -> "fixed-tree-exact-int",
-    ("q_domain_divergence", "hellinger_sq") -> "fixed-tree-exact-int")
+    ("q_domain_divergence", "hellinger_sq") -> "fixed-tree-exact-int",
+    // single IEEE divisions of exact integer window ranks over the
+    // calendar-bounded day table: (r-1)/(n-1) and r/n, identical
+    // expression tree both engines — correctly rounded, hash-stable
+    ("q_window_distribution", "pct_rank") -> "fixed-tree-exact-int",
+    ("q_window_distribution", "cume") -> "fixed-tree-exact-int")
 
   /** Queries whose OPTIMIZED plan legitimately contains a libm
     * transcendental, with the justification for why the gate still
