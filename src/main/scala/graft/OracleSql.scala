@@ -3636,6 +3636,20 @@ object OracleSql {
          |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, mind FROM s3
          |ORDER BY seed_idx""".stripMargin,
 
+    // Top user journeys: per-user lead² trigram paths, top-20 by
+    // (count DESC, path).
+    "q_user_journeys" ->
+      """WITH e AS (SELECT user_id AS u, event_id, event_type,
+        |                  epoch_us(ts) AS us FROM events),
+        |t AS (SELECT event_type AS t1,
+        |             lead(event_type, 1) OVER (PARTITION BY u ORDER BY us, event_id) AS t2,
+        |             lead(event_type, 2) OVER (PARTITION BY u ORDER BY us, event_id) AS t3
+        |      FROM e)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
     // Window distribution functions over the calendar-bounded day
     // table; percent_rank/cume_dist are exact-integer-rank divisions.
     "q_window_distribution" ->

@@ -1068,6 +1068,30 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Top user JOURNEYS (X228): the most frequent event-type TRIGRAMS
+    * along each user's timeline — the "what paths do users actually
+    * take" product readout one order above the X195 transition matrix
+    * (a Markov chain cannot distinguish view→click→purchase from
+    * view→click→error; the trigram table can). ONE user-keyed window
+    * exchange evaluates both leads (same partition order — Spark
+    * collapses them into a single Window node), then one map-side
+    * aggregate to the ≤\|types\|³ path table; top-20 by (count DESC,
+    * path) runs as TakeOrderedAndProject. */
+  private def qUserJourneys(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Day-of-week ingest seasonality profile (X205): per weekday-slot
     * (epoch-day mod 7 — a pure integer phase, no calendar/tz surface)
     * the day count, total events, truncating-integer mean and min/max
@@ -4017,6 +4041,7 @@ object SparkEntry {
     "q_coverage_curve" -> (qCoverageCurve _),
     "q_salted_distinct" -> (qSaltedDistinct _),
     "q_window_distribution" -> (qWindowDistribution _),
+    "q_user_journeys" -> (qUserJourneys _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_stream_window_counts" -> (qStreamWindowCounts _),
     "q_dedup_exact" -> (qDedupExact _),
