@@ -7,6 +7,29 @@ object Bench {
     val spark = Sessions.build(cpus, Map(
       "spark.sql.adaptive.enabled" -> sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
     spark.sparkContext.setLogLevel("WARN")
+    // REGIME CANARY (r12 judge protocol): the round-12 driver bench read
+    // 2× its quiet-host figure because the host disk was busy digesting
+    // the correctness dump — and the first casualties were fsync-bound
+    // rows (streaming state-store commits). Probe that exact cost BEFORE
+    // the suite: write 8 MiB + force() to a temp file, 3×, median. Quiet
+    // hosts read ~0.01–0.05 s; a busy-writeback regime reads 10–100×
+    // that. The value is printed in the headline JSON so every BENCH_rN
+    // artifact carries its own comparability evidence.
+    val ioCanarySec: Double = {
+      val buf = java.nio.ByteBuffer.allocate(1 << 23)
+      val times = (1 to 3).map { i =>
+        val f = java.io.File.createTempFile("graft_canary_", ".bin")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        buf.rewind(); ch.write(buf); ch.force(true); ch.close()
+        val dt = (System.nanoTime() - t0) / 1e9
+        f.delete(); dt
+      }
+      times.sorted.apply(1)
+    }
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // Steady-state methodology: warm every plan shape on the smallest SF
     // (codegen compilation + classloading are 1-5 s per-shape constants),
     // then warm at the TARGET SF too — except for the queries that
@@ -138,7 +161,8 @@ object Bench {
       case (n, v) if n.startsWith("q_stream_") => v
     }.sum
     val buckets =
-      s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}}"""
+      s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}},""" +
+        s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
     def render(entries: Seq[(String, Double)], decimals: Int): String = {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
@@ -169,6 +193,7 @@ object Bench {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val prov = s""""provenance":{"host":"$host","cpus":"$cpus",""" +
+        s""""io_canary_sec":$ioCanarySec,"loadavg_start":$loadStart,""" +
         s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"sf":"$sfDir"}""")

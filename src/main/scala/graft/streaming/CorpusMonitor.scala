@@ -60,10 +60,10 @@ object CorpusMonitor {
   def runQualityDriftOnce(spark: SparkSession, docsPath: String): DataFrame = {
     val landing = EventStream.stageLanding(docsPath, "graft_docs_landing_")
     // window×lang state is tiny — size the state shuffle accordingly
-    // (pinned into the checkpoint at first run, like the event streams)
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // (pinned into the checkpoint at first run, like the event streams);
+    // Complete mode re-emits the full result every data batch, so the
+    // trailing no-data batch is skipped (EventStream.boundedLifecycleConfs)
+    EventStream.withConf(spark, EventStream.boundedLifecycleConfs: _*) {
       val schema = spark.read.parquet(landing.getAbsolutePath).schema
       val raw = spark.readStream.schema(schema).parquet(landing.getAbsolutePath)
       val agg = qualityDrift(raw)
@@ -78,6 +78,6 @@ object CorpusMonitor {
       val (rows, outSchema) = (sink.collect(), sink.schema)
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 }

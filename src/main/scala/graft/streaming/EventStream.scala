@@ -192,6 +192,44 @@ object EventStream {
     * The collected result is the windowed AGGREGATE (hours × types —
     * tiny by construction); the aggregation itself ran distributed.
     */
+  /** Scoped conf override shared by the lifecycle runners: set `kvs`,
+    * run `body`, restore the previous values (unset where there were
+    * none) even on failure — the manual save/restore each runner used to
+    * carry, factored so adding a conf can't miss a restore path. */
+  private[streaming] def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Conf set for bounded AvailableNow lifecycles whose OUTPUT does not
+    * depend on the post-data watermark micro-batch: append-mode inner
+    * stream-stream joins emit matches DURING the data batch (the
+    * watermark only evicts state), `dropDuplicatesWithinWatermark`
+    * passes first-seen rows through in-batch, and Complete-mode
+    * aggregates re-emit the full result every batch — for all three the
+    * trailing no-data batch only advances the watermark and commits
+    * evictions, producing zero rows. Skipping it
+    * (`noDataMicroBatches.enabled=false`) halves the number of
+    * state-store commit rounds (each round = every store partition
+    * writing + fsyncing a delta file into the checkpoint), which is
+    * exactly the cost that blows up 5-10x when the host disk is busy
+    * (the r12 regime finding: q_stream_join 20s driver vs 2.3s quiet on
+    * unchanged code). Event-time-TIMEOUT lifecycles (sessionize) MUST
+    * NOT use this — their final emissions fire in that trailing batch.
+    *
+    * State width stays explicitly sized (8): streaming state is
+    * partitioned at first run and pinned into the checkpoint; a real
+    * deployment sizes it to state volume, not the session's batch
+    * shuffle width. */
+  private[streaming] def boundedLifecycleConfs: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> "8",
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
   /** Stage a single driver file into its own landing DIRECTORY (the file
     * source consumes directories; at scale this is the producers' append
     * target). Idempotent per input path, FRESHNESS-CHECKED: a staged
@@ -223,11 +261,8 @@ object EventStream {
     // FIRST RUN and every micro-batch pays per-state-partition store
     // setup; the window×type state here is tiny, so size it like any
     // other small shuffle (graft.Par's floor) instead of the session
-    // default. A real deployment sizes this to state volume; it is
-    // pinned into the checkpoint either way.
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // default (see boundedLifecycleConfs for the no-data-batch skip).
+    withConf(spark, boundedLifecycleConfs: _*) {
     val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
     val agg = windowedCounts(batchEvents(raw))
       .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -243,7 +278,7 @@ object EventStream {
     val (rows, schema) = (sink.collect(), sink.schema)
     spark.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** Stage the driver file TWICE (two names) so in-stream dedup has real
@@ -270,9 +305,7 @@ object EventStream {
     * unbounded-retention scale. */
   def runStreamDedupOnce(spark: SparkSession, eventsPath: String): DataFrame = {
     val landing = stageDupLanding(eventsPath)
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withConf(spark, boundedLifecycleConfs: _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val dd = dedupedEvents(batchEvents(raw)).select(col("event_id"))
       val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -286,7 +319,7 @@ object EventStream {
       val (rows, schema) = (sink.collect(), sink.schema)
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** STREAM-STREAM inner join with an event-time range condition: each
@@ -317,9 +350,11 @@ object EventStream {
     * of the same stream) — append mode + AvailableNow. */
   def runAttributionOnce(spark: SparkSession, eventsPath: String): DataFrame = {
     val landing = stageLanding(eventsPath)
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // The join keeps FOUR state stores per partition (keyToNumValues +
+    // keyWithIndexToValue, each side) — by far the most commit-I/O-bound
+    // lifecycle in the registry, and the one the r12 regime hit 10x.
+    // boundedLifecycleConfs halves its commit rounds.
+    withConf(spark, boundedLifecycleConfs: _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
       val joined = attributedPurchases(
@@ -336,7 +371,7 @@ object EventStream {
       val (rows, schema) = (sink.collect(), sink.schema)
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** Run [[enrichedWindowedCounts]] through the real streaming engine —
@@ -349,9 +384,7 @@ object EventStream {
                             dim: DataFrame, dimKey: String,
                             dimAttr: String): DataFrame = {
     val landing = stageLanding(eventsPath)
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withConf(spark, boundedLifecycleConfs: _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val agg = enrichedWindowedCounts(batchEvents(raw), dim, dimKey, dimAttr)
         .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -367,7 +400,7 @@ object EventStream {
       val (rows, schema) = (sink.collect(), sink.schema)
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** Run [[sessionize]] (flatMapGroupsWithState + event-time timeout)
@@ -386,9 +419,11 @@ object EventStream {
                         gapMs: Long, delayMs: Long): DataFrame = {
     import spark.implicits._
     val landing = stageLanding(eventsPath)
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // NOT boundedLifecycleConfs: the event-time TIMEOUT fires in the
+    // trailing no-data micro-batch — skipping it would suppress every
+    // final-session emission (the one lifecycle whose output DEPENDS on
+    // the post-data watermark batch).
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
         .withColumn("value", round(col("value") * 100))
@@ -411,7 +446,7 @@ object EventStream {
       val (rows, schema) = (sink.collect(), sink.schema)
       spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 
   /** Apply one micro-batch to a keyed parquet table as a MERGE
@@ -458,9 +493,9 @@ object EventStream {
   def runForeachBatchUpsert(spark: SparkSession, landingDir: String,
                             target: String, checkpoint: String,
                             maxFilesPerTrigger: Int = 1): Unit = {
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // Stateless foreachBatch (no watermark state) — boundedLifecycleConfs
+    // for uniformity; the no-data-batch skip is vacuous here.
+    withConf(spark, boundedLifecycleConfs: _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landingDir))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(landingDir)
@@ -476,6 +511,6 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 }

@@ -72,9 +72,9 @@ object NearDupStream {
   def runNearDupStreamOnce(spark: SparkSession, landingDir: String,
                            admittedDir: String, storeDir: String,
                            checkpoint: String, maxDist: Int): Unit = {
-    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // Stateless foreachBatch (no watermark state) — boundedLifecycleConfs
+    // for uniformity; the no-data-batch skip is vacuous here.
+    EventStream.withConf(spark, EventStream.boundedLifecycleConfs: _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val q = raw.writeStream
@@ -102,6 +102,6 @@ object NearDupStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+    }
   }
 }
