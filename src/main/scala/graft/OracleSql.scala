@@ -1372,6 +1372,47 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q_simhash64_pairs" -> {
+      // 64-bit signature (mirrors functions.SimHash64Fp): vote for bit j
+      // (1-based, MSB-first) is bit (3 − (j−1)%4) of md5 hex digit
+      // ⌈j/4⌉. Banding mirrors Dedup.simhash64BandWidth(500, 3) = 14 →
+      // chunkBounds(64, 5) = (1,13),(14,13),(27,13),(40,13),(53,12);
+      // Hamming runs on hi/lo 32-bit halves (a sign-bit-set 64-bit value
+      // does not survive a decimal round-trip).
+      val bitSums = (1 to 64).map { j =>
+        val digit = (j - 1) / 4 + 1
+        val bit = 3 - ((j - 1) % 4)
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, $digit, 1)) - 1) >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j"
+      }.mkString(",\n         ")
+      val bitChars = (1 to 64)
+        .map(j => s"CASE WHEN b_$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      val chunks = Seq((0, 1, 13), (1, 14, 13), (2, 27, 13), (3, 40, 13), (4, 53, 12))
+        .map { case (i, start, len) =>
+          s"SELECT id, hi, lo, $i AS chunk, substring(simhash, $start, $len) AS bits FROM hl" }
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  SELECT doc_id AS id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |s AS (
+         |  SELECT id,
+         |         $bitSums
+         |  FROM e GROUP BY id),
+         |sh64 AS (SELECT id, $bitChars AS simhash FROM s),
+         |hl AS (
+         |  SELECT id, simhash,
+         |         CAST(concat('0b', substring(simhash, 1, 32)) AS BIGINT) AS hi,
+         |         CAST(concat('0b', substring(simhash, 33, 32)) AS BIGINT) AS lo
+         |  FROM sh64),
+         |chunks AS (
+         |  $chunks)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk = b.chunk AND a.bits = b.bits AND a.id < b.id
+         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // Dedup ensemble: the three text-method dup sets (exact fingerprint,
     // minhash jaccard >= 0.7, simhash hamming <= 2) rebuilt from their
     // own oracle CTEs, merged as (doc, bit) rows into one aggregate.
@@ -2914,6 +2955,31 @@ object OracleSql {
         |SELECT ex.user_id, ex.n_exact, est.n_est
         |FROM ex JOIN est USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_cms_auto" ->
+      // widthFor(n_tokens, 50) at every gate corpus lands on the 2048
+      // floor (≤ ~38k occurrences) — static sketch geometry, the
+      // simhash64 chunk-layout precedent.
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ds AS (SELECT unnest(range(4)) AS depth),
+        |h AS (
+        |  SELECT d.depth,
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', t.tok)), 1, 15)) AS BIGINT) % 2048 AS bucket
+        |  FROM tok t, ds d),
+        |counters AS (SELECT depth, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+        |probe AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok
+        |          ORDER BY n_exact DESC, tok LIMIT 20),
+        |pb AS (
+        |  SELECT p.tok, d.depth,
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', p.tok)), 1, 15)) AS BIGINT) % 2048 AS bucket
+        |  FROM probe p, ds d),
+        |est AS (
+        |  SELECT pb.tok, min(coalesce(c.c, 0)) AS n_est
+        |  FROM pb LEFT JOIN counters c USING (depth, bucket)
+        |  GROUP BY 1)
+        |SELECT probe.tok, probe.n_exact, est.n_est, CAST(2048 AS INTEGER) AS width
+        |FROM probe JOIN est USING (tok)
+        |ORDER BY tok""".stripMargin,
 
     // Temperature weights use sqrt (IEEE-correctly-rounded in every
     // engine) rather than pow(x, alpha); the md5 percentile is the same

@@ -1138,7 +1138,10 @@ object SparkEntry {
   }
 
   /** kNN-graph LINK PREDICTION by common neighbors (X203): for every
-    * non-adjacent vertex pair at distance 2, the shared-neighbor count
+    * non-adjacent vertex pair sharing AT LEAST TWO neighbors (the
+    * cn ≥ 2 support threshold — single-wedge pairs are noise for a
+    * k=3 graph and are deliberately dropped, so this is NOT full
+    * distance-2 coverage), the shared-neighbor count
     * and the Jaccard of their neighbor sets in exact permille
     * (Liben-Nowell & Kleinberg 2003's strongest cheap predictors) —
     * the "these two documents should probably be neighbors" candidate
@@ -2170,7 +2173,15 @@ object SparkEntry {
     * sessionizer; per-session DISTINCT items (one row per (session,
     * type) — support semantics); the pair join is session-keyed with
     * fan-out ≤ |types|² per session (bounded), singles and the session
-    * total are broadcast model-sized tables. Integer-exact. */
+    * total are broadcast model-sized tables. Integer-exact UNDER THE
+    * FENCE: Spark wraps a Long product silently where the oracle
+    * (128-bit multiply) stays exact, so both products are
+    * raise_error-fenced PER ROW at the exact overflow condition
+    * (1000·n_ab > 2⁶³−1 ÷ n_sess, or n_a > 2⁶³−1 ÷ n_b — the unigram
+    * maxWordLen fence pattern): a violating corpus fails loudly
+    * instead of hash-mismatching. The pair table this rides is
+    * |types|²-bounded, so the fence costs two comparisons on a
+    * model-sized frame. */
   private def qBasketAffinity(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
@@ -2193,8 +2204,15 @@ object SparkEntry {
       .join(broadcast(singles.select(col("event_type").as("type_b"),
         col("n").as("n_b"))), Seq("type_b"))
       .crossJoin(broadcast(nSess))
+      .withColumn("_fence",
+        when(col("n_ab") > lit(Long.MaxValue / 1000L) / col("n_sess") ||
+          col("n_a") > lit(Long.MaxValue) / col("n_b"),
+          raise_error(lit("qBasketAffinity: lift product exceeds Long "
+            + "exactness (1000*n_ab*n_sess or n_a*n_b overflows)")).cast("int"))
+          .otherwise(lit(0)))
       .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("(1000 * n_ab * n_sess) div (n_a * n_b)").as("lift_x1000"))
+        (expr("(1000 * n_ab * n_sess) div (n_a * n_b)") + col("_fence"))
+          .as("lift_x1000"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -2855,6 +2873,21 @@ object SparkEntry {
     Dedup.simhashNearDupPairsFromSigs(simhashShared(s, d), maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** X229 — PRODUCTION 64-bit SimHash near-dup pairs (the r12 knobs
+    * audit's named-but-unbuilt deploy rule, closed): SimHash64Fp narrow
+    * signature map → auto-sized pigeonhole bands
+    * (Dedup.simhash64BandWidth: clamp(⌈log₂ n⌉, 14, 64/(maxDist+1)))
+    * → bucket equi-self-join → exact hi/lo XOR-popcount Hamming verify.
+    * maxDist = 3 (Manku/Jain/Sarma WWW'07's operating radius) → the
+    * 500-doc gate corpus sizes to width 14 = 5 chunks of 13/13/13/13/12
+    * bits, and a 2¹⁴⁺-doc corpus widens itself, keeping in-bucket
+    * candidates ~linear by construction rather than by corpus size. */
+  private def qSimhash64Pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash64NearDupPairsFromSigs(
+      Dedup.simhash64(spread(t(s, d, "documents"), "doc_id"), "doc_id", "text"),
+      maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Near-dup CLUSTER resolution: connected components over the simhash
     * Hamming ≤ 1 graph (off the shared signature table) — one (doc_id,
     * cluster_id) row per doc in a ≥2-doc component, cluster_id = the
@@ -3345,6 +3378,43 @@ object SparkEntry {
       .join(exact, Seq("user_id"))
       .select(col("user_id"), col("n_exact"), col("n_est"))
       .orderBy(col("user_id"))
+  }
+
+  /** X230 — AUTO-SIZED count-min sketch (CountMin.widthFor: the r12
+    * knobs audit's documented-only width rule made executable): the
+    * X96 row fixes width=512 as the oracle-teaching shape; here the
+    * width derives from the corpus itself — w = clamp(⌈e·n/t⌉, 2048,
+    * 2²⁴) at target absolute error t = 50 over TOKEN occurrences (the
+    * heavy-tailed key space a 100 TB pipeline actually sketches), so a
+    * ×N corpus keeps ε·N ≈ t instead of degrading ×N. n is the exact
+    * token-occurrence count, memoized per epoch (Caches.memo — one
+    * column-pruned scan-aggregate; a deployment substitutes table
+    * stats, the rule being linear tolerates a few % either way). Every
+    * gate corpus lands on the floor (≈27 k occurrences → 2048 — static
+    * sketch geometry under the hash gate, the simhash64 precedent);
+    * the sf0.1 bench corpus (~271 k) derives ~14 731 and the ×10/×100
+    * studies scale it further. Probes = top-20 exact heavy tokens
+    * (TakeOrderedAndProject — bounded at any scale); readout keeps the
+    * one-sided contract visible (n_est ≥ n_exact always) plus the
+    * derived width as a column, so a wrong derivation hash-mismatches. */
+  private def qCmsAuto(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val n = graft.Caches.memo(
+      ("cms-auto-n", toks.queryExecution.logical.canonicalized)) {
+      toks.count()
+    }
+    val w = ops.CountMin.widthFor(n, targetAbsErr = 50)
+    val sk = ops.CountMin.build(toks, col("tok"), depth = 4, width = w)
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    ops.CountMin.estimate(probes.select(col("tok")), col("tok"), sk,
+        depth = 4, width = w)
+      .select(col("k").as("tok"), col("n_est"))
+      .join(probes, Seq("tok"))
+      .select(col("tok"), col("n_exact"), col("n_est"),
+        lit(w).as("width"))
+      .orderBy(col("tok"))
   }
 
   /** Per-label embedding centroids + pairwise inter-label cosine — the
@@ -4063,6 +4133,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_simhash_dedup" -> (qSimhashDedup _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_simhash64_pairs" -> (qSimhash64Pairs _),
     "q_contamination" -> (qContamination _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_apply" -> (qDedupApply _),
@@ -4089,6 +4160,7 @@ object SparkEntry {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_cms_freq" -> (qCmsFreq _),
+    "q_cms_auto" -> (qCmsAuto _),
     "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_centroid_cosine" -> (qCentroidCosine _),
     "q_dedup_best" -> (qDedupBest _),

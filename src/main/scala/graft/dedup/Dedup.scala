@@ -751,6 +751,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Production band width for the 64-bit simhash (the r12 knobs-audit
+    * rule, now executable): clamp(⌈log₂ n⌉, 14, ⌊64/(maxDist+1)⌋).
+    * Holding expected in-bucket collisions ~constant needs band width
+    * ≈ log₂ n bits (n/2^w docs share a bucket value in expectation —
+    * the `Vectors.bitsFor` law applied to Hamming banding); the CAP is
+    * the pigeonhole bound (two hashes within distance d must agree on
+    * one of ⌈64/w⌉ chunks only when ⌈64/w⌉ ≥ d+1), and past it the
+    * deploy answer is a wider signature, not a wider band. The FLOOR is
+    * calibrated like bitsFor's: every oracle-gate corpus (500 docs at
+    * each gate SF) lands on it, so the gated chunk layout is static
+    * while any real corpus (≥ 2¹⁴ docs) sizes itself. */
+  def simhash64BandWidth(n: Long, maxDist: Int): Int = {
+    require(maxDist >= 0 && maxDist < 8, s"maxDist=$maxDist out of range 0..7")
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L) - 1L)
+    math.min(64 / (maxDist + 1), math.max(14, ceilLog2))
+  }
+
+  /** 64-bit near-dup pairs: identical pigeonhole-band + bucket
+    * equi-self-join + exact-Hamming-verify structure as the 16-bit
+    * [[simhashNearDupPairsFromSigs]], with the band width derived from
+    * the corpus size ([[simhash64BandWidth]]; the estimate-first,
+    * memoized-count-fallback sizing of `Vectors.bitsFor`). Two
+    * differences forced by the width: the Hamming verify runs on hi/lo
+    * 32-bit halves (a 64-bit value with the sign bit set does not
+    * survive conv()'s decimal round-trip; two halves always do), and
+    * the chunk keyspace is 2^~log₂n rather than 2^5 — so in-bucket
+    * candidates stay ~linear in n BY CONSTRUCTION instead of by the
+    * teaching corpus being small.
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxDist. */
+  def simhash64NearDupPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val n = graft.Caches.memo(
+      ("simhash64-n", sigs.queryExecution.logical.canonicalized)) {
+      sigs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(sigs.count())
+    }
+    val width = simhash64BandWidth(n, maxDist)
+    val bounds = chunkBounds(64, (64 + width - 1) / width)
+    val withHalves = sigs
+      .withColumn("hi", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+    val chunks = bounds.zipWithIndex.map { case ((start, len), i) =>
+      struct(lit(i).as("chunk"), substring(col("simhash"), start, len).as("bits"))
+    }
+    val buckets = withHalves.select(col("id"), col("hi"), col("lo"),
+      explode(array(chunks: _*)).as("cb"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (expr("bit_count(a.hi ^ b.hi)") + expr("bit_count(a.lo ^ b.lo)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** 64-bit signature build — pure narrow map, same shape as
+    * [[simhash]] (graft.functions.SimHash64Fp). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64Fp(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
   /** Match batch signatures against a persisted signature STORE — the
     * serving/ingest-side near-dup check. The store holds the DISTINCT
     * signatures ever admitted, which the 16-bit signature space bounds at

@@ -66,6 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashFp(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64_fp"),
+      new ExpressionInfo(classOf[SimHash64Fp].getName, "simhash64_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64_fp expects exactly 1 argument")
+        SimHash64Fp(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sigs_fp"),
       new ExpressionInfo(classOf[MinHashSigsFp].getName, "minhash_sigs_fp"),
       (children: Seq[Expression]) => {

@@ -351,12 +351,16 @@ object Relational {
     * each group's LOCAL rank as r − min(r over the group) + 1 with a
     * broadcast #groups-row stats table. One range exchange + one
     * map-side group aggregate total; integer-exact, deterministic
-    * ties. */
+    * ties. The ranked frame feeds BOTH the stats aggregate and the
+    * join probe, so it is materialized once (Caches.materialize) —
+    * unpersisted it would pay the range exchange + rank twice. */
   def groupedLowerMedian(df: DataFrame, idCol: String, groupCol: String,
                          valCol: String): DataFrame = {
-    val ranked = graft.dedup.Dedup.globalRankByKey(
-      df.select(col(idCol).as("id"),
-        struct(col(groupCol).as("g"), col(valCol).as("v")).as("k")))
+    val ranked = graft.Caches.materialize(
+      graft.dedup.Dedup.globalRankByKey(
+        df.select(col(idCol).as("id"),
+          struct(col(groupCol).as("g"), col(valCol).as("v")).as("k")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val parts = ranked.select(col("k.g").as("g"), col("k.v").as("v"), col("r"))
     val stats = parts.groupBy(col("g"))
       .agg(min(col("r")).as("r0"), count(lit(1)).as("n_rows"))

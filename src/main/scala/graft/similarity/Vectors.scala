@@ -486,7 +486,15 @@ object Vectors {
     * and the norms are computed once per row/center. Exact BIGINT
     * (d=64 fixed-point terms ≤ ~4e12 each, sums ≤ ~5e14 — no overflow),
     * deterministic ties ⇒ the seed set is a pure function of the
-    * corpus. */
+    * corpus.
+    *
+    * Edge semantics: an empty (or all-null-embedding) input fails fast
+    * with a clear require message. When the corpus has fewer than k
+    * DISTINCT points, the farthest-point radius hits 0 and the
+    * remaining rounds re-select the smallest-id point at dist_fp = 0 —
+    * k rows always come back (fixed-arity contract for the Lloyd
+    * initializer); a dist_fp = 0 tail IS the "corpus has < k distinct
+    * points" signal, deliberately not an error. */
   def kcenterSeeds(vectors: DataFrame, idCol: String, vecCol: String,
                    k: Int): DataFrame = {
     require(k >= 1 && k <= 64, s"k=$k out of range 1..64")
@@ -497,8 +505,11 @@ object Vectors {
       .withColumn("nn", normSqFp(col("fv")))
     val pv = graft.Caches.track(
       v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val first = pv.orderBy(col("id")).limit(1)
-      .select(col("id"), col("fv")).collect()(0)
+    val firstRows = pv.orderBy(col("id")).limit(1)
+      .select(col("id"), col("fv")).collect()
+    require(firstRows.nonEmpty,
+      s"kcenterSeeds: no rows with a non-null '$vecCol' to seed from")
+    val first = firstRows(0)
     var chosen = Vector((0, first.getLong(0), 0L,
       first.getSeq[Long](1).toArray))
     var r = 1

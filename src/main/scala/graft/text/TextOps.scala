@@ -118,8 +118,11 @@ object TextOps {
     * lambda is interpreted (the HOF rule), but candidates are ≤19
     * chars so the work is bounded per row; no UDF, engine-portable
     * (same reverse/substring/aggregate semantics in DuckDB's
-    * list_transform mirror). NULL-safe: a NULL candidate yields NULL,
-    * never a crash. */
+    * list_transform mirror). NULL-safe: a NULL candidate yields NULL;
+    * a MALFORMED candidate (empty, or any non-digit char — whose digit
+    * cast would otherwise null-poison the aggregate sum) reads as
+    * false via an explicit all-digits guard, so a fleet can feed raw
+    * extractor output without a pre-filter. */
   def luhnValid(num: Column): Column = {
     val rev = reverse(num)
     def digitAt(i: Column): Column =
@@ -127,8 +130,9 @@ object TextOps {
     def term(i: Column): Column = when(i % 2 === 0,
         when(digitAt(i) * 2 > 9, digitAt(i) * 2 - 9).otherwise(digitAt(i) * 2))
       .otherwise(digitAt(i))
-    aggregate(sequence(lit(1), length(num)), lit(0),
-      (acc, i) => acc + term(i)) % 10 === 0
+    num.rlike("^[0-9]+$") &&
+      aggregate(sequence(lit(1), length(num)), lit(0),
+        (acc, i) => acc + term(i)) % 10 === 0
   }
 
   /** Normalization pass upstream of tokenization/dedup: control chars

@@ -42,6 +42,18 @@ class CountMinSpec extends SparkSpec {
     assert(merged == single)
   }
 
+  test("widthFor: clamp(ceil(e*n/t), 2048, 2^24) — linear in n, fixed abs error") {
+    assert(CountMin.widthFor(27165, 50) == 2048)           // gate corpus → floor
+    assert(CountMin.widthFor(1, 50) == 2048)
+    assert(CountMin.widthFor(271000, 50) ==                // sf0.1 → derived
+      math.ceil(math.E * 271000 / 50).toInt)
+    // ×10 data at the same target error → ~×10 width (the linear law)
+    val (w1, w10) = (CountMin.widthFor(1000000, 50), CountMin.widthFor(10000000, 50))
+    assert(w10.toDouble / w1 > 9.9 && w10.toDouble / w1 < 10.1)
+    assert(CountMin.widthFor(Long.MaxValue / 4, 50) == (1 << 24)) // cap
+    intercept[IllegalArgumentException](CountMin.widthFor(100, 0))
+  }
+
   test("unseen probe keys estimate only their collision mass (0 when clean)") {
     val sk = CountMin.build((1 to 100).map(i => (i.toLong, 0)).toDF("k", "shard"),
       $"k", depth = 4, width = 2048)
