@@ -417,22 +417,36 @@ object Dedup {
 
   /** Exact containment verification for candidate pairs against the
     * `sets` frame — same two-equi-join + codegen merge-walk shape as
-    * [[jaccardFromSets]], emitting BOTH directed containments. */
+    * [[jaccardFromSets]], emitting BOTH directed containments.
+    *
+    * Size-gated SHUFFLE_HASH on the set lookups (the jaccardFromSets
+    * reasoning): past the broadcast threshold the sort-merge fallback
+    * SORTS the pair stream with ~|doc| bytes of shingle array attached
+    * to every row — the ×100 study's one super-linear decade
+    * (q_containment 4.4× at ×10 → 52× at ×100 under SMJ, ~23× under
+    * SHJ, with candidate/pair/output counts all exactly linear; the
+    * residue is the pair×array exchange itself, linear in bytes but
+    * past one host's page cache). An explicit broadcast of the set
+    * table (~0.5% of corpus bytes) cut the verify 65 → 18 s when the
+    * driver heap allowed it, but is heap-fragile (OOM-guard at the
+    * default 8 g) and moot at 100 TB where the set table is ~0.5 TB —
+    * so the portable shape is SHJ: per-partition build bounded by
+    * corpus/width, pairs streamed unsorted.
+    *
+    * The r13 bucketed-layout experiment REFUTED (SCALE_r13 study 2):
+    * writing the set table bucketBy(id)+sortBy(id) and reading
+    * co-located buckets for both lookups measured 61× at ×100 vs this
+    * shape's ~23× — because both lookups here join the IDENTICAL
+    * aliased projection, Spark's exchange reuse already moves the
+    * array-carrying table ONCE; the bucketed form replaced that one
+    * reused exchange with a sorted write plus two cold reads per run,
+    * strictly more I/O under cold billing. Layout-once only wins
+    * amortized across an epoch's consumer family; for this single
+    * operator the residue is irreducible byte movement on one host's
+    * disk — the shape a cluster's distributed storage bandwidth
+    * absorbs (the SCALE_r12 reading, now twice-confirmed). */
   private def containmentFromSets(candidates: DataFrame, sets: DataFrame,
                                   tau: Double): DataFrame = {
-    // Size-gated SHUFFLE_HASH on the set lookups (the jaccardFromSets
-    // reasoning): past the broadcast threshold the sort-merge fallback
-    // SORTS the pair stream with ~|doc| bytes of shingle array attached
-    // to every row — the ×100 study's one super-linear decade
-    // (q_containment 4.4× at ×10 → 52× at ×100 under SMJ, ~23× under
-    // SHJ, with candidate/pair/output counts all exactly linear; the
-    // residue is the pair×array exchange itself, linear in bytes but
-    // past one host's page cache). An explicit broadcast of the set
-    // table (~0.5% of corpus bytes) cut the verify 65 → 18 s when the
-    // driver heap allowed it, but is heap-fragile (OOM-guard at the
-    // default 8 g) and moot at 100 TB where the set table is ~0.5 TB —
-    // so the portable shape is SHJ: per-partition build bounded by
-    // corpus/width, pairs streamed unsorted.
     val s = shuffleHashIfBig(sets.select(col("id"), col("sh_arr"), col("n_sh")))
     val cand = candidates.repartition(graft.Par.widthFor(sets), col("id_a"))
     cand
