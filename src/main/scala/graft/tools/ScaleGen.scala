@@ -77,9 +77,58 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // EVENTS (r13): replica k re-keys user_id and event_id; ts / type /
+    // value / props are unchanged — the "×N users, same time window"
+    // model. Per-user sequences are exact copies of a base user's, so
+    // user-keyed operators (sessionize, funnel, retention, journeys,
+    // transitions) scale by user count with per-user work constant, and
+    // window-keyed aggregates see ×N density per window — the shape a
+    // growing product actually produces. Hot keys replicate too; the
+    // replicas' (user mod 16) salts land differently than the base's
+    // (maxUser is not a multiple of 16), which is fine — the salted
+    // operators' contract is salt-agnostic by construction.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxUser = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val maxEvent = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("k") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // ORDERS + CUSTOMER (r13): re-keyed ids, unchanged attributes —
+    // enables scale studies of the order-keyed relational rows (salted
+    // join, grouped median). ONE customer-key offset shared by both
+    // tables (from the customer table — the superset: customers without
+    // orders exist) keeps o_custkey → c_custkey referential integrity
+    // inside every replica.
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val custOff = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val maxOrd = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    ord.crossJoin(reps)
+      .select(
+        (col("o_orderkey") + col("k") * maxOrd).as("o_orderkey"),
+        (col("o_custkey") + col("k") * custOff).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    cust.crossJoin(reps)
+      .select(
+        (col("c_custkey") + col("k") * custOff).as("c_custkey") +:
+          cust.columns.filter(_ != "c_custkey").map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     println(s"[scalegen] wrote $out at x$factor: docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
-      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count() +
+      " events=" + spark.read.parquet(s"$out/events.parquet").count() +
+      " orders=" + spark.read.parquet(s"$out/orders.parquet").count())
     spark.stop()
   }
 }
