@@ -262,6 +262,39 @@ class PlanInvariantsSpec extends SparkSpec {
       s"a per-group data window sneaked in:\n$plan")
   }
 
+  test("q_simhash64_pairs: narrow signature map, equi-join banding, no nested loop") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_simhash64_pairs")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the signature is a per-row expression riding the scan's project —
+    // any aggregate/explode before the banding means the builtin-chain
+    // shuffle shape leaked back in
+    assert(plan.contains("simhash64_fp"),
+      s"expected the native signature expression in:\n$plan")
+    // candidates must come from the (chunk, bits) equi-join — a nested
+    // loop here is the n² cross product the banding exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banding degenerated to a nested loop:\n$plan")
+    // gate corpus (500 docs) sizes to width 14 → 5 chunks
+    assert(graft.dedup.Dedup.simhash64BandWidth(500, 3) == 14)
+  }
+
+  test("q_cms_auto: the sketch build is one map-combining aggregate at the derived width") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_cms_auto")(spark, dir)
+    assert(q.collect().nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    // counters reduce map-side: partial_count before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"expected map-side partial aggregation in:\n$plan")
+    // the gate corpus lands the width floor, and the gated column
+    // carries it — a silent derivation change breaks here before the
+    // oracle even runs
+    assert(q.select("width").distinct().collect().map(_.getInt(0)).toSeq == Seq(2048))
+    spark.catalog.clearCache()
+    Caches.release()
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"
