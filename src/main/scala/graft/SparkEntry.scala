@@ -2176,9 +2176,11 @@ object SparkEntry {
     * total are broadcast model-sized tables. Integer-exact UNDER THE
     * FENCE: Spark wraps a Long product silently where the oracle
     * (128-bit multiply) stays exact, so both products are
-    * raise_error-fenced PER ROW at the exact overflow condition
-    * (1000·n_ab > 2⁶³−1 ÷ n_sess, or n_a > 2⁶³−1 ÷ n_b — the unigram
-    * maxWordLen fence pattern): a violating corpus fails loudly
+    * raise_error-fenced PER ROW at the overflow condition via
+    * division-only bounds (n_ab > (2⁶³−1 div 1000) div n_sess, or
+    * n_a > (2⁶³−1) div n_b — conservative by at most one unit of the
+    * nested floor, and the fence arithmetic itself cannot wrap; the
+    * unigram maxWordLen pattern): a violating corpus fails loudly
     * instead of hash-mismatching. The pair table this rides is
     * |types|²-bounded, so the fence costs two comparisons on a
     * model-sized frame. */
