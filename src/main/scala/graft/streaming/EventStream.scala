@@ -230,6 +230,29 @@ object EventStream {
     "spark.sql.shuffle.partitions" -> "8",
     "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
 
+  /** The r12 verdict's OTHER regime lever, wired as an opt-in: setting
+    * session conf `spark.graft.streaming.rocksdb=true` runs every
+    * lifecycle's state on the RocksDB state store provider instead of
+    * the default HDFS-backed one. RocksDB keeps state off-heap with
+    * changelog-style deltas — on a busy-disk host its commit path
+    * amortizes better than one-delta-file-per-partition-per-batch
+    * fsyncs, and at production state volumes it is the provider
+    * Structured Streaming deployments standardize on. OPT-IN rather
+    * than default because each lifecycle here holds KB-scale state,
+    * where the HDFS store's simplicity wins on a quiet host and
+    * RocksDB adds per-query native-store spin-up the bounded gate runs
+    * would pay for nothing, and because a provider is pinned per
+    * CHECKPOINT —
+    * the runners' temp checkpoints make switching safe, but a real
+    * deployment chooses once. Output is provider-independent
+    * (EventStreamSpec pins default == RocksDB on the stream-stream
+    * join, the most state-bound lifecycle). */
+  private[streaming] def lifecycleConfs(spark: SparkSession): Seq[(String, String)] =
+    if (spark.conf.getOption("spark.graft.streaming.rocksdb").contains("true"))
+      boundedLifecycleConfs :+ ("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else boundedLifecycleConfs
+
   /** Stage a single driver file into its own landing DIRECTORY (the file
     * source consumes directories; at scale this is the producers' append
     * target). Idempotent per input path, FRESHNESS-CHECKED: a staged
@@ -262,7 +285,7 @@ object EventStream {
     // setup; the window×type state here is tiny, so size it like any
     // other small shuffle (graft.Par's floor) instead of the session
     // default (see boundedLifecycleConfs for the no-data-batch skip).
-    withConf(spark, boundedLifecycleConfs: _*) {
+    withConf(spark, lifecycleConfs(spark): _*) {
     val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
     val agg = windowedCounts(batchEvents(raw))
       .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -305,7 +328,7 @@ object EventStream {
     * unbounded-retention scale. */
   def runStreamDedupOnce(spark: SparkSession, eventsPath: String): DataFrame = {
     val landing = stageDupLanding(eventsPath)
-    withConf(spark, boundedLifecycleConfs: _*) {
+    withConf(spark, lifecycleConfs(spark): _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val dd = dedupedEvents(batchEvents(raw)).select(col("event_id"))
       val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -354,7 +377,7 @@ object EventStream {
     // keyWithIndexToValue, each side) — by far the most commit-I/O-bound
     // lifecycle in the registry, and the one the r12 regime hit 10x.
     // boundedLifecycleConfs halves its commit rounds.
-    withConf(spark, boundedLifecycleConfs: _*) {
+    withConf(spark, lifecycleConfs(spark): _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
       val joined = attributedPurchases(
@@ -384,7 +407,7 @@ object EventStream {
                             dim: DataFrame, dimKey: String,
                             dimAttr: String): DataFrame = {
     val landing = stageLanding(eventsPath)
-    withConf(spark, boundedLifecycleConfs: _*) {
+    withConf(spark, lifecycleConfs(spark): _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val agg = enrichedWindowedCounts(batchEvents(raw), dim, dimKey, dimAttr)
         .select(unix_micros(col("window_start")).as("window_start_us"),
@@ -419,11 +442,13 @@ object EventStream {
                         gapMs: Long, delayMs: Long): DataFrame = {
     import spark.implicits._
     val landing = stageLanding(eventsPath)
-    // NOT boundedLifecycleConfs: the event-time TIMEOUT fires in the
+    // NOT the no-data-batch skip: the event-time TIMEOUT fires in the
     // trailing no-data micro-batch — skipping it would suppress every
     // final-session emission (the one lifecycle whose output DEPENDS on
-    // the post-data watermark batch).
-    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+    // the post-data watermark batch). The RocksDB opt-in still applies
+    // (take lifecycleConfs minus the no-data flag).
+    withConf(spark, lifecycleConfs(spark)
+      .filterNot(_._1 == "spark.sql.streaming.noDataMicroBatches.enabled"): _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landing.getAbsolutePath)).parquet(landing.getAbsolutePath)
       val ev = batchEvents(raw)
         .withColumn("value", round(col("value") * 100))
@@ -495,7 +520,7 @@ object EventStream {
                             maxFilesPerTrigger: Int = 1): Unit = {
     // Stateless foreachBatch (no watermark state) — boundedLifecycleConfs
     // for uniformity; the no-data-batch skip is vacuous here.
-    withConf(spark, boundedLifecycleConfs: _*) {
+    withConf(spark, lifecycleConfs(spark): _*) {
       val raw = spark.readStream.schema(rawEventSchema(spark, landingDir))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(landingDir)

@@ -74,7 +74,7 @@ object NearDupStream {
                            checkpoint: String, maxDist: Int): Unit = {
     // Stateless foreachBatch (no watermark state) — boundedLifecycleConfs
     // for uniformity; the no-data-batch skip is vacuous here.
-    EventStream.withConf(spark, EventStream.boundedLifecycleConfs: _*) {
+    EventStream.withConf(spark, EventStream.lifecycleConfs(spark): _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val q = raw.writeStream

@@ -210,6 +210,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("the spark.graft.streaming.rocksdb opt-in routes the stream-stream join's four state stores through RocksDB, same answer") {
+    // The flag-based form of the provider-parity pin above, on the most
+    // state-bound lifecycle (keyToNumValues + keyWithIndexToValue per
+    // join side): lifecycleConfs appends the RocksDB provider for every
+    // runner when the session flag is set, so an operator doesn't need
+    // per-query conf surgery to change the state engine.
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val default = EventStream.runAttributionOnce(spark, path)
+      .orderBy("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSeq
+    spark.conf.set("spark.graft.streaming.rocksdb", "true")
+    try {
+      val rocks = EventStream.runAttributionOnce(spark, path)
+        .orderBy("click_id", "purchase_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(rocks == default)
+      assert(rocks.nonEmpty)
+    } finally spark.conf.unset("spark.graft.streaming.rocksdb")
+  }
+
   test("checkpointed AvailableNow runs resume incrementally and stay exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("stream-ckpt")
