@@ -15,7 +15,11 @@ object Bench {
     // hosts read ~0.01–0.05 s; a busy-writeback regime reads 10–100×
     // that. The value is printed in the headline JSON so every BENCH_rN
     // artifact carries its own comparability evidence.
-    val ioCanarySec: Double = {
+    // The probe is re-run AFTER the suite too (r13 bracket lesson: three
+    // runs with QUIET start canaries still spread ±12% because the
+    // regime shifted mid-run — a start-only canary is necessary, not
+    // sufficient; start≠finish in the artifact localizes that).
+    def ioCanary(): Double = {
       val buf = java.nio.ByteBuffer.allocate(1 << 23)
       val times = (1 to 3).map { i =>
         val f = java.io.File.createTempFile("graft_canary_", ".bin")
@@ -28,6 +32,7 @@ object Bench {
       }
       times.sorted.apply(1)
     }
+    val ioCanarySec: Double = ioCanary()
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Steady-state methodology: warm every plan shape on the smallest SF
@@ -163,9 +168,10 @@ object Bench {
     val streamingSec = results.collect {
       case (n, v) if n.startsWith("q_stream_") => v
     }.sum
+    val ioCanaryFinishSec = ioCanary()
     val buckets =
       s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}},""" +
-        s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
+        s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"io_canary_finish_sec":${fmt(ioCanaryFinishSec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
     def render(entries: Seq[(String, Double)], decimals: Int): String = {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
@@ -196,7 +202,8 @@ object Bench {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       val prov = s""""provenance":{"host":"$host","cpus":"$cpus",""" +
-        s""""io_canary_sec":$ioCanarySec,"loadavg_start":$loadStart,""" +
+        s""""io_canary_sec":$ioCanarySec,"io_canary_finish_sec":$ioCanaryFinishSec,""" +
+        s""""loadavg_start":$loadStart,""" +
         s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"sf":"$sfDir"}""")
