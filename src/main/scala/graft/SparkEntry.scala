@@ -2207,8 +2207,13 @@ object SparkEntry {
         col("n").as("n_b"))), Seq("type_b"))
       .crossJoin(broadcast(nSess))
       .withColumn("_fence",
-        when(col("n_ab") > lit(Long.MaxValue / 1000L) / col("n_sess") ||
-          col("n_a") > lit(Long.MaxValue) / col("n_b"),
+        // r13 advice: Column `/` is floating-point Divide — long operands
+        // cast to double, and both bounds exceed 2^53, so the rounded
+        // comparison could miss (or spuriously raise) near the boundary.
+        // SQL `div` keeps the guard in LongType end to end; nested floor
+        // stays conservative by at most one unit, and cannot wrap.
+        when(expr("n_ab > (9223372036854775807L div 1000) div n_sess") ||
+          expr("n_a > 9223372036854775807L div n_b"),
           raise_error(lit("qBasketAffinity: lift product exceeds Long "
             + "exactness (1000*n_ab*n_sess or n_a*n_b overflows)")).cast("int"))
           .otherwise(lit(0)))

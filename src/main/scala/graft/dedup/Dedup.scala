@@ -734,8 +734,40 @@ object Dedup {
     * materialized (it is the shared persisted artifact every simhash
     * consumer reads; recomputing it per operator would re-scan the
     * corpus). */
-  def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+  def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int,
+                                  maxExpectedCandidates: Long = 1L << 22): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")
+    // SIZE FENCE (r13 SCALE study 1 made the law a measurement: this
+    // 16-bit teaching shape read 162× at ×100 corpus — quadratic — while
+    // the auto-banded 64-bit production shape read 7.54× on identical
+    // data). A deploy rule that lives only in scaladoc is not a rule, so
+    // the width's safe bound is enforced here, estimate-first like the
+    // 64-bit path's sizing: expected bucket-join candidates under uniform
+    // hashing are (maxDist+1)·n²/2^(w+1) for the narrowest chunk width
+    // w = ⌊16/(maxDist+1)⌋ — THE quantity that goes quadratic. The
+    // default cap (2^22 ≈ 4.2M candidates, ≲1 s of XOR-popcount verify
+    // per 32 cores) admits every gate/bench corpus (500 docs → 12k
+    // candidates; 5 000 → 1.2M at maxDist=2) and refuses the measured
+    // pathological point (50 000 → 117M) with a message naming the
+    // production path. Corpora past the fence carry 64-bit signatures
+    // and use [[simhash64NearDupPairsFromSigs]], whose band width sizes
+    // itself to log₂ n.
+    val n = graft.Caches.memo(
+      ("simhash16-n", sigs.queryExecution.logical.canonicalized)) {
+      sigs.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(sigs.count())
+    }
+    val minWidth = 16 / (maxDist + 1)
+    val expectedCandidates =
+      (maxDist + 1).toDouble * n.toDouble * n.toDouble / math.pow(2.0, minWidth + 1)
+    require(expectedCandidates <= maxExpectedCandidates.toDouble,
+      f"simhashNearDupPairsFromSigs: corpus n=$n%d at maxDist=$maxDist%d implies " +
+        f"~$expectedCandidates%.0f expected bucket-join candidates (> fence " +
+        f"$maxExpectedCandidates%d); the 16-bit signature width is a teaching " +
+        "shape whose candidate volume is quadratic past it (measured 162x at " +
+        "x100, SCALE_r13 study 1). Build 64-bit signatures (Dedup.simhash64) " +
+        "and use simhash64NearDupPairsFromSigs, whose band width self-sizes.")
     // integer form of the hash: Hamming distance is one XOR + popcount
     // per candidate instead of 16 string comparisons
     val sim = sigs.withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
@@ -857,6 +889,44 @@ object Dedup {
     batchB.as("a")
       .join(broadcast(storeB.as("b")), Seq("chunk", "bits"))
       .filter(expr("bit_count(v ^ sv)") <= maxDist)
+      .select(col("id")).distinct()
+  }
+
+  /** 64-bit store match for the BOUNDED signature store: the distinct
+    * batch `id`s having at least one store signature within Hamming
+    * `maxDist`. Unlike the 16-bit [[simhashStoreMatches]] (whose store
+    * the signature space itself bounds at 2^16 rows → always broadcast),
+    * a 64-bit store is bounded only by the admission CAPACITY a
+    * deployment chooses — possibly far past broadcast range — so the
+    * bucket match is a plain equi-JOIN on (chunk, bits): both sides
+    * hash-partition on the band key, the store side moves at most
+    * ~capacity·(chunks) rows, and AQE broadcasts it when it is in fact
+    * small. Band width sizes to the CAPACITY (the store's steady-state
+    * population, the quantity that controls expected bucket collisions),
+    * not the batch or the corpus, so a deployment's chunk layout is
+    * static and the store could even be kept pre-bucketed. */
+  def simhash64StoreMatches(batchSigs: DataFrame, storeSigs: DataFrame,
+                            maxDist: Int, capacity: Long): DataFrame = {
+    require(maxDist >= 0 && maxDist < 8, s"maxDist=$maxDist out of range 0..7")
+    val width = simhash64BandWidth(math.max(capacity, 1L), maxDist)
+    val bounds = chunkBounds(64, (64 + width - 1) / width)
+    def chunks = bounds.zipWithIndex.map { case ((start, len), i) =>
+      struct(lit(i).as("chunk"), substring(col("simhash"), start, len).as("bits"))
+    }
+    val batchB = batchSigs
+      .withColumn("hi", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+      .select(col("id"), col("hi"), col("lo"), explode(array(chunks: _*)).as("cb"))
+      .select(col("id"), col("hi"), col("lo"),
+        col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    val storeB = storeSigs.select(col("simhash")).distinct()
+      .withColumn("shi", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("slo", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+      .select(col("shi"), col("slo"), explode(array(chunks: _*)).as("cb"))
+      .select(col("shi"), col("slo"),
+        col("cb.chunk").as("chunk"), col("cb.bits").as("bits"))
+    batchB.join(storeB, Seq("chunk", "bits"))
+      .filter((expr("bit_count(hi ^ shi)") + expr("bit_count(lo ^ slo)")) <= maxDist)
       .select(col("id")).distinct()
   }
 

@@ -195,16 +195,29 @@ object EventStream {
   /** Scoped conf override shared by the lifecycle runners: set `kvs`,
     * run `body`, restore the previous values (unset where there were
     * none) even on failure — the manual save/restore each runner used to
-    * carry, factored so adding a conf can't miss a restore path. */
-  private[streaming] def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    * carry, factored so adding a conf can't miss a restore path.
+    *
+    * SESSION-SCOPED LOCK (r13 advice): SQL confs are session-global
+    * mutable state, so two lifecycles interleaving set/restore on the
+    * same session could leave `spark.sql.shuffle.partitions` or the
+    * state-store provider wrong for one of them (or permanently, if the
+    * loser restores the winner's override as "previous"). Every runner
+    * funnels through here, so serializing per session closes the race;
+    * lifecycles on DIFFERENT sessions still run concurrently. The lock
+    * map holds strong refs — fine for this library's long-lived
+    * singleton sessions (Sessions.build / the shared spec session). */
+  private val confLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+  private[streaming] def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T =
+    confLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
-  }
 
   /** Conf set for bounded AvailableNow lifecycles whose OUTPUT does not
     * depend on the post-data watermark micro-batch: append-mode inner

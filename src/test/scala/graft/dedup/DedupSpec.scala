@@ -191,6 +191,29 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), s"pairs plan must not collect buckets:\n$plan")
   }
 
+  test("simhash 16-bit pair miner size fence refuses corpora past the width's safe bound") {
+    // SCALE_r13 study 1 measured the teaching shape's quadratic law
+    // (162x at x100); the fence makes the teaching/production split
+    // self-enforcing. 20k docs at maxDist=2 imply ~19M expected
+    // bucket-join candidates > the 2^22 default cap — must refuse,
+    // naming the 64-bit production path, WITHOUT running a job (the
+    // estimate-first sizing reads Range's known rowCount).
+    val big = spark.range(20000).select($"id", lit("0101010101010101").as("simhash"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsFromSigs(big, maxDist = 2)
+    }
+    assert(e.getMessage.contains("simhash64"), e.getMessage)
+    // the cap is a parameter: ops can tighten it to zero and the fence
+    // fires even at teaching scale
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsFromSigs(sigs, maxDist = 1, maxExpectedCandidates = 0L)
+    }
+    // gate-scale corpora pass the DEFAULT fence (the hash-gated rows
+    // q_simhash_pairs / q_simhash_dedup / q_dedup_ensemble stay green)
+    assert(Dedup.simhashNearDupPairsFromSigs(sigs, maxDist = 1).count() >= 1)
+  }
+
   test("minhashLshPairs skew guard: oversized buckets route to self-join, same result") {
     // 40 byte-identical docs land in ONE bucket per band; with
     // maxBucket = 4 every bucket exceeds the cap so ALL pairs must come
