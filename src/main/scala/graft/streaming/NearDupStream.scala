@@ -65,6 +65,151 @@ object NearDupStream {
       throw new IllegalStateException(s"swap failed: $stage -> $live")
   }
 
+  /** 64-bit batch core: near-dup admission of one batch against a
+    * 64-bit signature MATCH SET (any frame with a `simhash` column —
+    * the runner passes the capacity-trimmed window). Within-batch
+    * clusters (64-bit banded pairs → connected components) keep their
+    * min doc id; survivors matching any match-set signature within
+    * `maxDist` are dropped. `capacity` sizes the store-match band width
+    * (see [[graft.dedup.Dedup.simhash64StoreMatches]]). Returns the
+    * admitted (id, simhash) rows. */
+  def admitBatch64(batch: DataFrame, storeSigs: DataFrame, maxDist: Int,
+                   capacity: Long): DataFrame = {
+    val sigs = Dedup.simhash64(batch, "doc_id", "text")
+    val pairs = Dedup.simhash64NearDupPairsFromSigs(sigs, maxDist)
+    val dropped = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    val survivors = sigs.join(dropped, Seq("id"), "left_anti")
+    val matched = Dedup.simhash64StoreMatches(survivors,
+      storeSigs.select(col("simhash")), maxDist, capacity)
+    survivors.join(matched, Seq("id"), "left_anti")
+  }
+
+  /** The bounded store's MATCH WINDOW: the newest batches of `older`
+    * (store rows from batches strictly before the one being processed)
+    * until their cumulative signature count first reaches `capacity` —
+    * batch-granular FIFO, THE bound that makes a 64-bit store
+    * deployable. The 16-bit store is safe unbounded because its
+    * signature SPACE is 2^16; a 64-bit store grows with every distinct
+    * document ever admitted, which at ingest scale is the corpus itself.
+    * The trim needs one per-RETAINED-batch count aggregate (a frame with
+    * one row per retained batch — model-sized) and is a scan-linear
+    * filter on seq_batch: no sort, no global top-K — and because
+    * eviction is whole-batch-granular, a deployment that appends one
+    * store file per batch evicts by DELETING whole files, O(1)
+    * metadata. */
+  private[streaming] def trimToCapacity(older: DataFrame, capacity: Long): DataFrame = {
+    val counts = older.groupBy(col("seq_batch"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("seq_batch").desc)
+      .collect() // one row per RETAINED batch — bounded by capacity/min-batch
+    var cum = 0L
+    var cutoff = Long.MaxValue
+    val it = counts.iterator
+    while (it.hasNext && cum < capacity) {
+      val r = it.next()
+      cutoff = r.getLong(0)
+      cum += r.getLong(1)
+    }
+    // empty `older` leaves cutoff at MaxValue → empty window
+    older.filter(col("seq_batch") >= cutoff)
+  }
+
+  /** Drain the landing zone once through the BOUNDED 64-bit admission
+    * lifecycle: same landing/admitted/store/checkpoint contract as
+    * [[runNearDupStreamOnce]], with the production signature width
+    * (X229) and a store bounded by `capacity` (schema: simhash,
+    * seq_batch) — the r13 forward-plan design note, now code.
+    *
+    * POLICY — sliding-window FIFO admission, seq_batch = the
+    * checkpoint's own batchId:
+    *   - Batch N is matched against WINDOW_N = trim(rows with seq < N)
+    *     — the newest older batches covering ≥ `capacity` signatures —
+    *     plus any rows already carrying seq = N (empty on a first run;
+    *     exactly the batch's own admissions on a replay).
+    *   - Commit: store := rows(seq = N) ∪ WINDOW_N ∪ (newly admitted at
+    *     seq N). Eviction therefore LAGS one batch: a batch leaves the
+    *     match window once capacity is covered without it, and leaves
+    *     storage on the next commit.
+    *
+    * Properties:
+    *   - SIZE BOUND: < capacity + 2·(largest batch's admissions) rows —
+    *     independent of documents ever streamed.
+    *   - COVERAGE: every document is deduped against its own batch plus
+    *     at least the last `capacity` admitted signatures (all of them,
+    *     while the total is ≤ capacity). A near-dup of an EVICTED
+    *     signature is re-admitted by design — the documented trade for
+    *     boundedness.
+    *   - REPLAY (crash between the store swap and the checkpoint
+    *     commit): the replayed batch recomputes WINDOW from rows with
+    *     seq < N only — its own committed rows (seq = N) cannot shrink
+    *     the window's capacity coverage — so trim(trim(S)) = trim(S)
+    *     reproduces the original window exactly; every originally
+    *     dropped doc re-drops against the same window sig, and every
+    *     originally admitted doc now matches its own stored signature
+    *     at distance 0. Zero admissions → the commit rewrites the
+    *     identical store, and the admitted table (keyed by id) is
+    *     already idempotent. A naive "trim after union" policy FAILS
+    *     this: the new batch's own count can push a window batch out in
+    *     the same commit that matched against it, and the replay
+    *     silently admits what the original run dropped.
+    *   - DETERMINISM: eviction depends only on per-batch admission
+    *     counts and batchIds (no clock, no touch-on-hit LRU whose state
+    *     would depend on query pattern).
+    */
+  def runNearDup64StreamOnce(spark: SparkSession, landingDir: String,
+                             admittedDir: String, storeDir: String,
+                             checkpoint: String, maxDist: Int,
+                             capacity: Long): Unit = {
+    require(capacity >= 1, s"capacity=$capacity must be >= 1")
+    EventStream.withConf(spark, EventStream.lifecycleConfs(spark): _*) {
+      val raw = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      val q = raw.writeStream
+        .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+          val s = b.sparkSession
+          val store =
+            if (new java.io.File(storeDir).isDirectory) s.read.parquet(storeDir)
+            else s.createDataFrame(new java.util.ArrayList[Row](),
+              StructType(Seq(StructField("simhash", StringType),
+                StructField("seq_batch", LongType))))
+          // window + own-seq rows are re-read by the match AND the store
+          // commit; materialize both once (the trim's count aggregate is
+          // an action anyway)
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val window = trimToCapacity(
+            store.filter(col("seq_batch") < batchId), capacity).persist(lvl)
+          val ownSeq = store.filter(col("seq_batch") === batchId).persist(lvl)
+          val matchSet = window.select(col("simhash"))
+            .unionByName(ownSeq.select(col("simhash")))
+          val admitted = admitBatch64(b.toDF(), matchSet, maxDist, capacity)
+            .persist(lvl)
+          try {
+            admitted.count()
+            val newAdmitted =
+              if (new java.io.File(admittedDir).isDirectory)
+                s.read.parquet(admittedDir).unionByName(admitted)
+                  .dropDuplicates("id")
+              else admitted
+            val newStore = ownSeq
+              .unionByName(window)
+              .unionByName(admitted.select(col("simhash"))
+                .withColumn("seq_batch", lit(batchId)))
+            writeStage(newAdmitted, admittedDir)
+            writeStage(newStore, storeDir)
+            swapStage(admittedDir)
+            swapStage(storeDir)
+          } finally {
+            admitted.unpersist(); window.unpersist(); ownSeq.unpersist()
+          }
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Drain the landing zone once (AvailableNow, one file per micro-batch)
     * maintaining `admittedDir` (id, simhash — the clean corpus index) and
     * `storeDir` (distinct admitted signatures). Resumable: the checkpoint
