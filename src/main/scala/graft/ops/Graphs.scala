@@ -216,13 +216,23 @@ object Graphs {
     val w = graft.Par.widthFor(und)
     val spark = edges.sparkSession
     graft.Caches.withModelLoopConf(spark, w) {
-      // ONE materialized table per round — the (id, deg) table; the
-      // survivor set and the peeled fringe are narrow FILTERS over that
-      // cache (no persist of their own), so a round costs exactly one
-      // action (measured: the two-materialize-per-round form paid ~160 ms
-      // of job-submission constants per extra action at any corpus size).
-      var surv = graft.Caches.track(graft.Caches.materialize(
-        vertices.select(col("id")).distinct().persist(lvl)))
+      // ONE action for the WHOLE peel (r13 verdict item 5, measured):
+      // the per-round (id, deg) tables stay persist()-marked — round
+      // N+1's joins and the final fringe union read each exactly once —
+      // but no round runs its own eager count() anymore. StageCost on
+      // the three-materialize-per-round form read total=4.3 s with
+      // stageSum=1.1 s at sf0.1: ~3 s was nothing but driver job-
+      // submission constants across 15 jobs, so the fold collapses the
+      // loop to the und build + one assembled-output job whose stage
+      // graph shares the round shuffles (caches fill mid-job; the
+      // bounded 3-round lineage needs no checkpoint truncation). The
+      // final materialize happens INSIDE withModelLoopConf on purpose:
+      // the single job must plan under AQE-off + the loop width —
+      // returning a lazy frame would re-plan it at the caller under the
+      // session regime (the ~68-driver-job AQE shape the r12 tuning
+      // measured and removed).
+      var surv = graft.Caches.track(
+        vertices.select(col("id")).distinct().persist(lvl))
       val degTables = (1 to rounds).map { _ =>
         // SHUFFLE_HASH on the survivor side: a broadcast would spawn a
         // per-join driver sub-job here (~140 ms of submission constants
@@ -232,13 +242,13 @@ object Graphs {
         val e = und.join(surv.select(col("id").as("a")).hint("shuffle_hash"),
             Seq("a"))
           .join(surv.select(col("id").as("b")).hint("shuffle_hash"), Seq("b"))
-        val deg = graft.Caches.track(graft.Caches.materialize(
+        val deg = graft.Caches.track(
           surv.join(
               e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
                 .groupBy(col("id")).agg(count(lit(1)).as("c")),
               Seq("id"), "left")
             .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
-            .persist(lvl)))
+            .persist(lvl))
         surv = deg.filter(col("deg") >= k).select(col("id"))
         deg
       }
@@ -247,11 +257,13 @@ object Graphs {
           .select(col("id"), lit(i + 1).as("peel_round"),
             col("deg").as("last_deg"))
       }.reduce(_ unionAll _)
-      degTables.last.filter(col("deg") >= k)
-        .select(col("id"), lit(-1).as("peel_round"), col("deg").as("last_deg"))
-        .unionAll(removed)
-        .select(col("id"), col("peel_round").cast("int").as("peel_round"),
-          col("last_deg").cast("long").as("last_deg"))
+      graft.Caches.track(graft.Caches.materialize(
+        degTables.last.filter(col("deg") >= k)
+          .select(col("id"), lit(-1).as("peel_round"), col("deg").as("last_deg"))
+          .unionAll(removed)
+          .select(col("id"), col("peel_round").cast("int").as("peel_round"),
+            col("last_deg").cast("long").as("last_deg"))
+          .persist(lvl)))
     }
   }
 
