@@ -2269,6 +2269,21 @@ object SparkEntry {
     graft.streaming.EventStream.runAttributionOnce(s, s"$d/events.parquet")
       .orderBy(col("click_id"), col("purchase_id"))
 
+  /** STREAMING bounded-store 64-bit near-dup admission under the gate
+    * (X231 — the r13 forward-plan design note as a gated lifecycle):
+    * the documents table drains through the REAL bounded lifecycle as
+    * two doc_id-parity micro-batches (within-batch 64-bit banded
+    * clusters keep min id; batch-1 survivors are matched against the
+    * capacity-trimmed window of batch-0 admissions), and the admitted
+    * (id, simhash) index is the verified output. Gate capacity (2^20)
+    * pins the window=everything regime so the oracle replays plain
+    * sequential admission; eviction/replay semantics are spec-pinned
+    * (NearDup64StreamSpec). */
+  private def qStreamNearDup64(s: SparkSession, d: String): DataFrame =
+    graft.streaming.NearDupStream.runDocNearDup64GateOnce(
+        s, s"$d/documents.parquet", maxDist = 3, capacity = 1L << 20)
+      .orderBy(col("id"))
+
   /** STREAMING in-stream dedup under the gate: the landing directory
     * holds the events file TWICE, so dropDuplicatesWithinWatermark has
     * real duplicates to drop; the emitted set is the distinct event ids
@@ -4243,6 +4258,7 @@ object SparkEntry {
     "q_csv_scan" -> (qCsvScan _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_neardup64" -> (qStreamNearDup64 _),
     "q_array_agg" -> (qArrayAgg _),
     "q_unpivot" -> (qUnpivot _),
     "q_array_hof" -> (qArrayHof _),

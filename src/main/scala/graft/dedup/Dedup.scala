@@ -1069,6 +1069,63 @@ object Dedup {
       .select(col("id"), col("cluster_id"))
   }
 
+  /** 64-bit sibling of [[simhashClusters]]: near-dup clusters over a
+    * (id, simhash) frame with 64-char binary-string signatures,
+    * signature-CONTRACTED (one node per distinct simhash) with the same
+    * driver union-find fast path. One difference forced by the width:
+    * the 16-bit analytic worst-case bound (2^16 · Σ C(16,d) / 2) has no
+    * 64-bit analogue worth computing (the space is 2^64; the contracted
+    * node count is corpus-dependent), so the collect is guarded by the
+    * MEASURED pair count — the pair table is persisted, counted (the
+    * count doubles as its materialization), and collected only when it
+    * is under `maxCollectEdges`; otherwise the same contracted graph
+    * runs the distributed [[connectedComponents]] with a plain (not
+    * broadcast) label join. Designed for micro-batch-sized inputs
+    * (streaming admission), where the contracted pair graph is small by
+    * construction and the driver union-find replaces ~4 Spark jobs per
+    * CC round with one bounded collect.
+    * Returns (id, cluster_id), cluster_id = min doc id in the component,
+    * rows only for docs in ≥2-doc components. */
+  def simhash64Clusters(sigs: DataFrame, maxDist: Int,
+                        maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
+    val nodes = sigs.select(col("simhash")).distinct()
+      .select(col("simhash").as("id"), col("simhash"))
+    val hashPairs = simhash64NearDupPairsFromSigs(nodes, maxDist)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val small = hashPairs.count() <= maxCollectEdges
+    val comp =
+      if (small) {
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) {
+            parent(r) = parent(parent(r)); r = parent(r)
+          }
+          r
+        }
+        hashPairs.collect().foreach { row =>
+          val ra = find(row.getString(0)); val rb = find(row.getString(1))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp"))
+      } else
+        connectedComponents(hashPairs)
+          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
+    val withComp = sigs
+      .join(comp, Seq("simhash"), "left")
+      .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
+    val mins = withComp.groupBy(col("comp"))
+      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
+    val out = withComp.join(mins, Seq("comp"))
+      .filter(col("csize") > 1)
+      .select(col("id"), col("cluster_id"))
+    hashPairs.unpersist(false)
+    out
+  }
+
   /** Duplicate-cluster REPRESENTATIVE selection by quality — "keep the
     * BEST duplicate, not the first": within each near-dup cluster, the
     * survivor is the member with the highest quality score (ties →

@@ -76,13 +76,26 @@ object NearDupStream {
   def admitBatch64(batch: DataFrame, storeSigs: DataFrame, maxDist: Int,
                    capacity: Long): DataFrame = {
     val sigs = Dedup.simhash64(batch, "doc_id", "text")
-    val pairs = Dedup.simhash64NearDupPairsFromSigs(sigs, maxDist)
-    val dropped = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature-contracted clustering with the driver union-find fast
+    // path (Dedup.simhash64Clusters): the distributed-CC form here cost
+    // ~12 driver jobs of scheduling constants PER MICRO-BATCH for
+    // micro-batch-sized cluster graphs (measured: the 2-batch gate
+    // lifecycle read 8.5 s at sf0.1, ~4x its data cost)
+    val dropped = Dedup.simhash64Clusters(sigs, maxDist)
       .filter(col("id") =!= col("cluster_id")).select(col("id"))
     val survivors = sigs.join(dropped, Seq("id"), "left_anti")
     val matched = Dedup.simhash64StoreMatches(survivors,
       storeSigs.select(col("simhash")), maxDist, capacity)
-    survivors.join(matched, Seq("id"), "left_anti")
+    // materialize the admitted set before handing it back (read by the
+    // admitted-table union AND the store union), then drop the sigs
+    // cache — an un-unpersisted frame would accumulate in the
+    // CacheManager for the lifetime of the stream
+    val out = survivors.join(matched, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(false)
+    out
   }
 
   /** The bounded store's MATCH WINDOW: the newest batches of `older`
@@ -101,8 +114,8 @@ object NearDupStream {
   private[streaming] def trimToCapacity(older: DataFrame, capacity: Long): DataFrame = {
     val counts = older.groupBy(col("seq_batch"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("seq_batch").desc)
       .collect() // one row per RETAINED batch — bounded by capacity/min-batch
+      .sortBy(-_.getLong(0)) // newest first, sorted driver-side (no exchange)
     var cum = 0L
     var cutoff = Long.MaxValue
     val it = counts.iterator
@@ -162,7 +175,16 @@ object NearDupStream {
                              checkpoint: String, maxDist: Int,
                              capacity: Long): Unit = {
     require(capacity >= 1, s"capacity=$capacity must be >= 1")
-    EventStream.withConf(spark, EventStream.lifecycleConfs(spark): _*) {
+    // AQE OFF for the lifecycle: the engine disables AQE inside the
+    // streaming plan itself, but foreachBatch body actions are plain
+    // batch queries under the SESSION conf — and on micro-batch-sized
+    // frames every adaptive exchange re-plan spawns driver sub-jobs
+    // whose scheduling constants dwarf the data (measured on the gate
+    // harness: 69 jobs / 7.6 s with AQE, most of it 150-290 ms 1-task
+    // stages; the withModelLoopConf lesson applied to streaming). A
+    // deployment with corpus-sized batches would re-enable it per batch.
+    EventStream.withConf(spark, EventStream.lifecycleConfs(spark) ++ Seq(
+      "spark.sql.adaptive.enabled" -> "false"): _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val q = raw.writeStream
@@ -182,10 +204,9 @@ object NearDupStream {
           val ownSeq = store.filter(col("seq_batch") === batchId).persist(lvl)
           val matchSet = window.select(col("simhash"))
             .unionByName(ownSeq.select(col("simhash")))
+          // admitBatch64 hands back an already-persisted, materialized frame
           val admitted = admitBatch64(b.toDF(), matchSet, maxDist, capacity)
-            .persist(lvl)
           try {
-            admitted.count()
             val newAdmitted =
               if (new java.io.File(admittedDir).isDirectory)
                 s.read.parquet(admittedDir).unionByName(admitted)
@@ -207,6 +228,55 @@ object NearDupStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    }
+  }
+
+  /** GATE HARNESS for [[runNearDup64StreamOnce]]: stage the documents
+    * table as TWO landing files (doc_id parity, strictly increasing
+    * mtimes so the file source's oldest-first order makes batch 0 = even
+    * ids, batch 1 = odd ids — deterministic), drain the bounded
+    * lifecycle against a FRESH admitted/store/checkpoint root, and hand
+    * back the admitted (id, simhash) table as a local batch frame (the
+    * memory-sink-style gate fixture collect every streaming gate row
+    * uses; the temp root is deleted after). At gate capacity the trim
+    * window covers every admitted signature — the window=everything
+    * regime, the same clamp posture as bitsFor's gate floor — so the
+    * DuckDB oracle replays plain sequential admission; the EVICTION
+    * path is pinned by NearDup64StreamSpec. */
+  def runDocNearDup64GateOnce(spark: SparkSession, docsPath: String,
+                              maxDist: Int, capacity: Long): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_nd64_gate_").toFile
+    try {
+      val landing = new java.io.File(root, "landing"); landing.mkdirs()
+      val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+      val t0 = 1700000000000L // any fixed base; only the ORDER matters
+      // one pass over documents writes both parity parts (partitionBy
+      // drops the partition column, leaving exactly docSchema)
+      val stage = new java.io.File(root, "stage")
+      docs.withColumn("b", col("doc_id") % 2)
+        .coalesce(1).write.mode("overwrite").partitionBy("b")
+        .parquet(stage.getAbsolutePath)
+      (0 until 2).foreach { b =>
+        val part = new java.io.File(stage, s"b=$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(landing, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(t0 + b * 60000L)
+      }
+      runNearDup64StreamOnce(spark, landing.getAbsolutePath,
+        new java.io.File(root, "admitted").getAbsolutePath,
+        new java.io.File(root, "store").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath, maxDist, capacity)
+      val out = spark.read.parquet(new java.io.File(root, "admitted").getAbsolutePath)
+        .select(col("id"), col("simhash"))
+      val (rows, schema) = (out.collect(), out.schema)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(root)
     }
   }
 
