@@ -151,6 +151,22 @@ object Bench {
     // mid-run canary triple to the headline regime object, so one
     // artifact can answer "which quarter of the run was the regime bad
     // in" instead of bracketing with re-runs.
+    // FAMILY-ARTIFACT PRE-WARM (r14): a cold row is cold to re-bill its
+    // PRIVATE artifacts — not to re-bill the shared FAMILY artifact its
+    // family already cold-bills once per pass on a designated row
+    // (q_clustering_coeff is the kNN graph's biller, the q_bpe_apply
+    // precedent; "the artifact existing is the deployment semantic — a
+    // production pipeline materializes the graph once"). The graph-loop
+    // rows below were rebuilding the cleared kNN memo INSIDE their timed
+    // runs, billing the same ~1.3 s / 7-job build up to four times per
+    // pass set and burying the loop costs the r13 verdict asked to tune.
+    // After each of their cache clears, the named producer rebuilds the
+    // family artifact OUTSIDE the timer; the build still appears in the
+    // total exactly once, in its designated row.
+    val familyPrewarm: Map[String, String] = Map(
+      "q_kcore" -> "q_knn_graph",
+      "q_label_prop" -> "q_knn_graph",
+      "q_knn_triangles" -> "q_knn_graph")
     val regimeSegments = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val quartiles = Set(1, 2, 3).map(q => q * sortedQueries.size / 4)
@@ -161,7 +177,13 @@ object Bench {
         regimeSegments += ((name, ioCanary(), load))
       }
       val times = (1 to passes).map { _ =>
-        if (cachingQueries(name)) { spark.catalog.clearCache(); Caches.release() }
+        if (cachingQueries(name)) {
+          spark.catalog.clearCache(); Caches.release()
+          familyPrewarm.get(name).foreach { producer =>
+            try SparkEntry.queries(producer)(spark, sfDir).count()
+            catch { case _: Throwable => () }
+          }
+        }
         System.gc() // don't bill one run's garbage to the next
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

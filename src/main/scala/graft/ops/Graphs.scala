@@ -242,13 +242,24 @@ object Graphs {
         val e = und.join(surv.select(col("id").as("a")).hint("shuffle_hash"),
             Seq("a"))
           .join(surv.select(col("id").as("b")).hint("shuffle_hash"), Seq("b"))
-        val deg = graft.Caches.track(
-          surv.join(
+        // LAZY localCheckpoint, not persist: each round's LOGICAL plan
+        // would otherwise embed every prior round's (persist caches
+        // execution, not analysis), and the compounding analyzer +
+        // CacheManager-canonicalization cost was measured at ~2 s of
+        // the row's ~5 s — more than the execution itself. The lazy
+        // checkpoint truncates the plan to a LogicalRDD leaf at
+        // CONSTRUCTION time (planning each round against shallow
+        // leaves, constant per round) while the RDD itself still
+        // computes inside the single final job; its blocks serve the
+        // next round's joins and the final fringe union, which is the
+        // same reuse the persist bought. CC's loop learned this same
+        // lesson for the driver-OOM reason; here it is pure latency.
+        val deg = surv.join(
               e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
                 .groupBy(col("id")).agg(count(lit(1)).as("c")),
               Seq("id"), "left")
             .select(col("id"), coalesce(col("c"), lit(0L)).as("deg"))
-            .persist(lvl))
+            .localCheckpoint(false)
         surv = deg.filter(col("deg") >= k).select(col("id"))
         deg
       }
