@@ -38,7 +38,30 @@ object Bench {
       }
       times.sorted.apply(1)
     } catch { case _: Throwable => -1.0 }
+    // CPU CANARY (r14 lesson): the round's second same-protocol window
+    // read 174 s vs 104 s quiet with ALL FIVE I/O canaries quiet
+    // (0.019-0.036 s) and loadavg 0.61 — pure-CPU rows slowed 2-3×
+    // (q_unigram_apply 3.4→9.4 s), so the regime shifter was host-side
+    // CPU contention/steal, which neither an fsync probe nor loadavg
+    // (which only sees THIS guest's runnable queue) can detect. Probe
+    // it directly: a fixed 20M-iteration FNV mixing loop (~15-40 ms
+    // nominal), median of 3, at the same five points as the I/O canary.
+    // A quiet host reads a stable baseline; a contended/throttled one
+    // reads a multiple of it. The sink comparison keeps JIT from
+    // eliding the loop.
+    def cpuCanary(): Double = try {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        var h = 1469598103934665603L
+        var i = 0
+        while (i < 20000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+        if (h == 42L) System.err.println("") // unreachable; defeats DCE
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(1)
+    } catch { case _: Throwable => -1.0 }
     val ioCanarySec: Double = ioCanary()
+    val cpuCanarySec: Double = cpuCanary()
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Steady-state methodology: warm every plan shape on the smallest SF
@@ -167,14 +190,14 @@ object Bench {
       "q_kcore" -> "q_knn_graph",
       "q_label_prop" -> "q_knn_graph",
       "q_knn_triangles" -> "q_knn_graph")
-    val regimeSegments = scala.collection.mutable.ListBuffer[(String, Double, Double)]()
+    val regimeSegments = scala.collection.mutable.ListBuffer[(String, Double, Double, Double)]()
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val quartiles = Set(1, 2, 3).map(q => q * sortedQueries.size / 4)
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
       if (quartiles(idx)) {
         val load = java.lang.management.ManagementFactory
           .getOperatingSystemMXBean.getSystemLoadAverage
-        regimeSegments += ((name, ioCanary(), load))
+        regimeSegments += ((name, ioCanary(), cpuCanary(), load))
       }
       val times = (1 to passes).map { _ =>
         if (cachingQueries(name)) {
@@ -215,10 +238,13 @@ object Bench {
       case (n, v) if n.startsWith("q_stream_") => v
     }.sum
     val ioCanaryFinishSec = ioCanary()
+    val cpuCanaryFinishSec = cpuCanary()
     val midCanaries = regimeSegments.map(s => fmt(s._2, 3)).mkString("[", ",", "]")
+    val midCpu = regimeSegments.map(s => fmt(s._3, 3)).mkString("[", ",", "]")
     val buckets =
       s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}},""" +
-        s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"io_canary_mid_sec":$midCanaries,"io_canary_finish_sec":${fmt(ioCanaryFinishSec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
+        s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"io_canary_mid_sec":$midCanaries,"io_canary_finish_sec":${fmt(ioCanaryFinishSec, 3)},""" +
+        s""""cpu_canary_sec":${fmt(cpuCanarySec, 3)},"cpu_canary_mid_sec":$midCpu,"cpu_canary_finish_sec":${fmt(cpuCanaryFinishSec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
     def render(entries: Seq[(String, Double)], decimals: Int): String = {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
@@ -248,11 +274,12 @@ object Bench {
         catch { case _: Throwable => "unknown" }
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val segs = regimeSegments.map { case (name, c, l) =>
-        s"""{"before":"$name","io_canary_sec":$c,"loadavg":$l}"""
+      val segs = regimeSegments.map { case (name, c, cc, l) =>
+        s"""{"before":"$name","io_canary_sec":$c,"cpu_canary_sec":$cc,"loadavg":$l}"""
       }.mkString("[", ",", "]")
       val prov = s""""provenance":{"host":"$host","cpus":"$cpus",""" +
         s""""io_canary_sec":$ioCanarySec,"io_canary_finish_sec":$ioCanaryFinishSec,""" +
+        s""""cpu_canary_sec":$cpuCanarySec,"cpu_canary_finish_sec":$cpuCanaryFinishSec,""" +
         s""""regime_segments":$segs,"loadavg_start":$loadStart,""" +
         s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
