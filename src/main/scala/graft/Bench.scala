@@ -203,8 +203,18 @@ object Bench {
         if (cachingQueries(name)) {
           spark.catalog.clearCache(); Caches.release()
           familyPrewarm.get(name).foreach { producer =>
+            // a swallowed prewarm failure would silently re-bill the
+            // shared family artifact inside the consumer's timer —
+            // record it so a re-billed row is distinguishable from a
+            // clean run (the producer's own timed row will fail loudly)
             try SparkEntry.queries(producer)(spark, sfDir).count()
-            catch { case _: Throwable => () }
+            catch { case e: Throwable =>
+              val tag = s"prewarm:$producer:for:$name"
+              if (!failed.contains(tag)) {
+                failed += tag
+                System.err.println(s"[bench] $tag FAILED: ${e.getMessage}")
+              }
+            }
           }
         }
         System.gc() // don't bill one run's garbage to the next

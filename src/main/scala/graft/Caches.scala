@@ -158,6 +158,12 @@ object Caches {
   /** Number of tracked handles (may exceed distinct cache entries). */
   def size: Int = synchronized(frames.size)
 
+  /** Number of memoized builds this release() epoch. The streaming
+    * memo-leak invariant asserts on this: a per-micro-batch frame
+    * (LogicalRDD-rooted) must NOT add entries here, or a long-running
+    * stream grows the driver map one retained plan per batch. */
+  def memoCount: Int = synchronized(memos.size)
+
   /** Number of DISTINCT artifacts eagerly built this release() epoch —
     * one per canonicalized plan. The cache-reuse invariant specs assert
     * on this: if two pipelines that should share one persisted artifact

@@ -642,6 +642,72 @@ object OracleSql {
          |ORDER BY id""".stripMargin
     },
 
+    // FIFO eviction under the gate: three parity batches (b = doc_id % 3)
+    // at capacity = n_docs // 4 (below one batch's admissions at every
+    // test SF, so the trim actually fires). Batches 0 and 1 replay plain
+    // admission (batch 1's window is always all of batch 0 — the trim
+    // takes at least one older batch). Batch 2's window replays the trim
+    // RULE itself: newest older batches until cumulative admissions first
+    // reach capacity — i.e. batch-1 admissions, plus batch-0 admissions
+    // ONLY IF |adm1| < capacity (the engine's trimToCapacity conditional,
+    // not an assumed outcome). Same signature/CC machinery as
+    // q_stream_neardup64.
+    "q_stream_neardup64_evict" -> {
+      val bitSums = (1 to 64).map { j =>
+        val digit = (j - 1) / 4 + 1
+        val bit = 3 - ((j - 1) % 4)
+        s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(h, $digit, 1)) - 1) >> $bit) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j"
+      }.mkString(",\n         ")
+      val bitChars = (1 to 64)
+        .map(j => s"CASE WHEN b_$j > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT doc_id AS id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+         |s AS (
+         |  SELECT id,
+         |         $bitSums
+         |  FROM e GROUP BY id),
+         |sh64 AS (SELECT id, $bitChars AS simhash FROM s),
+         |cap AS (SELECT GREATEST(1, count(*) // 4) AS c FROM documents),
+         |hl AS (
+         |  SELECT id, id % 3 AS b, simhash,
+         |         CAST(concat('0b', substring(simhash, 1, 32)) AS BIGINT) AS hi,
+         |         CAST(concat('0b', substring(simhash, 33, 32)) AS BIGINT) AS lo
+         |  FROM sh64),
+         |p AS (
+         |  SELECT x.id AS id_a, y.id AS id_b
+         |  FROM hl x JOIN hl y ON x.b = y.b AND x.id < y.id
+         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |minima AS (
+         |  SELECT hl.* FROM hl
+         |  LEFT JOIN (SELECT id, min(r) AS m FROM reach GROUP BY id) c ON c.id = hl.id
+         |  WHERE c.m IS NULL OR c.m = hl.id),
+         |adm0 AS (SELECT * FROM minima WHERE b = 0),
+         |adm1 AS (
+         |  SELECT m.* FROM minima m WHERE m.b = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM adm0 a
+         |    WHERE bit_count(xor(a.hi, m.hi)) + bit_count(xor(a.lo, m.lo)) <= 3)),
+         |w2 AS (
+         |  SELECT hi, lo FROM adm1
+         |  UNION ALL
+         |  SELECT hi, lo FROM adm0
+         |  WHERE (SELECT count(*) FROM adm1) < (SELECT c FROM cap)),
+         |adm2 AS (
+         |  SELECT m.* FROM minima m WHERE m.b = 2 AND NOT EXISTS (
+         |    SELECT 1 FROM w2 a
+         |    WHERE bit_count(xor(a.hi, m.hi)) + bit_count(xor(a.lo, m.lo)) <= 3))
+         |SELECT id, simhash FROM adm0
+         |UNION ALL SELECT id, simhash FROM adm1
+         |UNION ALL SELECT id, simhash FROM adm2
+         |ORDER BY id""".stripMargin
+    },
+
     // stream-stream join: inner matches over bounded input equal the
     // batch self-join; µs arithmetic matches Spark's timestamp + interval
     "q_stream_join" ->

@@ -2284,6 +2284,21 @@ object SparkEntry {
         s, s"$d/documents.parquet", maxDist = 3, capacity = 1L << 20)
       .orderBy(col("id"))
 
+  /** X232 — the bounded store's FIFO EVICTION under the hash gate: three
+    * parity batches at capacity = n_docs/4, so batch 2's match window is
+    * trimmed to batch 1 (whenever batch 1 admitted ≥ capacity — the
+    * oracle replays that CONDITION, not an assumed outcome; at n/4 it
+    * holds at every test SF: 4 re-admissions at sf0.01, 68 at sf0.1)
+    * and batch-0 near-dups in batch 2 are re-admitted past the evicted
+    * signatures.
+    * The trim-and-replay contract this pins is the subtlest reasoning in
+    * the streaming tier; q_stream_neardup64 pins the window=everything
+    * regime, this row pins the window=trimmed one. */
+  private def qStreamNearDup64Evict(s: SparkSession, d: String): DataFrame =
+    graft.streaming.NearDupStream.runDocNearDup64EvictGateOnce(
+        s, s"$d/documents.parquet", maxDist = 3)
+      .orderBy(col("id"))
+
   /** STREAMING in-stream dedup under the gate: the landing directory
     * holds the events file TWICE, so dropDuplicatesWithinWatermark has
     * real duplicates to drop; the emitted set is the distinct event ids
@@ -4259,6 +4274,7 @@ object SparkEntry {
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_neardup64" -> (qStreamNearDup64 _),
+    "q_stream_neardup64_evict" -> (qStreamNearDup64Evict _),
     "q_array_agg" -> (qArrayAgg _),
     "q_unpivot" -> (qUnpivot _),
     "q_array_hof" -> (qArrayHof _),

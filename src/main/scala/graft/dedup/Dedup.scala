@@ -734,6 +734,26 @@ object Dedup {
     * materialized (it is the shared persisted artifact every simhash
     * consumer reads; recomputing it per operator would re-scan the
     * corpus). */
+  /** Row-count estimate for a signature frame — catalog-stats first,
+    * count() fallback — memoized per canonicalized plan so the banding
+    * self-sizers don't re-count a shared artifact per consumer. The memo
+    * is BYPASSED when the plan contains a LogicalRDD node (the root
+    * shape of every foreachBatch micro-batch frame): those plans are
+    * unique per batch, so a memo entry per call can never hit and would
+    * grow the driver map — retaining each batch's canonicalized plan and
+    * its RDD reference — for the lifetime of a stream. LogicalRDD also
+    * carries no rowCount stat, so the count() runs either way there;
+    * skipping the memo changes no work, it only stops the leak. */
+  private def sigCount(sigs: DataFrame): Long = {
+    def est: Long = sigs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(sigs.count())
+    val plan = sigs.queryExecution.logical
+    val perBatch =
+      plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    if (perBatch) est
+    else graft.Caches.memo(("sig-n", plan.canonicalized))(est)
+  }
+
   def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int,
                                   maxExpectedCandidates: Long = 1L << 22): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")
@@ -752,12 +772,7 @@ object Dedup {
     // production path. Corpora past the fence carry 64-bit signatures
     // and use [[simhash64NearDupPairsFromSigs]], whose band width sizes
     // itself to log₂ n.
-    val n = graft.Caches.memo(
-      ("simhash16-n", sigs.queryExecution.logical.canonicalized)) {
-      sigs.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong)
-        .getOrElse(sigs.count())
-    }
+    val n = sigCount(sigs)
     val minWidth = 16 / (maxDist + 1)
     val expectedCandidates =
       (maxDist + 1).toDouble * n.toDouble * n.toDouble / math.pow(2.0, minWidth + 1)
@@ -827,12 +842,7 @@ object Dedup {
     * teaching corpus being small.
     * Returns (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxDist. */
   def simhash64NearDupPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
-    val n = graft.Caches.memo(
-      ("simhash64-n", sigs.queryExecution.logical.canonicalized)) {
-      sigs.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong)
-        .getOrElse(sigs.count())
-    }
+    val n = sigCount(sigs)
     val width = simhash64BandWidth(n, maxDist)
     val bounds = chunkBounds(64, (64 + width - 1) / width)
     val withHalves = sigs
@@ -1016,7 +1026,18 @@ object Dedup {
     // the signature string standing in for the node id
     val nodes = sigs.select(col("simhash")).distinct()
       .select(col("simhash").as("id"), col("simhash"))
-    val hashPairs = simhashNearDupPairsFromSigs(nodes, maxDist)
+    // The candidate-volume fence is DISABLED for this call: the fence
+    // guards doc-level corpus inputs, whose candidate count grows
+    // quadratically with corpus size — but this node set is the DISTINCT
+    // signature table, bounded by the 2^16 signature space no matter the
+    // corpus, so its candidate volume is bounded by construction
+    // (≤ (maxDist+1)·2^32/2^(w+1) in the worst case) and the analytic
+    // worst-case edge guard below already decides collect vs distributed
+    // CC. Fencing here would wrongly refuse dup-sparse corpora whose
+    // distinct-signature count exceeds the fence's n at small maxDist —
+    // exactly the scale the contraction exists to serve.
+    val hashPairs = simhashNearDupPairsFromSigs(nodes, maxDist,
+        maxExpectedCandidates = Long.MaxValue)
       .select(col("id_a"), col("id_b"))
     // The contracted graph is BOUNDED BY CONSTRUCTION — at most 2^16
     // nodes for a 16-bit simhash, regardless of corpus size — so its
@@ -1067,6 +1088,66 @@ object Dedup {
     withComp.join(mins, Seq("comp"))
       .filter(col("csize") > 1)
       .select(col("id"), col("cluster_id"))
+  }
+
+  /** Micro-batch variant of [[simhashClusters]] — identical labels, but
+    * the collect-vs-distributed decision uses the MEASURED contracted
+    * pair count (the [[simhash64Clusters]] guard) instead of the 16-bit
+    * analytic worst case. The analytic bound is the right guard for
+    * one-shot corpus queries (decides with zero extra Spark actions),
+    * but it prices the whole 2^16 signature space: at maxDist ≥ 2 it
+    * exceeds any sane collect cap and routes EVERY input — including a
+    * few-hundred-row streaming micro-batch whose contracted graph holds
+    * a handful of edges — to iterated distributed CC, ~12 driver jobs of
+    * scheduling constants per micro-batch (the X231 lesson, measured on
+    * the 64-bit gate: 8.5 s for a 2-batch lifecycle, ~4× its data cost).
+    * Here the pair table is persisted and counted (the count doubles as
+    * its materialization for either branch), so micro-batch-sized graphs
+    * take the driver union-find fast path and only a genuinely dense
+    * graph pays the distributed rounds.
+    * Returns (id, cluster_id), cluster_id = min doc id, rows only for
+    * docs in ≥2-doc components. */
+  def simhashClustersMeasured(sigs: DataFrame, maxDist: Int,
+                              maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
+    val nodes = sigs.select(col("simhash")).distinct()
+      .select(col("simhash").as("id"), col("simhash"))
+    // fence off for the contracted node set (bounded by the 2^16 space —
+    // see the [[simhashClusters]] call-site note)
+    val hashPairs = simhashNearDupPairsFromSigs(nodes, maxDist,
+        maxExpectedCandidates = Long.MaxValue)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val small = hashPairs.count() <= maxCollectEdges
+    val comp =
+      if (small) {
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElseUpdate(r, r) != r) {
+            parent(r) = parent(parent(r)); r = parent(r)
+          }
+          r
+        }
+        hashPairs.collect().foreach { row =>
+          val ra = find(row.getString(0)); val rb = find(row.getString(1))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp"))
+      } else
+        connectedComponents(hashPairs)
+          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
+    val withComp = sigs
+      .join(comp, Seq("simhash"), "left")
+      .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
+    val mins = withComp.groupBy(col("comp"))
+      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
+    val out = withComp.join(mins, Seq("comp"))
+      .filter(col("csize") > 1)
+      .select(col("id"), col("cluster_id"))
+    hashPairs.unpersist(false)
+    out
   }
 
   /** 64-bit sibling of [[simhashClusters]]: near-dup clusters over a

@@ -38,11 +38,22 @@ object NearDupStream {
     * `maxDist` are dropped. Returns the admitted (id, simhash) rows. */
   def admitBatch(batch: DataFrame, storeSigs: DataFrame, maxDist: Int): DataFrame = {
     val sigs = Dedup.simhash(batch, "doc_id", "text")
-    val dropped = Dedup.simhashClusters(sigs, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // measured-guard clustering (the X231 lesson back-ported to the
+    // 16-bit lifecycle): the analytic worst-case guard prices the whole
+    // 2^16 space and sent every micro-batch — graphs of a few edges —
+    // through iterated distributed CC, ~4× the lifecycle's data cost in
+    // per-round scheduling constants; the measured pair count routes
+    // batch-sized graphs to the driver union-find instead
+    val dropped = Dedup.simhashClustersMeasured(sigs, maxDist)
       .filter(col("id") =!= col("cluster_id")).select(col("id"))
     val survivors = sigs.join(dropped, Seq("id"), "left_anti")
     val matched = Dedup.simhashStoreMatches(survivors, storeSigs, maxDist)
-    survivors.join(matched, Seq("id"), "left_anti")
+    val out = survivors.join(matched, Seq("id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(false)
+    out
   }
 
   /** Write `df` to the target's stage directory (an ACTION — the frame,
@@ -244,29 +255,80 @@ object NearDupStream {
     * DuckDB oracle replays plain sequential admission; the EVICTION
     * path is pinned by NearDup64StreamSpec. */
   def runDocNearDup64GateOnce(spark: SparkSession, docsPath: String,
-                              maxDist: Int, capacity: Long): DataFrame = {
+                              maxDist: Int, capacity: Long): DataFrame =
+    withStagedParityRun(spark, docsPath, nBatches = 2) { (landing, root) =>
+      runNearDup64StreamOnce(spark, landing.getAbsolutePath,
+        new java.io.File(root, "admitted").getAbsolutePath,
+        new java.io.File(root, "store").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath, maxDist, capacity)
+    }
+
+  /** EVICTION gate harness (the r14-verdict ask): same staged lifecycle
+    * as [[runDocNearDup64GateOnce]] but THREE parity batches
+    * (doc_id % 3) at capacity = max(1, n_docs/4) — BELOW one batch's
+    * admissions at every test SF (measured: |adm1| = 165 of 500 docs at
+    * sf0.01, 1570 of 5000 at sf0.1, vs capacity 125/1250), so batch 2's
+    * match window is trimmed to batch 1 and FIFO eviction itself runs
+    * under the DuckDB hash gate, not only under specs (n/3 misses by
+    * 1-2 admissions: the near-dup density drops |adm1| just under n/3). The oracle does
+    * NOT assume which batches survive the trim: it replays the trim
+    * RULE (newest older batches until their cumulative admission count
+    * first reaches capacity), i.e. batch 2 matches against batch-1
+    * admissions plus batch-0 admissions ONLY IF |adm1| < capacity — the
+    * same conditional the engine's `trimToCapacity` evaluates. At any
+    * real SF |adm1| ≥ capacity, so batch 0 is evicted from the window
+    * and its near-dups in batch 2 are RE-ADMITTED — the documented
+    * boundedness trade, now hash-pinned (NearDup64StreamSpec asserts
+    * re-admission actually fires at the gate configuration). */
+  def runDocNearDup64EvictGateOnce(spark: SparkSession, docsPath: String,
+                                   maxDist: Int): DataFrame = {
+    val nDocs = spark.read.parquet(docsPath).count()
+    val capacity = math.max(1L, nDocs / 4)
+    withStagedParityRun(spark, docsPath, nBatches = 3) { (landing, root) =>
+      runNearDup64StreamOnce(spark, landing.getAbsolutePath,
+        new java.io.File(root, "admitted").getAbsolutePath,
+        new java.io.File(root, "store").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath, maxDist, capacity)
+    }
+  }
+
+  /** Stage `docsPath` as `nBatches` parity landing files (batch b =
+    * doc_id % nBatches) with strictly increasing mtimes — the file
+    * source's oldest-first order then makes batch order = parity order,
+    * deterministic — run `body`, and hand back the admitted (id,
+    * simhash) table as a local batch frame (the memory-sink-style gate
+    * fixture collect every streaming gate row uses; the temp root is
+    * deleted after). mtime-set failures ABORT (a silently unset mtime
+    * would invert batch order, the determinism contract the oracle's
+    * parity split relies on), and a parity class with no documents
+    * simply lands no file — fewer batches, same contract. */
+  private def withStagedParityRun(spark: SparkSession, docsPath: String,
+                                  nBatches: Int)
+                                 (body: (java.io.File, java.io.File) => Unit): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_nd64_gate_").toFile
     try {
       val landing = new java.io.File(root, "landing"); landing.mkdirs()
       val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
       val t0 = 1700000000000L // any fixed base; only the ORDER matters
-      // one pass over documents writes both parity parts (partitionBy
+      // one pass over documents writes all parity parts (partitionBy
       // drops the partition column, leaving exactly docSchema)
       val stage = new java.io.File(root, "stage")
-      docs.withColumn("b", col("doc_id") % 2)
+      docs.withColumn("b", col("doc_id") % nBatches)
         .coalesce(1).write.mode("overwrite").partitionBy("b")
         .parquet(stage.getAbsolutePath)
-      (0 until 2).foreach { b =>
-        val part = new java.io.File(stage, s"b=$b").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val target = new java.io.File(landing, s"b$b.parquet")
-        java.nio.file.Files.move(part.toPath, target.toPath)
-        target.setLastModified(t0 + b * 60000L)
+      (0 until nBatches).foreach { b =>
+        val dir = new java.io.File(stage, s"b=$b")
+        if (dir.isDirectory) {
+          val part = dir.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = new java.io.File(landing, s"b$b.parquet")
+          java.nio.file.Files.move(part.toPath, target.toPath)
+          require(target.setLastModified(t0 + b * 60000L),
+            s"setLastModified failed on $target; batch order would be " +
+              "nondeterministic — refusing to run the gate")
+        }
       }
-      runNearDup64StreamOnce(spark, landing.getAbsolutePath,
-        new java.io.File(root, "admitted").getAbsolutePath,
-        new java.io.File(root, "store").getAbsolutePath,
-        new java.io.File(root, "ckpt").getAbsolutePath, maxDist, capacity)
+      body(landing, root)
       val out = spark.read.parquet(new java.io.File(root, "admitted").getAbsolutePath)
         .select(col("id"), col("simhash"))
       val (rows, schema) = (out.collect(), out.schema)
@@ -288,8 +350,12 @@ object NearDupStream {
                            admittedDir: String, storeDir: String,
                            checkpoint: String, maxDist: Int): Unit = {
     // Stateless foreachBatch (no watermark state) — boundedLifecycleConfs
-    // for uniformity; the no-data-batch skip is vacuous here.
-    EventStream.withConf(spark, EventStream.lifecycleConfs(spark): _*) {
+    // for uniformity; the no-data-batch skip is vacuous here. AQE OFF in
+    // the body, as in [[runNearDup64StreamOnce]]: on micro-batch-sized
+    // frames every adaptive exchange re-plan spawns driver sub-jobs
+    // whose scheduling constants dwarf the data (the 69→29-job lesson).
+    EventStream.withConf(spark, EventStream.lifecycleConfs(spark) ++ Seq(
+      "spark.sql.adaptive.enabled" -> "false"): _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val q = raw.writeStream
@@ -299,19 +365,22 @@ object NearDupStream {
             if (new java.io.File(storeDir).isDirectory) s.read.parquet(storeDir)
             else s.createDataFrame(new java.util.ArrayList[Row](),
               StructType(Seq(StructField("simhash", StringType))))
+          // admitBatch hands back an already-persisted, materialized frame
           val admitted = admitBatch(b.toDF(), store, maxDist)
-          val newAdmitted =
-            if (new java.io.File(admittedDir).isDirectory)
-              s.read.parquet(admittedDir).unionByName(admitted)
-                .dropDuplicates("id")
-            else admitted
-          val newStore = store.select(col("simhash"))
-            .unionByName(admitted.select(col("simhash"))).distinct()
-          // materialize BOTH derived tables before either live dir moves
-          writeStage(newAdmitted, admittedDir)
-          writeStage(newStore, storeDir)
-          swapStage(admittedDir)
-          swapStage(storeDir)
+          try {
+            val newAdmitted =
+              if (new java.io.File(admittedDir).isDirectory)
+                s.read.parquet(admittedDir).unionByName(admitted)
+                  .dropDuplicates("id")
+              else admitted
+            val newStore = store.select(col("simhash"))
+              .unionByName(admitted.select(col("simhash"))).distinct()
+            // materialize BOTH derived tables before either live dir moves
+            writeStage(newAdmitted, admittedDir)
+            writeStage(newStore, storeDir)
+            swapStage(admittedDir)
+            swapStage(storeDir)
+          } finally admitted.unpersist()
         }
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

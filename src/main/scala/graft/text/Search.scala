@@ -30,8 +30,14 @@ object Search {
     * the stream side, merge-sort would be waste), `None` leaves the plan
     * unhinted so Catalyst statistics + AQE's runtime size of the
     * aggregated side pick — the only safe default when the small side is
-    * vocabulary-bounded rather than dimension-bounded. */
-  private def sizeGated(small: DataFrame, force: Option[Boolean]): DataFrame =
+    * vocabulary-bounded rather than dimension-bounded. Shared by every
+    * text op that joins a DISTINCT-WORD / vocabulary-keyed table back
+    * onto the corpus (unigramScore, bigramFluency, lmBuckets, and the
+    * tokenizer applies in [[Unigram]]/[[WordPiece]]): such tables grow
+    * with corpus vocabulary (Heaps' law — ~10⁷-10⁸ rows at web scale),
+    * so a hard-coded broadcast is a driver OOM waiting on the wrong
+    * corpus; the default must let the engine measure. */
+  private[text] def sizeGated(small: DataFrame, force: Option[Boolean]): DataFrame =
     force match {
       case Some(true)  => broadcast(small)
       case Some(false) => small.hint("shuffle_hash")

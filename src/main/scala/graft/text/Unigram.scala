@@ -261,25 +261,31 @@ object Unigram {
 
   /** Corpus-wide tokenizer APPLY — per-document piece statistics under
     * the trained vocabulary: the per-word segment lengths come from one
-    * Viterbi pass over the DISTINCT-word table and broadcast back onto
-    * the token stream, so the corpus pays one scan regardless of
-    * vocabulary size. Returns (id, n_words, n_pieces,
+    * Viterbi pass over the DISTINCT-word table and join back onto the
+    * token stream, so the corpus pays one scan regardless of vocabulary
+    * size. The join-back routes through the shared [[Search.sizeGated]]
+    * seam: the segment table has one row per DISTINCT WORD, which grows
+    * with corpus vocabulary (Heaps' law), so `broadcastModel = None`
+    * (default) lets AQE measure its actual size — broadcast when it
+    * fits, co-partitioned shuffle join when the corpus's vocabulary
+    * outgrows the driver. Returns (id, n_words, n_pieces,
     * pieces_per_word_permille). */
   def unigramApply(docs: DataFrame, idCol: String, textCol: String,
                    maxPieceLen: Int = 4, maxWordLen: Int = 16,
                    rounds: Int = 2, minCount: Long = 2,
-                   vocabSize: Int = 64): DataFrame = {
+                   vocabSize: Int = 64,
+                   broadcastModel: Option[Boolean] = None): DataFrame = {
     val vocab = unigramTrain(docs, idCol, textCol, maxPieceLen, maxWordLen,
       rounds, minCount, vocabSize)
       .withColumnRenamed("n_used", "c")
     val words = wordCounts(docs, idCol, textCol)
     // The per-word segment-length table is memoized + materialized under
-    // the model-loop conf scope: it is model-sized (one row per distinct
-    // word), has TWO consumers since the three-family comparison row
-    // landed (the apply and the X180 aggregate), and pre-building it
-    // keeps the big Viterbi HOF trees out of the corpus-facing apply
-    // query's plan — the apply then broadcasts a cached table, and AQE
-    // replans a trivial join instead of the DP expressions.
+    // the model-loop conf scope: it is vocabulary-sized (one row per
+    // distinct word), has TWO consumers since the three-family
+    // comparison row landed (the apply and the X180 aggregate), and
+    // pre-building it keeps the big Viterbi HOF trees out of the
+    // corpus-facing apply query's plan — the apply then joins a cached
+    // table, and AQE sizes a trivial join instead of the DP expressions.
     val segLen = graft.Caches.memo(
       ("unigramSegLen", docs.queryExecution.logical.canonicalized,
         idCol, textCol, maxPieceLen, maxWordLen, rounds, minCount, vocabSize)) {
@@ -292,7 +298,7 @@ object Unigram {
     }
     docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-      .join(broadcast(segLen), Seq("w"))
+      .join(Search.sizeGated(segLen, broadcastModel), Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
       .select(col("id"), col("n_words"), col("n_pieces"),

@@ -248,12 +248,17 @@ object WordPiece {
     * expression over a per-word position → longest-match-length map
     * (the round-11 unigram lesson: an unrolled withColumn chain bills
     * seconds of Catalyst planning per pass at any data size); the
-    * corpus-side work is one broadcast join of the per-word results
-    * onto the token stream. */
+    * corpus-side work is one join of the per-word results onto the
+    * token stream, routed through the shared [[Search.sizeGated]] seam
+    * — the walked table has one row per DISTINCT WORD (Heaps-grows with
+    * corpus vocabulary), so `broadcastModel = None` (default) lets AQE
+    * measure: broadcast when it fits, co-partitioned shuffle join when
+    * it doesn't. */
   def wordpieceApply(docs: DataFrame, idCol: String, textCol: String,
                      nMerges: Int = 20, maxPieceLen: Int = 6,
                      maxWordLen: Int = 16, minPairCount: Long = 2,
-                     charMinCount: Long = 2): DataFrame = {
+                     charMinCount: Long = 2,
+                     broadcastModel: Option[Boolean] = None): DataFrame = {
     // Memoized + materialized under the model-loop conf scope (the
     // unigram segLen reasoning): the per-word walk table is model-sized,
     // shared by the apply row and the X180 family comparison, and
@@ -273,7 +278,7 @@ object WordPiece {
     docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-      .join(broadcast(walked), Seq("w"))
+      .join(Search.sizeGated(walked, broadcastModel), Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"),
         sum(col("unk")).as("n_unk_words"))

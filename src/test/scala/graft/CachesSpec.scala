@@ -33,6 +33,40 @@ class CachesSpec extends SparkSpec {
     Caches.release()
   }
 
+  test("pair-miner row-count memo bypasses per-micro-batch (LogicalRDD) frames") {
+    // Every foreachBatch body hands the library a LogicalRDD-rooted
+    // frame whose canonicalized plan is unique per batch: memoizing its
+    // row count can never hit and would grow the driver memo map (and
+    // retain each batch's plan + RDD reference) for the lifetime of a
+    // stream. The banding self-sizers must count such frames WITHOUT
+    // adding memo entries — while plan-stable batch frames still memoize.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sig = "01" * 32
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("simhash", StringType)))
+    val rdd = spark.sparkContext.parallelize(
+      (1L to 4L).map(i => Row(i, sig)))
+    val perBatch = spark.createDataFrame(rdd, schema)
+    val before = Caches.memoCount
+    Dedup.simhash64NearDupPairsFromSigs(perBatch, maxDist = 3).count()
+    assert(Caches.memoCount == before,
+      "a LogicalRDD-rooted frame must not add memo entries")
+    // a second distinct batch frame (a new RDD, as a stream produces)
+    // must not add one either
+    val perBatch2 = spark.createDataFrame(
+      spark.sparkContext.parallelize((5L to 8L).map(i => Row(i, sig))), schema)
+    Dedup.simhash64NearDupPairsFromSigs(perBatch2, maxDist = 3).count()
+    assert(Caches.memoCount == before,
+      "each micro-batch frame would otherwise leak one entry per batch")
+    // plan-stable frames keep the cross-consumer memo
+    val stable = spark.range(4).selectExpr("id", s"'$sig' AS simhash")
+    Dedup.simhash64NearDupPairsFromSigs(stable, maxDist = 3).count()
+    assert(Caches.memoCount == before + 1,
+      "batch frames must still memoize their row-count estimate")
+    Caches.release()
+  }
+
   test("materialize() builds eagerly, once per plan per release() epoch") {
     // persist() alone already reports a non-NONE storage level, so the
     // eager count() and the once-per-epoch dedup are observed through the

@@ -139,6 +139,48 @@ class PlanInvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("tokenizer applies: the model join rides the size-gate seam, both pins plannable") {
+    // The per-distinct-word segment/walk tables Heaps-grow with corpus
+    // vocabulary, so the applies must NOT hard-broadcast them (the r14
+    // verdict finding): default = unhinted (AQE measures the table's
+    // actual size), Some(true) pins BroadcastHashJoin, Some(false) pins
+    // the shuffle join — and all three modes return identical rows (the
+    // seam is a physical-plan choice, never a semantics one).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame): (String, Set[String]) = {
+      val rows = df.collect().map(_.toString).toSet // settle AQE's final plan
+      (df.queryExecution.executedPlan.toString, rows)
+    }
+    for ((fam, f) <- Seq[(String, Option[Boolean] => org.apache.spark.sql.DataFrame)](
+      "unigram" -> (m => graft.text.Unigram.unigramApply(docs, "doc_id", "text",
+        broadcastModel = m)),
+      "wordpiece" -> (m => graft.text.WordPiece.wordpieceApply(docs, "doc_id", "text",
+        broadcastModel = m)))) {
+      val (pBc, rBc) = run(f(Some(true)))
+      assert(pBc.contains("BroadcastHashJoin"),
+        s"$fam: Some(true) must pin the broadcast join:\n$pBc")
+      val (pSh, rSh) = run(f(Some(false)))
+      assert(pSh.contains("ShuffledHashJoin"),
+        s"$fam: Some(false) must pin the shuffle join:\n$pSh")
+      val (_, rDef) = run(f(None))
+      assert(rDef == rBc && rDef == rSh,
+        s"$fam: the seam changed results across modes")
+      // the default mode adds NO hint of its own: the model-internal
+      // broadcasts (vocab-sized, legitimate) inline into the analyzed
+      // plan, so assert by COUNT — each pinned mode carries exactly one
+      // ResolvedHint more than the default (AQE may still CHOOSE to
+      // broadcast the default's join; that is the point of the seam)
+      def hints(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }.size
+      val base = hints(f(None))
+      assert(hints(f(Some(true))) == base + 1 && hints(f(Some(false))) == base + 1,
+        s"$fam: default mode must leave the apply join unhinted " +
+          s"(default=$base pinned=${hints(f(Some(true)))})")
+    }
+  }
+
   test("q_dedup_eval: shared dedup artifacts build exactly once across the eval pair") {
     // The truth (PPJoin) and candidate (LSH banding) pipelines must ride
     // the SAME persisted shingle-set table, and the md5 signature pass

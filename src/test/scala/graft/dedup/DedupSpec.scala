@@ -214,6 +214,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashNearDupPairsFromSigs(sigs, maxDist = 1).count() >= 1)
   }
 
+  test("simhashClusters is not fenced on the signature-contracted node set") {
+    // The fence guards DOC-level corpus inputs (quadratic candidate
+    // growth); simhashClusters feeds the pair miner the DISTINCT
+    // signature table, which the 2^16 space bounds no matter the corpus.
+    // A dup-sparse corpus with 33k distinct signatures at maxDist=1
+    // trips the doc-level fence's n — the cluster path must still run
+    // (it did not before the r15 fix: the fence threw from inside the
+    // contracted path with advice its callers cannot act on).
+    val sigs = spark.range(33000)
+      .selectExpr("id", "lpad(bin(id), 16, '0') AS simhash")
+    // doc-level entry refuses this n at maxDist=1 ...
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsFromSigs(sigs, maxDist = 1)
+    }
+    // ... the contracted cluster path must not
+    val clustered = Dedup.simhashClusters(sigs, maxDist = 1)
+    assert(clustered.count() > 0)
+    // consecutive even/odd ids differ in exactly bit 16 → same cluster
+    val c = clustered.filter($"id" <= 1).select("cluster_id")
+      .as[Long].collect().toSet
+    assert(c == Set(0L))
+  }
+
   test("minhashLshPairs skew guard: oversized buckets route to self-join, same result") {
     // 40 byte-identical docs land in ONE bucket per band; with
     // maxBucket = 4 every bucket exceeds the cap so ALL pairs must come

@@ -103,6 +103,37 @@ class NearDup64StreamSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("evict gate harness: FIFO eviction fires (re-admission) and the trim conditional holds") {
+    def runGate(rows: Seq[(Long, String)]): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("nd64-evict-fix").toFile
+      try {
+        val p = new java.io.File(dir, "documents.parquet").getAbsolutePath
+        rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(p)
+        NearDupStream.runDocNearDup64EvictGateOnce(spark, p, maxDist = 3)
+          .select($"id").as[Long].collect().toSet
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    // Branch 1 — eviction FIRES: n=5 → capacity 1; batch 1 (ids 1,4,7)
+    // admits 3 distinct docs ≥ capacity, so batch 2's window is batch 1
+    // only and doc 2 — an EXACT dup of the batch-0 doc 0 — is
+    // RE-ADMITTED past the evicted signature (the boundedness trade).
+    assert(runGate(Seq((0L, A), (1L, C), (4L, F), (7L, G), (2L, A))) ==
+      Set(0L, 1L, 4L, 7L, 2L))
+    // Branch 2 — trim RETAINS batch 0: n=9 → capacity 3; batch 1's docs
+    // are mutual exact dups (one admission < capacity), so the window
+    // extends to batch 0 and the same exact dup is DROPPED.
+    assert(runGate(Seq((0L, A), (3L, F), (6L, G),
+      (1L, C), (4L, C), (7L, C),
+      (2L, A), (5L, "solar powered bicycles deserve dedicated mountain lanes"),
+      (8L, "the archive catalogs medieval manuscripts with infrared scanners"))) ==
+      Set(0L, 3L, 6L, 1L, 5L, 8L))
+  }
+
   test("admitBatch64 with an empty match set admits cluster minima only") {
     val empty = Seq.empty[String].toDF("simhash")
     val out = NearDupStream.admitBatch64(
