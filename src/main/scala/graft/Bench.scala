@@ -251,10 +251,21 @@ object Bench {
     val cpuCanaryFinishSec = cpuCanary()
     val midCanaries = regimeSegments.map(s => fmt(s._2, 3)).mkString("[", ",", "]")
     val midCpu = regimeSegments.map(s => fmt(s._3, 3)).mkString("[", ",", "]")
+    // PER-SEGMENT ROW-TIME SUMS (r14 forward-plan item 5, triggered by
+    // this round's drift concentrating in a few I/O rows under quiet
+    // canaries): the four sums of row medians between quartile probes.
+    // A regime shift that the canaries miss still shows as ONE shifted
+    // segment here, attributable without diffing bench_full per row.
+    val segBoundsOrdered = Seq(1, 2, 3).map(q => q * sortedQueries.size / 4)
+    val segmentRowSums = (0 +: segBoundsOrdered :+ sortedQueries.size)
+      .sliding(2).map { case Seq(a, b) => results.slice(a, b).map(_._2).sum }
+      .toSeq
+    val segSumsJson = segmentRowSums.map(fmt(_, 1)).mkString("[", ",", "]")
     val buckets =
       s""""buckets":{"streaming_lifecycle":${fmt(streamingSec, 2)},"batch":${fmt(total - streamingSec, 2)}},""" +
         s""""regime":{"io_canary_sec":${fmt(ioCanarySec, 3)},"io_canary_mid_sec":$midCanaries,"io_canary_finish_sec":${fmt(ioCanaryFinishSec, 3)},""" +
-        s""""cpu_canary_sec":${fmt(cpuCanarySec, 3)},"cpu_canary_mid_sec":$midCpu,"cpu_canary_finish_sec":${fmt(cpuCanaryFinishSec, 3)},"loadavg_start":${fmt(loadStart, 2)}}"""
+        s""""cpu_canary_sec":${fmt(cpuCanarySec, 3)},"cpu_canary_mid_sec":$midCpu,"cpu_canary_finish_sec":${fmt(cpuCanaryFinishSec, 3)},""" +
+        s""""segment_row_sec":$segSumsJson,"loadavg_start":${fmt(loadStart, 2)}}"""
     def render(entries: Seq[(String, Double)], decimals: Int): String = {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
@@ -290,7 +301,7 @@ object Bench {
       val prov = s""""provenance":{"host":"$host","cpus":"$cpus",""" +
         s""""io_canary_sec":$ioCanarySec,"io_canary_finish_sec":$ioCanaryFinishSec,""" +
         s""""cpu_canary_sec":$cpuCanarySec,"cpu_canary_finish_sec":$cpuCanaryFinishSec,""" +
-        s""""regime_segments":$segs,"loadavg_start":$loadStart,""" +
+        s""""regime_segments":$segs,"segment_row_sec":$segSumsJson,"loadavg_start":$loadStart,""" +
         s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"sf":"$sfDir"}""")
