@@ -240,7 +240,7 @@ object Bench {
     // nothing a reader should trust. Full precision goes to bench_full.json.
     def fmt(v: Double, decimals: Int): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-    // The six q_stream_* rows each run a REAL streaming lifecycle
+    // The q_stream_* rows (10 as of X232) each run a REAL streaming lifecycle
     // (checkpoint dir + state-store setup ×cold passes) — fixed engine
     // constants that amortize in any long-lived stream, not operator
     // cost. Report that bucket separately so the headline tracks plans.
