@@ -3077,27 +3077,34 @@ object OracleSql {
         |ORDER BY user_id""".stripMargin,
 
     "q_cms_auto" ->
-      // widthFor(n_tokens, 50) at every gate corpus lands on the 2048
-      // floor (≤ ~38k occurrences) — static sketch geometry, the
-      // simhash64 chunk-layout precedent.
+      // The width is DERIVED in SQL — clamp(⌈e·n/50⌉, 2048, 2²⁴), the
+      // exact CountMin.widthFor rule (exp(1) and the product/division
+      // order are the same IEEE doubles both engines) — so the oracle
+      // follows the engine's data-sized geometry at ANY SF instead of
+      // pinning the gate corpus's 2048 floor (the r15 sf0.1 cross-check
+      // caught the pinned form: sf0.1 derives 14717, and a width
+      // mismatch changes every bucket and estimate).
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |wd AS (SELECT LEAST(16777216, GREATEST(2048,
+        |         CAST(ceil(exp(1) * count(*) / 50) AS BIGINT))) AS w FROM tok),
         |ds AS (SELECT unnest(range(4)) AS depth),
         |h AS (
         |  SELECT d.depth,
-        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', t.tok)), 1, 15)) AS BIGINT) % 2048 AS bucket
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', t.tok)), 1, 15)) AS BIGINT) % (SELECT w FROM wd) AS bucket
         |  FROM tok t, ds d),
         |counters AS (SELECT depth, bucket, count(*) AS c FROM h GROUP BY 1, 2),
         |probe AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok
         |          ORDER BY n_exact DESC, tok LIMIT 20),
         |pb AS (
         |  SELECT p.tok, d.depth,
-        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', p.tok)), 1, 15)) AS BIGINT) % 2048 AS bucket
+        |         CAST(concat('0x', substring(md5(concat(CAST(d.depth AS VARCHAR), ':', p.tok)), 1, 15)) AS BIGINT) % (SELECT w FROM wd) AS bucket
         |  FROM probe p, ds d),
         |est AS (
         |  SELECT pb.tok, min(coalesce(c.c, 0)) AS n_est
         |  FROM pb LEFT JOIN counters c USING (depth, bucket)
         |  GROUP BY 1)
-        |SELECT probe.tok, probe.n_exact, est.n_est, CAST(2048 AS INTEGER) AS width
+        |SELECT probe.tok, probe.n_exact, est.n_est,
+        |       CAST((SELECT w FROM wd) AS INTEGER) AS width
         |FROM probe JOIN est USING (tok)
         |ORDER BY tok""".stripMargin,
 

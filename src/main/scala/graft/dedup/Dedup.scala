@@ -142,9 +142,27 @@ object Dedup {
     * exact for ANY boundary placement because range partitions are
     * order-disjoint. Returns (id, k, r). */
   private[graft] def globalRankByKey(df: DataFrame): DataFrame = {
-    val parted = df.select(col("id"), col("k"))
+    // MATERIALIZED before the fan-out, and not as an optimization: the
+    // partition-id column below is Spark-nondeterministic, and this
+    // subtree is consumed TWICE — by the local-rank window AND by the
+    // broadcast offset table. Un-materialized, those are two
+    // instantiations of the range exchange whose boundary SAMPLES are
+    // drawn independently per instantiation; exchange/stage reuse
+    // usually collapses them, but a cold-plan race (the broadcast
+    // thread and the main stage both planning the subtree — the
+    // documented Caches.materialize race class) leaves two exchanges
+    // with DIFFERENT boundaries, and offsets computed against one
+    // partitioning join local ranks computed against another: corrupt
+    // global ranks (observed once at sf0.1 in a full 258-query run —
+    // quintile 6 of 5 in q_rfm_segments — and not reproducible in
+    // isolation, exactly the signature of a reuse race). The eager
+    // one-pass materialize pins ONE partitioning that both consumers
+    // read; eviction recompute reuses the same Partitioner instance,
+    // so the pid column stays frozen.
+    val parted = graft.Caches.materialize(df.select(col("id"), col("k"))
       .repartitionByRange(graft.Par.widthFor(df), col("k"), col("id"))
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val local = parted.withColumn("lr",
       row_number().over(Window.partitionBy(col("pid")).orderBy(col("k"), col("id"))))
     val offs = local.groupBy(col("pid")).agg(count(lit(1)).as("c"))

@@ -241,9 +241,16 @@ object Relational {
     * partitions are order-disjoint); all comparisons integer. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val g = df.groupBy(col(xCol).as("__sk_x")).agg(max(col(yCol)).as("__sk_ymax"))
-    val parted = g.repartitionByRange(graft.Par.widthFor(g),
-        col("__sk_x").desc)
+    // materialized for the same reason as globalRankByKey's parted: the
+    // nondeterministic pid column is consumed by the local window AND
+    // the broadcast per-partition-maxima table — two instantiations of
+    // the range exchange under a cold-plan race would sample different
+    // boundaries and the prefix-max offsets would not match the local
+    // windows' partitioning
+    val parted = graft.Caches.materialize(g.repartitionByRange(
+        graft.Par.widthFor(g), col("__sk_x").desc)
       .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("__sk_x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("lmax", max(col("__sk_ymax")).over(wLocal))

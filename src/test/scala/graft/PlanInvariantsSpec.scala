@@ -181,6 +181,34 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("rank/skyline pipelines pin ONE partition-id frame (materialized, cache-read)") {
+    // globalRankByKey/skyline2d put a NONDETERMINISTIC column
+    // (spark_partition_id over a range exchange whose boundaries are
+    // SAMPLED per instantiation) under two consumers — the local window
+    // and a broadcast offsets/maxima table. If the subtree instantiates
+    // twice (a cold-plan broadcast race defeats exchange reuse), the two
+    // samples differ and offsets join ranks from a DIFFERENT
+    // partitioning: corrupt global ranks. Observed ONCE as quintile 6/5
+    // in a full 258-query sf0.1 run, unreproducible in isolation — so
+    // the guard is structural, not a repro test: the pid frame must be
+    // eagerly materialized (one build per quint/skyline call) and both
+    // consumers must read it through the cache.
+    val dir = "/root/testdata/sf0.001"
+    spark.catalog.clearCache(); Caches.release()
+    val before = Caches.builtCount
+    val rfm = SparkEntry.queries("q_rfm_segments")(spark, dir)
+    assert(rfm.collect().length > 0)
+    assert(Caches.builtCount - before == 3,
+      s"expected 3 materialized rank partitionings (rec/freq/mon), got ${Caches.builtCount - before}")
+    assert(rfm.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "the pid frame must be consumed through the cache, not re-instantiated")
+    val sky = SparkEntry.queries("q_pareto_front")(spark, dir)
+    assert(sky.collect().length > 0)
+    assert(sky.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "skyline2d's pid frame must be consumed through the cache")
+    spark.catalog.clearCache(); Caches.release()
+  }
+
   test("q_dedup_eval: shared dedup artifacts build exactly once across the eval pair") {
     // The truth (PPJoin) and candidate (LSH banding) pipelines must ride
     // the SAME persisted shingle-set table, and the md5 signature pass
