@@ -192,7 +192,11 @@ object Bench {
       "q_knn_triangles" -> "q_knn_graph")
     val regimeSegments = scala.collection.mutable.ListBuffer[(String, Double, Double, Double)]()
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val quartiles = Set(1, 2, 3).map(q => q * sortedQueries.size / 4)
+    // ONE boundary list feeds both the mid-run probes and the
+    // segment_row_sec sums below — they must stay aligned or the four
+    // sums attribute drift to the wrong quarter of the run
+    val segBoundsOrdered = Seq(1, 2, 3).map(q => q * sortedQueries.size / 4)
+    val quartiles = segBoundsOrdered.toSet
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
       if (quartiles(idx)) {
         val load = java.lang.management.ManagementFactory
@@ -240,7 +244,7 @@ object Bench {
     // nothing a reader should trust. Full precision goes to bench_full.json.
     def fmt(v: Double, decimals: Int): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
-    // The q_stream_* rows (10 as of X232) each run a REAL streaming lifecycle
+    // The q_stream_* rows (8 as of X232) each run a REAL streaming lifecycle
     // (checkpoint dir + state-store setup ×cold passes) — fixed engine
     // constants that amortize in any long-lived stream, not operator
     // cost. Report that bucket separately so the headline tracks plans.
@@ -256,7 +260,6 @@ object Bench {
     // canaries): the four sums of row medians between quartile probes.
     // A regime shift that the canaries miss still shows as ONE shifted
     // segment here, attributable without diffing bench_full per row.
-    val segBoundsOrdered = Seq(1, 2, 3).map(q => q * sortedQueries.size / 4)
     val segmentRowSums = (0 +: segBoundsOrdered :+ sortedQueries.size)
       .sliding(2).map { case Seq(a, b) => results.slice(a, b).map(_._2).sum }
       .toSeq

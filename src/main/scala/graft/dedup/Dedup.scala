@@ -789,18 +789,26 @@ object Dedup {
     // pathological point (50 000 → 117M) with a message naming the
     // production path. Corpora past the fence carry 64-bit signatures
     // and use [[simhash64NearDupPairsFromSigs]], whose band width sizes
-    // itself to log₂ n.
-    val n = sigCount(sigs)
-    val minWidth = 16 / (maxDist + 1)
-    val expectedCandidates =
-      (maxDist + 1).toDouble * n.toDouble * n.toDouble / math.pow(2.0, minWidth + 1)
-    require(expectedCandidates <= maxExpectedCandidates.toDouble,
-      f"simhashNearDupPairsFromSigs: corpus n=$n%d at maxDist=$maxDist%d implies " +
-        f"~$expectedCandidates%.0f expected bucket-join candidates (> fence " +
-        f"$maxExpectedCandidates%d); the 16-bit signature width is a teaching " +
-        "shape whose candidate volume is quadratic past it (measured 162x at " +
-        "x100, SCALE_r13 study 1). Build 64-bit signatures (Dedup.simhash64) " +
-        "and use simhash64NearDupPairsFromSigs, whose band width self-sizes.")
+    // itself to log₂ n. A DISABLED fence (Long.MaxValue — the
+    // signature-contracted cluster paths, whose node set the 2^16 space
+    // bounds) skips the row-count estimate entirely: the 16-bit chunk
+    // layout does not depend on n, so the estimate's only consumer is
+    // the fence require, and on per-micro-batch LogicalRDD frames the
+    // estimate is a full count() job a stream would pay per batch for
+    // an un-failable check.
+    if (maxExpectedCandidates != Long.MaxValue) {
+      val n = sigCount(sigs)
+      val minWidth = 16 / (maxDist + 1)
+      val expectedCandidates =
+        (maxDist + 1).toDouble * n.toDouble * n.toDouble / math.pow(2.0, minWidth + 1)
+      require(expectedCandidates <= maxExpectedCandidates.toDouble,
+        f"simhashNearDupPairsFromSigs: corpus n=$n%d at maxDist=$maxDist%d implies " +
+          f"~$expectedCandidates%.0f expected bucket-join candidates (> fence " +
+          f"$maxExpectedCandidates%d); the 16-bit signature width is a teaching " +
+          "shape whose candidate volume is quadratic past it (measured 162x at " +
+          "x100, SCALE_r13 study 1). Build 64-bit signatures (Dedup.simhash64) " +
+          "and use simhash64NearDupPairsFromSigs, whose band width self-sizes.")
+    }
     // integer form of the hash: Hamming distance is one XOR + popcount
     // per candidate instead of 16 string comparisons
     val sim = sigs.withColumn("v", conv(col("simhash"), 2, 10).cast("long"))
@@ -1075,37 +1083,74 @@ object Dedup {
       val neighborhood = (1 to maxDist).map(choose16).sum
       (BigInt(1) << 16) * neighborhood / 2
     }
-    val spark = sigs.sparkSession
-    import spark.implicits._
     val comp =
-      if (worstCaseEdges <= BigInt(maxCollectEdges)) {
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
-          var r = x
-          while (parent.getOrElseUpdate(r, r) != r) {
-            parent(r) = parent(parent(r)); r = parent(r)
-          }
-          r
-        }
-        hashPairs.collect().foreach { row =>
-          val ra = find(row.getString(0)); val rb = find(row.getString(1))
-          // union-by-min keeps every root the component's minimum signature
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp")
-      } else
+      if (worstCaseEdges <= BigInt(maxCollectEdges))
+        unionFindComp(sigs.sparkSession, hashPairs.collect())
+      else
         connectedComponents(hashPairs)
           .select(col("id").as("simhash"), col("cluster_id").as("comp"))
-    // docs → component key (isolated signatures fall back to themselves),
-    // then one aggregation pins the component's min doc id
+    // the contracted label table is 2^16-bounded → always broadcast
+    expandClusterLabels(sigs, broadcast(comp))
+  }
+
+  /** Driver union-find over a COLLECTED contracted pair table —
+    * union-by-min keeps every root the component's minimum node key.
+    * Callers guarantee the collect is bounded (analytic 2^16 worst case
+    * or a measured pair count). Returns the (simhash, comp) label table
+    * as a driver-local frame. */
+  private def unionFindComp(spark: org.apache.spark.sql.SparkSession,
+                            pairRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) {
+        parent(r) = parent(parent(r)); r = parent(r)
+      }
+      r
+    }
+    pairRows.foreach { row =>
+      val ra = find(row.getString(0)); val rb = find(row.getString(1))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp")
+  }
+
+  /** Expand contracted component labels back to docs: isolated
+    * signatures label themselves, one aggregation pins each component's
+    * min doc id, rows only for ≥2-doc components. `comp` arrives
+    * join-strategy-wrapped by the caller (broadcast for space-bounded
+    * label tables, plain for corpus-dependent ones — AQE decides). */
+  private def expandClusterLabels(sigs: DataFrame, comp: DataFrame): DataFrame = {
     val withComp = sigs
-      .join(broadcast(comp), Seq("simhash"), "left")
+      .join(comp, Seq("simhash"), "left")
       .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
     val mins = withComp.groupBy(col("comp"))
       .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
     withComp.join(mins, Seq("comp"))
       .filter(col("csize") > 1)
       .select(col("id"), col("cluster_id"))
+  }
+
+  /** MEASURED-guard clustering core shared by [[simhashClustersMeasured]]
+    * and [[simhash64Clusters]]: persist + count the contracted pair
+    * table (the count doubles as its materialization for either branch),
+    * driver union-find under `maxCollectEdges`, distributed
+    * [[connectedComponents]] above it. */
+  private def clustersFromContractedPairs(sigs: DataFrame, pairs: DataFrame,
+                                          maxCollectEdges: Long): DataFrame = {
+    val hashPairs = pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = hashPairs.count() <= maxCollectEdges
+    val comp =
+      if (small)
+        broadcast(unionFindComp(sigs.sparkSession, hashPairs.collect()))
+      else
+        connectedComponents(hashPairs)
+          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
+    val out = expandClusterLabels(sigs, comp)
+    hashPairs.unpersist(false)
+    out
   }
 
   /** Micro-batch variant of [[simhashClusters]] — identical labels, but
@@ -1131,41 +1176,10 @@ object Dedup {
       .select(col("simhash").as("id"), col("simhash"))
     // fence off for the contracted node set (bounded by the 2^16 space —
     // see the [[simhashClusters]] call-site note)
-    val hashPairs = simhashNearDupPairsFromSigs(nodes, maxDist,
+    val pairs = simhashNearDupPairsFromSigs(nodes, maxDist,
         maxExpectedCandidates = Long.MaxValue)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = sigs.sparkSession
-    import spark.implicits._
-    val small = hashPairs.count() <= maxCollectEdges
-    val comp =
-      if (small) {
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
-          var r = x
-          while (parent.getOrElseUpdate(r, r) != r) {
-            parent(r) = parent(parent(r)); r = parent(r)
-          }
-          r
-        }
-        hashPairs.collect().foreach { row =>
-          val ra = find(row.getString(0)); val rb = find(row.getString(1))
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp"))
-      } else
-        connectedComponents(hashPairs)
-          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
-    val withComp = sigs
-      .join(comp, Seq("simhash"), "left")
-      .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
-    val mins = withComp.groupBy(col("comp"))
-      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
-    val out = withComp.join(mins, Seq("comp"))
-      .filter(col("csize") > 1)
-      .select(col("id"), col("cluster_id"))
-    hashPairs.unpersist(false)
-    out
+    clustersFromContractedPairs(sigs, pairs, maxCollectEdges)
   }
 
   /** 64-bit sibling of [[simhashClusters]]: near-dup clusters over a
@@ -1189,40 +1203,9 @@ object Dedup {
                         maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
     val nodes = sigs.select(col("simhash")).distinct()
       .select(col("simhash").as("id"), col("simhash"))
-    val hashPairs = simhash64NearDupPairsFromSigs(nodes, maxDist)
+    val pairs = simhash64NearDupPairsFromSigs(nodes, maxDist)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = sigs.sparkSession
-    import spark.implicits._
-    val small = hashPairs.count() <= maxCollectEdges
-    val comp =
-      if (small) {
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
-          var r = x
-          while (parent.getOrElseUpdate(r, r) != r) {
-            parent(r) = parent(parent(r)); r = parent(r)
-          }
-          r
-        }
-        hashPairs.collect().foreach { row =>
-          val ra = find(row.getString(0)); val rb = find(row.getString(1))
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        broadcast(parent.keys.toSeq.map(k => (k, find(k))).toDF("simhash", "comp"))
-      } else
-        connectedComponents(hashPairs)
-          .select(col("id").as("simhash"), col("cluster_id").as("comp"))
-    val withComp = sigs
-      .join(comp, Seq("simhash"), "left")
-      .select(col("id"), coalesce(col("comp"), col("simhash")).as("comp"))
-    val mins = withComp.groupBy(col("comp"))
-      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("csize"))
-    val out = withComp.join(mins, Seq("comp"))
-      .filter(col("csize") > 1)
-      .select(col("id"), col("cluster_id"))
-    hashPairs.unpersist(false)
-    out
+    clustersFromContractedPairs(sigs, pairs, maxCollectEdges)
   }
 
   /** Duplicate-cluster REPRESENTATIVE selection by quality — "keep the

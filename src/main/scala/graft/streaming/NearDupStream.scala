@@ -302,32 +302,47 @@ object NearDupStream {
     * would invert batch order, the determinism contract the oracle's
     * parity split relies on), and a parity class with no documents
     * simply lands no file — fewer batches, same contract. */
+  /** Stage `docsPath` as `nBatches` parity landing files under
+    * `root/landing` (batch b = doc_id % nBatches, strictly increasing
+    * mtimes — the file source's oldest-first order then makes batch
+    * order = parity order). One pass over documents writes all parity
+    * parts (partitionBy drops the partition column, leaving exactly
+    * docSchema); an mtime-set failure ABORTS (a silently unset mtime
+    * would invert batch order — the determinism contract the oracle's
+    * parity split relies on), and a parity class with no documents
+    * simply lands no file. Shared by the gate harnesses and
+    * tools.NearDup16Probe so measurement and lifecycle stage batches
+    * identically. */
+  private[graft] def stageParityLanding(spark: SparkSession, docsPath: String,
+                                        root: java.io.File, nBatches: Int): java.io.File = {
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    val t0 = 1700000000000L // any fixed base; only the ORDER matters
+    val stage = new java.io.File(root, "stage")
+    docs.withColumn("b", col("doc_id") % nBatches)
+      .coalesce(1).write.mode("overwrite").partitionBy("b")
+      .parquet(stage.getAbsolutePath)
+    (0 until nBatches).foreach { b =>
+      val dir = new java.io.File(stage, s"b=$b")
+      if (dir.isDirectory) {
+        val part = dir.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val target = new java.io.File(landing, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        require(target.setLastModified(t0 + b * 60000L),
+          s"setLastModified failed on $target; batch order would be " +
+            "nondeterministic — refusing to run the gate")
+      }
+    }
+    landing
+  }
+
   private def withStagedParityRun(spark: SparkSession, docsPath: String,
                                   nBatches: Int)
                                  (body: (java.io.File, java.io.File) => Unit): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_nd64_gate_").toFile
     try {
-      val landing = new java.io.File(root, "landing"); landing.mkdirs()
-      val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
-      val t0 = 1700000000000L // any fixed base; only the ORDER matters
-      // one pass over documents writes all parity parts (partitionBy
-      // drops the partition column, leaving exactly docSchema)
-      val stage = new java.io.File(root, "stage")
-      docs.withColumn("b", col("doc_id") % nBatches)
-        .coalesce(1).write.mode("overwrite").partitionBy("b")
-        .parquet(stage.getAbsolutePath)
-      (0 until nBatches).foreach { b =>
-        val dir = new java.io.File(stage, s"b=$b")
-        if (dir.isDirectory) {
-          val part = dir.listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val target = new java.io.File(landing, s"b$b.parquet")
-          java.nio.file.Files.move(part.toPath, target.toPath)
-          require(target.setLastModified(t0 + b * 60000L),
-            s"setLastModified failed on $target; batch order would be " +
-              "nondeterministic — refusing to run the gate")
-        }
-      }
+      val landing = stageParityLanding(spark, docsPath, root, nBatches)
       body(landing, root)
       val out = spark.read.parquet(new java.io.File(root, "admitted").getAbsolutePath)
         .select(col("id"), col("simhash"))

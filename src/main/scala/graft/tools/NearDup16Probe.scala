@@ -24,21 +24,10 @@ object NearDup16Probe {
     val times = (1 to passes).map { _ =>
       val root = java.nio.file.Files.createTempDirectory("nd16probe_").toFile
       try {
-        val landing = new java.io.File(root, "landing"); landing.mkdirs()
-        val stage = new java.io.File(root, "stage")
-        spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
-          .withColumn("b", col("doc_id") % nBatches)
-          .coalesce(1).write.mode("overwrite").partitionBy("b")
-          .parquet(stage.getAbsolutePath)
-        (0 until nBatches).foreach { b =>
-          val dir = new java.io.File(stage, s"b=$b")
-          if (dir.isDirectory) {
-            val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
-            val target = new java.io.File(landing, s"b$b.parquet")
-            java.nio.file.Files.move(part.toPath, target.toPath)
-            require(target.setLastModified(1700000000000L + b * 60000L))
-          }
-        }
+        // the gate harnesses' own staging — measurement and lifecycle
+        // must stage batches identically
+        val landing = graft.streaming.NearDupStream
+          .stageParityLanding(spark, docsPath, root, nBatches)
         spark.catalog.clearCache(); graft.Caches.release(); System.gc()
         val t0 = System.nanoTime()
         graft.streaming.NearDupStream.runNearDupStreamOnce(spark,

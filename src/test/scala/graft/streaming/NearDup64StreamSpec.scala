@@ -124,9 +124,9 @@ class NearDup64StreamSpec extends SparkSpec {
     // RE-ADMITTED past the evicted signature (the boundedness trade).
     assert(runGate(Seq((0L, A), (1L, C), (4L, F), (7L, G), (2L, A))) ==
       Set(0L, 1L, 4L, 7L, 2L))
-    // Branch 2 — trim RETAINS batch 0: n=9 → capacity 3; batch 1's docs
-    // are mutual exact dups (one admission < capacity), so the window
-    // extends to batch 0 and the same exact dup is DROPPED.
+    // Branch 2 — trim RETAINS batch 0: n=9 → capacity max(1, 9/4) = 2;
+    // batch 1's docs are mutual exact dups (one admission < capacity 2),
+    // so the window extends to batch 0 and the same exact dup is DROPPED.
     assert(runGate(Seq((0L, A), (3L, F), (6L, G),
       (1L, C), (4L, C), (7L, C),
       (2L, A), (5L, "solar powered bicycles deserve dedicated mountain lanes"),
