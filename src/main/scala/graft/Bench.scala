@@ -140,7 +140,13 @@ object Bench {
       "q_clustering_coeff",
       // r13: groupedLowerMedian materializes its ranked frame (the r12
       // advice fix — stats aggregate + join probe read it twice)
-      "q_grouped_median")
+      "q_grouped_median",
+      // r16 (r15 advice): globalRankByKey / skyline2d persist their
+      // partition-id frame since the r15 flake fix (Caches.materialize at
+      // Relational.scala / Dedup.scala) — a private artifact, so the rows
+      // that ride those paths are cold-timed like every other
+      // private-artifact biller; warm reuse flattered them 2–3×.
+      "q_curriculum", "q_pareto_front")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -164,6 +170,11 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val failed = scala.collection.mutable.ListBuffer[String]()
+    // r16 (r15 advice): prewarm failures carry tag-formatted provenance
+    // ("prewarm:<producer>:for:<consumer>"), not registered query names —
+    // downstream tooling reads `failed` entries AS query names, so the
+    // prewarm tags live in their own array.
+    val prewarmFailed = scala.collection.mutable.ListBuffer[String]()
     // MID-RUN REGIME TELEMETRY (r13 lesson, promoted by the judge): the
     // three-run r13 bracket had QUIET start canaries while totals spread
     // ±12% and I/O rows moved 2× mid-run — a start-only (even a
@@ -214,8 +225,8 @@ object Bench {
             try SparkEntry.queries(producer)(spark, sfDir).count()
             catch { case e: Throwable =>
               val tag = s"prewarm:$producer:for:$name"
-              if (!failed.contains(tag)) {
-                failed += tag
+              if (!prewarmFailed.contains(tag)) {
+                prewarmFailed += tag
                 System.err.println(s"[bench] $tag FAILED: ${e.getMessage}")
               }
             }
@@ -235,6 +246,7 @@ object Bench {
       name -> median(times)
     }
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val pwf = prewarmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // The harness that records this line keeps only the LAST ~2000 chars of
     // output (round 6 lost its headline metric when the 73-query line at
@@ -273,7 +285,7 @@ object Bench {
       val qs = entries.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$buckets,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$buckets,"queries":$qs,"failed":$fl,"prewarm_failed":$pwf,"sf":"$sfDir"}"""
     }
     // Last resort if the registry outgrows even 1-decimal rendering:
     // keep the slowest 40 entries (the ones anyone tunes against) and
@@ -307,7 +319,7 @@ object Bench {
         s""""regime_segments":$segs,"segment_row_sec":$segSumsJson,"loadavg_start":$loadStart,""" +
         s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"sf":"$sfDir"}""")
+        s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"prewarm_failed":$pwf,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
     println(out)
     spark.stop()

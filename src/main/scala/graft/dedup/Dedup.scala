@@ -747,11 +747,6 @@ object Dedup {
                           maxDist: Int): DataFrame =
     simhashNearDupPairsFromSigs(simhash(docs, idCol, textCol), maxDist)
 
-  /** Same operator over a precomputed signature frame (id, simhash) —
-    * the shape to use when the corpus signature table is already
-    * materialized (it is the shared persisted artifact every simhash
-    * consumer reads; recomputing it per operator would re-scan the
-    * corpus). */
   /** Row-count estimate for a signature frame — catalog-stats first,
     * count() fallback — memoized per canonicalized plan so the banding
     * self-sizers don't re-count a shared artifact per consumer. The memo
@@ -772,6 +767,11 @@ object Dedup {
     else graft.Caches.memo(("sig-n", plan.canonicalized))(est)
   }
 
+  /** Same operator over a precomputed signature frame (id, simhash) —
+    * the shape to use when the corpus signature table is already
+    * materialized (it is the shared persisted artifact every simhash
+    * consumer reads; recomputing it per operator would re-scan the
+    * corpus). */
   def simhashNearDupPairsFromSigs(sigs: DataFrame, maxDist: Int,
                                   maxExpectedCandidates: Long = 1L << 22): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range 0..15")

@@ -292,16 +292,6 @@ object NearDupStream {
     }
   }
 
-  /** Stage `docsPath` as `nBatches` parity landing files (batch b =
-    * doc_id % nBatches) with strictly increasing mtimes — the file
-    * source's oldest-first order then makes batch order = parity order,
-    * deterministic — run `body`, and hand back the admitted (id,
-    * simhash) table as a local batch frame (the memory-sink-style gate
-    * fixture collect every streaming gate row uses; the temp root is
-    * deleted after). mtime-set failures ABORT (a silently unset mtime
-    * would invert batch order, the determinism contract the oracle's
-    * parity split relies on), and a parity class with no documents
-    * simply lands no file — fewer batches, same contract. */
   /** Stage `docsPath` as `nBatches` parity landing files under
     * `root/landing` (batch b = doc_id % nBatches, strictly increasing
     * mtimes — the file source's oldest-first order then makes batch
@@ -337,6 +327,11 @@ object NearDupStream {
     landing
   }
 
+  /** Stage the parity landing (see [[stageParityLanding]]) under a temp
+    * root, run `body(landing, root)` — the lifecycle under test — and
+    * hand back the admitted (id, simhash) table as a local batch frame
+    * (the memory-sink-style gate fixture collect every streaming gate
+    * row uses; the temp root is deleted after). */
   private def withStagedParityRun(spark: SparkSession, docsPath: String,
                                   nBatches: Int)
                                  (body: (java.io.File, java.io.File) => Unit): DataFrame = {
