@@ -642,6 +642,44 @@ object OracleSql {
          |ORDER BY id""".stripMargin
     },
 
+    // 16-bit UNBOUNDED streaming near-dup admission (X233), replayed as
+    // plain sequential batch admission: batch b = doc_id % 2;
+    // within-batch clusters = connected components of the exact
+    // Hamming<=2 pair graph (the engine's signature-contracted banding
+    // is candidate pruning only — pigeonhole makes the pair set exactly
+    // the brute-force set, and contracting by signature preserves
+    // doc-level connectivity since identical signatures are distance 0);
+    // batch-1 minima drop against ALL batch-0 admissions — the 16-bit
+    // store is bounded by its signature SPACE, so there is no trim
+    // conditional to replay (contrast q_stream_neardup64_evict).
+    "q_stream_neardup16" ->
+      s"""WITH RECURSIVE $simhashCte,
+         |hl AS (
+         |  SELECT id, id % 2 AS b, simhash,
+         |         CAST(concat('0b', simhash) AS BIGINT) AS v
+         |  FROM sh16),
+         |p AS (
+         |  SELECT x.id AS id_a, y.id AS id_b
+         |  FROM hl x JOIN hl y ON x.b = y.b AND x.id < y.id
+         |  WHERE bit_count(xor(x.v, y.v)) <= 2),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM eg
+         |  UNION
+         |  SELECT eg.dst AS id, reach.r AS r FROM reach JOIN eg ON eg.src = reach.id),
+         |minima AS (
+         |  SELECT hl.* FROM hl
+         |  LEFT JOIN (SELECT id, min(r) AS m FROM reach GROUP BY id) c ON c.id = hl.id
+         |  WHERE c.m IS NULL OR c.m = hl.id),
+         |adm0 AS (SELECT * FROM minima WHERE b = 0),
+         |adm1 AS (
+         |  SELECT m.* FROM minima m WHERE m.b = 1 AND NOT EXISTS (
+         |    SELECT 1 FROM adm0 a WHERE bit_count(xor(a.v, m.v)) <= 2))
+         |SELECT id, simhash FROM adm0
+         |UNION ALL SELECT id, simhash FROM adm1
+         |ORDER BY id""".stripMargin,
+
     // FIFO eviction under the gate: three parity batches (b = doc_id % 3)
     // at capacity = n_docs // 4 (below one batch's admissions at every
     // test SF, so the trim actually fires). Batches 0 and 1 replay plain

@@ -2299,6 +2299,18 @@ object SparkEntry {
         s, s"$d/documents.parquet", maxDist = 3)
       .orderBy(col("id"))
 
+  /** X233 — the 16-bit UNBOUNDED streaming lifecycle under the hash
+    * gate (the r15 verdict's last spec-only streaming lifecycle): two
+    * parity batches through [[graft.streaming.NearDupStream.runNearDupStreamOnce]],
+    * whose store the 2^16 signature SPACE bounds (no capacity, no trim,
+    * no eviction — window=everything is the width's semantic). maxDist=2
+    * matches the 16-bit teaching tier (q_simhash_pairs). The oracle
+    * replays sequential admission with the sh16 CTE. */
+  private def qStreamNearDup16(s: SparkSession, d: String): DataFrame =
+    graft.streaming.NearDupStream.runDocNearDup16GateOnce(
+        s, s"$d/documents.parquet", maxDist = 2)
+      .orderBy(col("id"))
+
   /** STREAMING in-stream dedup under the gate: the landing directory
     * holds the events file TWICE, so dropDuplicatesWithinWatermark has
     * real duplicates to drop; the emitted set is the distinct event ids
@@ -4275,6 +4287,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_neardup64" -> (qStreamNearDup64 _),
     "q_stream_neardup64_evict" -> (qStreamNearDup64Evict _),
+    "q_stream_neardup16" -> (qStreamNearDup16 _),
     "q_array_agg" -> (qArrayAgg _),
     "q_unpivot" -> (qUnpivot _),
     "q_array_hof" -> (qArrayHof _),

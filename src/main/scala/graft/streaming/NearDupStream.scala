@@ -292,6 +292,28 @@ object NearDupStream {
     }
   }
 
+  /** GATE HARNESS for [[runNearDupStreamOnce]] — the 16-bit UNBOUNDED
+    * lifecycle (the store is bounded by the 2^16 signature SPACE, not by
+    * an admission capacity, so there is no trim and no eviction): stage
+    * the documents table as TWO parity landing files (doc_id % 2,
+    * strictly increasing mtimes — the shared [[stageParityLanding]]
+    * contract), drain the lifecycle against a fresh
+    * admitted/store/checkpoint root, and hand back the admitted (id,
+    * simhash) table as a local batch frame. The DuckDB oracle replays
+    * plain sequential admission at 16-bit width (within-batch exact
+    * Hamming≤d CC keeps min id; batch-1 survivors drop against ALL
+    * batch-0 admissions — window=everything ALWAYS, the width's
+    * semantic, not a gate clamp). Closes the r15 verdict's "last
+    * spec-only streaming lifecycle" item. */
+  def runDocNearDup16GateOnce(spark: SparkSession, docsPath: String,
+                              maxDist: Int): DataFrame =
+    withStagedParityRun(spark, docsPath, nBatches = 2) { (landing, root) =>
+      runNearDupStreamOnce(spark, landing.getAbsolutePath,
+        new java.io.File(root, "admitted").getAbsolutePath,
+        new java.io.File(root, "store").getAbsolutePath,
+        new java.io.File(root, "ckpt").getAbsolutePath, maxDist)
+    }
+
   /** Stage `docsPath` as `nBatches` parity landing files under
     * `root/landing` (batch b = doc_id % nBatches, strictly increasing
     * mtimes — the file source's oldest-first order then makes batch
