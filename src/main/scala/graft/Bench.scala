@@ -147,6 +147,50 @@ object Bench {
       // that ride those paths are cold-timed like every other
       // private-artifact biller; warm reuse flattered them 2–3×.
       "q_curriculum", "q_pareto_front")
+    // HARNESS-FLOOR FUSION (r15 verdict item 1, pre-built behind a flag):
+    // the registry floor (rows × ~0.1 s of per-action engine constants)
+    // read 24.0% of the r15 close total and rises with every row; the
+    // PLANS.md floor audit maps three families whose rows share one scan
+    // or one persisted artifact. SPARK_GRAFT_BENCH_FUSE=true replaces
+    // those rows with ONE timed unit per family: the union of every
+    // member's (count, content-hash) aggregate, collected as a single
+    // Spark action — the member plans still run in full (fusion changes
+    // the HARNESS shape, never a query's contract; Verify/CORRECTNESS
+    // are untouched), but the per-row job-submit/collect floor is paid
+    // once per family instead of once per member. Default mode (the
+    // driver's) is unchanged.
+    val fuseMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FUSE", "false").toBoolean
+    val fusedFamilies: Map[String, Seq[String]] = Map(
+      // calendar-bounded day-table profiles: one events → (day, n)
+      // aggregate feeds all four readouts
+      "fused:day_profile" -> Seq("q_anomaly_zscore", "q_mad_outliers",
+        "q_dow_profile", "q_growth_accounting"),
+      // the ANSI window family over its two bounded homes
+      "fused:window" -> Seq("q_window_rank", "q_window_running",
+        "q_window_lag", "q_window_range", "q_window_stats",
+        "q_window_distribution"),
+      // ANN rows share the persisted index artifacts (Caches.memo)
+      "fused:ann" -> Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf",
+        "q_ann_ivf_trained", "q_ann_recall"))
+    val fusedMembers: Set[String] =
+      if (fuseMode) fusedFamilies.values.flatten.toSet else Set.empty
+    // One action per family: each member reduces to one row
+    // (name, n_rows, order-insensitive content hash) — the same two
+    // quantities the correctness gate compares — and the rows union into
+    // a single collect. Cast-to-string inside the hash keeps the column
+    // set type-uniform across members.
+    def fusedUnit(members: Seq[String]): org.apache.spark.sql.DataFrame =
+      members.map { m =>
+        val df = SparkEntry.queries(m)(spark, sfDir)
+        df.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.xxhash64(df.columns.map(c =>
+              org.apache.spark.sql.functions.col(c).cast("string")): _*)).as("h"))
+          .select(org.apache.spark.sql.functions.lit(m).as("q"),
+            org.apache.spark.sql.functions.col("n"),
+            org.apache.spark.sql.functions.col("h"))
+      }.reduce(_.union(_))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -202,7 +246,12 @@ object Bench {
       "q_label_prop" -> "q_knn_graph",
       "q_knn_triangles" -> "q_knn_graph")
     val regimeSegments = scala.collection.mutable.ListBuffer[(String, Double, Double, Double)]()
-    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sortedQueries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (!fuseMode) SparkEntry.queries.toSeq.sortBy(_._1)
+      else (SparkEntry.queries.toSeq.filterNot { case (n, _) => fusedMembers(n) } ++
+        fusedFamilies.toSeq.map { case (fam, members) =>
+          fam -> ((_: org.apache.spark.sql.SparkSession, _: String) => fusedUnit(members))
+        }).sortBy(_._1)
     // ONE boundary list feeds both the mid-run probes and the
     // segment_row_sec sums below — they must stay aligned or the four
     // sums attribute drift to the wrong quarter of the run

@@ -1046,8 +1046,29 @@ object Dedup {
     * back to docs with one join + one aggregation.
     * Returns (id, cluster_id), cluster_id = min doc id in the component.
     */
+  /** Session conf naming the union-find collect cutover (contracted
+    * pair-table edges): under it, components resolve with a driver
+    * union-find; over it, the distributed [[connectedComponents]] runs.
+    * A 100 TB deployment pins it per cluster (driver heap ÷ ~64 B/edge
+    * is the sizing rule — see CAPACITY.md) instead of recompiling; the
+    * in-code default (2M edges ≈ 128 MB of driver pair rows) suits any
+    * multi-GB driver. Explicit `maxCollectEdges` arguments still win —
+    * the conf only fills the default (sentinel -1). */
+  val MaxCollectEdgesConf = "spark.graft.dedup.maxCollectEdges"
+  private val MaxCollectEdgesDefault = 2L * 1000 * 1000
+
+  /** Resolve a `maxCollectEdges` parameter: callers passing an explicit
+    * bound (≥ 0) keep it; the -1 sentinel reads [[MaxCollectEdgesConf]]
+    * from the frame's session (falling back to the 2M in-code default),
+    * so one session-level knob tunes every clustering route at once. */
+  private def resolveMaxCollectEdges(df: DataFrame, param: Long): Long =
+    if (param >= 0) param
+    else df.sparkSession.conf.get(MaxCollectEdgesConf,
+      MaxCollectEdgesDefault.toString).toLong
+
   def simhashClusters(sigs: DataFrame, maxDist: Int,
-                      maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
+                      maxCollectEdges: Long = -1L): DataFrame = {
+    val collectEdges = resolveMaxCollectEdges(sigs, maxCollectEdges)
     // distinct signatures AS the node set: reuse the pair generator with
     // the signature string standing in for the node id
     val nodes = sigs.select(col("simhash")).distinct()
@@ -1084,7 +1105,7 @@ object Dedup {
       (BigInt(1) << 16) * neighborhood / 2
     }
     val comp =
-      if (worstCaseEdges <= BigInt(maxCollectEdges))
+      if (worstCaseEdges <= BigInt(collectEdges))
         unionFindComp(sigs.sparkSession, hashPairs.collect())
       else
         connectedComponents(hashPairs)
@@ -1135,13 +1156,14 @@ object Dedup {
   /** MEASURED-guard clustering core shared by [[simhashClustersMeasured]]
     * and [[simhash64Clusters]]: persist + count the contracted pair
     * table (the count doubles as its materialization for either branch),
-    * driver union-find under `maxCollectEdges`, distributed
+    * driver union-find under `maxCollectEdges` (-1 = resolve the
+    * session conf [[MaxCollectEdgesConf]]), distributed
     * [[connectedComponents]] above it. */
   private def clustersFromContractedPairs(sigs: DataFrame, pairs: DataFrame,
                                           maxCollectEdges: Long): DataFrame = {
     val hashPairs = pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = hashPairs.count() <= maxCollectEdges
+    val small = hashPairs.count() <= resolveMaxCollectEdges(sigs, maxCollectEdges)
     val comp =
       if (small)
         broadcast(unionFindComp(sigs.sparkSession, hashPairs.collect()))
@@ -1171,7 +1193,7 @@ object Dedup {
     * Returns (id, cluster_id), cluster_id = min doc id, rows only for
     * docs in ≥2-doc components. */
   def simhashClustersMeasured(sigs: DataFrame, maxDist: Int,
-                              maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
+                              maxCollectEdges: Long = -1L): DataFrame = {
     val nodes = sigs.select(col("simhash")).distinct()
       .select(col("simhash").as("id"), col("simhash"))
     // fence off for the contracted node set (bounded by the 2^16 space —
@@ -1200,7 +1222,7 @@ object Dedup {
     * Returns (id, cluster_id), cluster_id = min doc id in the component,
     * rows only for docs in ≥2-doc components. */
   def simhash64Clusters(sigs: DataFrame, maxDist: Int,
-                        maxCollectEdges: Long = 2L * 1000 * 1000): DataFrame = {
+                        maxCollectEdges: Long = -1L): DataFrame = {
     val nodes = sigs.select(col("simhash")).distinct()
       .select(col("simhash").as("id"), col("simhash"))
     val pairs = simhash64NearDupPairsFromSigs(nodes, maxDist)

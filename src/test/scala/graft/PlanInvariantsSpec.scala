@@ -365,6 +365,40 @@ class PlanInvariantsSpec extends SparkSpec {
     Caches.release()
   }
 
+  test("every unpartitioned window sits on a statically bounded input") {
+    // The bench tail floods dozens of benign "WindowExec: No Partition
+    // Defined" warnings from bounded windows (post-limit top-k tables,
+    // calendar/model-sized aggregates, per-partition offset frames) —
+    // noise that would mask a genuinely mis-routed CORPUS-sized global
+    // window at a glance (the r15 verdict's residual). Sweep the whole
+    // registry: every Window node with an empty partitionSpec must have
+    // a bounding construct BELOW it — an Aggregate (every legit site
+    // aggregates to day/model/group cardinality first) or a Limit. A
+    // raw-scan-fed global window has neither and fails here before it
+    // ever ships. (An aggregate keyed by a corpus-cardinality column
+    // would still pass this check — the per-site scaladoc bounds remain
+    // the semantic authority; this guard catches the structural shape.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => planCheckable(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => name
+        }
+      }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded inputs in: $offenders")
+    spark.catalog.clearCache()
+    Caches.release()
+  }
+
   test("no registry query plans a CartesianProduct (except the explicit cross join)") {
     val allowed = Set("q_cross_join")
     val dir = "/root/testdata/sf0.001"

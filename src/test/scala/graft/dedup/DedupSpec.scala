@@ -342,6 +342,47 @@ class DedupSpec extends SparkSpec {
     assert(viaFallback.nonEmpty) // Hamming <= 15 links nearly everything
   }
 
+  test("union-find cutover resolves from the session conf and both routes agree") {
+    // The -1 default reads spark.graft.dedup.maxCollectEdges (the r15
+    // verdict's deploy-knob ask): conf = 0 forces the distributed-CC
+    // route on a graph the in-code default would collect; conf = huge
+    // forces the driver union-find on the analytic worst case that the
+    // default routes distributed. Labels must be identical either way,
+    // and an EXPLICIT argument must still beat the conf.
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val default = Dedup.simhashClusters(sigs, maxDist = 1)
+      .as[(Long, Long)].collect().toSet
+    def withConf(v: String)(body: => Set[(Long, Long)]): Set[(Long, Long)] = {
+      spark.conf.set(Dedup.MaxCollectEdgesConf, v)
+      try body finally spark.conf.unset(Dedup.MaxCollectEdgesConf)
+    }
+    // conf forces the distributed route (cutover 0 < any worst case)
+    val distributed = withConf("0") {
+      Dedup.simhashClusters(sigs, maxDist = 1).as[(Long, Long)].collect().toSet
+    }
+    assert(distributed == default)
+    // conf forces the union-find route at maxDist 15 (worst case ~2^18
+    // edges, over the 2M default, under the pinned 2^40)
+    val unionFind = withConf((1L << 40).toString) {
+      Dedup.simhashClusters(sigs, maxDist = 15).as[(Long, Long)].collect().toSet
+    }
+    assert(unionFind ==
+      Dedup.simhashClusters(sigs, maxDist = 15).as[(Long, Long)].collect().toSet)
+    // explicit argument wins over the conf (conf says collect-everything,
+    // the argument pins the distributed route — same labels again)
+    val explicitArg = withConf((1L << 40).toString) {
+      Dedup.simhashClusters(sigs, maxDist = 1, maxCollectEdges = 0L)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(explicitArg == default)
+    // and the measured-guard route honors the conf too
+    val measured = withConf("0") {
+      Dedup.simhashClustersMeasured(sigs, maxDist = 1)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(measured == default)
+  }
+
   test("chunkBounds splits bit positions evenly and covers all of them") {
     assert(Dedup.chunkBounds(16, 3) == Seq((1, 6), (7, 5), (12, 5)))
     assert(Dedup.chunkBounds(16, 4) == Seq((1, 4), (5, 4), (9, 4), (13, 4)))
