@@ -285,9 +285,33 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          // `failed` holds REGISTERED QUERY NAMES only (the prewarm-tag
+          // lesson). A fused unit's single action can't attribute its
+          // own failure, so re-run the members individually OUTSIDE the
+          // timer and record the real culprits; if every member passes
+          // alone (a harness-shape bug), the family tag goes to the
+          // provenance list instead.
+          fusedFamilies.get(name) match {
+            case Some(members) if fuseMode =>
+              val culprits = members.filter { m =>
+                try { SparkEntry.queries(m)(spark, sfDir).count(); false }
+                catch { case _: Throwable => true }
+              }
+              culprits.foreach { m =>
+                if (!failed.contains(m)) {
+                  failed += m
+                  System.err.println(s"[bench] $m FAILED (inside $name): ${e.getMessage}")
+                }
+              }
+              if (culprits.isEmpty && !prewarmFailed.contains(name)) {
+                prewarmFailed += name
+                System.err.println(s"[bench] $name FAILED with all members green: ${e.getMessage}")
+              }
+            case _ =>
+              if (!failed.contains(name)) {
+                failed += name
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              }
           }
         }
         (System.nanoTime() - t0) / 1e9

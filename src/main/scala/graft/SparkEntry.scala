@@ -2564,13 +2564,9 @@ object SparkEntry {
       // them — drop both the entry and the location before (re)writing
       Seq(s"orders_bkt_$t0", s"customer_bkt_$t0").foreach { name =>
         s.sql(s"DROP TABLE IF EXISTS $name")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
         val loc = new java.io.File(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-        if (loc.exists()) rm(loc)
+        if (loc.exists()) graft.Fs.deleteRecursively(loc)
       }
       graft.sources.IO.writeBucketed(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),

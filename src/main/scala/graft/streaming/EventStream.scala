@@ -509,11 +509,7 @@ object EventStream {
       else graft.ops.Relational.latestPerKey(batch, keys, order)
     val stage = new java.io.File(target + ".stage")
     merged.write.mode("overwrite").parquet(stage.getAbsolutePath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    if (live.exists()) rm(live)
+    if (live.exists()) graft.Fs.deleteRecursively(live)
     if (!stage.renameTo(live))
       throw new IllegalStateException(s"swap failed: $stage -> $live")
   }

@@ -65,13 +65,9 @@ object NearDupStream {
     * stages of the batch are materialized, so no live read can race a
     * delete. */
   private def swapStage(target: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val live = new java.io.File(target)
     val stage = new java.io.File(target + ".stage")
-    if (live.exists()) rm(live)
+    if (live.exists()) graft.Fs.deleteRecursively(live)
     if (!stage.renameTo(live))
       throw new IllegalStateException(s"swap failed: $stage -> $live")
   }
@@ -365,13 +361,7 @@ object NearDupStream {
         .select(col("id"), col("simhash"))
       val (rows, schema) = (out.collect(), out.schema)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(root)
-    }
+    } finally graft.Fs.deleteRecursively(root)
   }
 
   /** Drain the landing zone once (AvailableNow, one file per micro-batch)

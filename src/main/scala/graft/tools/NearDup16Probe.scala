@@ -40,12 +40,7 @@ object NearDup16Probe {
           .parquet(new java.io.File(root, "admitted").getAbsolutePath).count()
         println(f"[nd16] drain $nBatches%d batches: $sec%6.2f s (admitted $admitted%d)")
         sec
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(root)
-      }
+      } finally graft.Fs.deleteRecursively(root)
     }
     println(f"[nd16] min of $passes%d: ${times.min}%6.2f s")
     spark.stop()

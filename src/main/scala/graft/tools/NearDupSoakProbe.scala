@@ -32,10 +32,20 @@ object NearDupSoakProbe {
     val segments = if (args.length > 2) args(2).toInt else 10
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    val nDocs = spark.read.parquet(docsPath).count()
+    require(nBatches >= segments,
+      s"nBatches=$nBatches < segments=$segments: a segment would reveal " +
+        "zero files and the store read would fail before any drain")
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
     val capacity = math.max(1L, nDocs / 4)
-    // admissions per batch ≤ batch size; parity batches are ≤ ⌈n/B⌉+1
-    val maxBatchRows = nDocs / nBatches + 1
+    // admissions per batch ≤ batch size — measured, not assumed uniform:
+    // gapped/strided doc_ids can load one parity class far past ⌈n/B⌉
+    // and an assumed bound would abort a healthy soak
+    val maxBatchRows = docs
+      .groupBy(org.apache.spark.sql.functions.expr(s"doc_id % $nBatches"))
+      .count()
+      .agg(org.apache.spark.sql.functions.max("count"))
+      .head.getLong(0) // same % expression stageParityLanding partitions by
     val storeBound = capacity + 2 * maxBatchRows
     val root = java.nio.file.Files.createTempDirectory("nd64soak_").toFile
     try {
@@ -83,12 +93,7 @@ object NearDupSoakProbe {
       }
       println(s"[soak] PASS: $drained batches, store<$storeBound held, " +
         "persistent RDDs and memoCount flat")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-      }
-      rm(root)
-    }
+    } finally graft.Fs.deleteRecursively(root)
     spark.stop()
   }
 }

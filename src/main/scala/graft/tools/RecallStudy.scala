@@ -42,6 +42,9 @@ object RecallStudy {
         .select(col("query_id"), col("match_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTruth = bf.count() // forces truth OUTSIDE every timed probe
+      require(nTruth > 0,
+        s"$dir: no brute-force truth rows (no vectors with vec_id < $nQueries?) " +
+          "— recall would be 0/0; refusing to print a NaN study")
       def recallOf(cand: DataFrame): Double = {
         val hits = bf.join(cand.select(col("query_id"), col("match_id")),
           Seq("query_id", "match_id"), "left_semi").count()

@@ -361,8 +361,9 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashClusters(sigs, maxDist = 1).as[(Long, Long)].collect().toSet
     }
     assert(distributed == default)
-    // conf forces the union-find route at maxDist 15 (worst case ~2^18
-    // edges, over the 2M default, under the pinned 2^40)
+    // conf forces the union-find route at maxDist 15 (analytic worst
+    // case 2^16·(2^16−2)/2 ≈ 2^31 edges — over the 2M default, under
+    // the pinned 2^40)
     val unionFind = withConf((1L << 40).toString) {
       Dedup.simhashClusters(sigs, maxDist = 15).as[(Long, Long)].collect().toSet
     }
