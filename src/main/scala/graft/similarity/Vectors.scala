@@ -178,25 +178,57 @@ object Vectors {
     * bounded (bits + 1)× candidate cost instead of the 2×-per-bit cost
     * of lowering `bits`. (Lv et al., VLDB'07 multi-probe LSH, specialized
     * to the sign family.) */
-  def multiProbeBuckets(v: Column, bits: Int): Column = {
+  def multiProbeBuckets(v: Column, bits: Int): Column =
+    multiProbeBuckets(v, bits, radius = 1)
+
+  /** Hamming-≤`radius` probe set: the vector's own sign bucket plus
+    * every key within `radius` bit flips — Σ_{r≤radius} C(bits, r)
+    * keys. Radius is THE recall knob under corpus growth (SCALE_r16
+    * study 2: the bits ~ log₂ n width rule holds candidate cost
+    * constant but per-neighbor co-bucket probability decays with every
+    * added bit, so a recall TARGET at growing n grows the probe radius,
+    * not the single-probe width — Lv et al. VLDB'07 generalized past
+    * Hamming-1). Flip masks are enumerated at PLAN time (radius and
+    * bits are plan constants), so the probe set is one literal-driven
+    * array per query row — no UDF, no join. Guarded to radius ≤ 3 and
+    * ≤ 2^16 keys: past that the probe set stops being "a few buckets"
+    * and the deploy answer is more tables (L independent hash sets),
+    * not a wider ball. */
+  def multiProbeBuckets(v: Column, bits: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 3, s"radius=$radius out of range 0..3")
+    val nKeys = (0 to radius).map(r =>
+      (1 to r).map(i => BigInt(bits - i + 1)).product /
+        (1 to r).map(BigInt(_)).product).sum
+    require(nKeys <= (BigInt(1) << 16),
+      s"probe set of $nKeys keys at bits=$bits radius=$radius — use more " +
+        "index tables instead of a wider probe ball")
     val base = signBucket(v, bits)
-    array((base +: (0 until bits).map { i =>
-      val flipped = when(substring(base, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
-      concat(substring(base, 1, i), flipped, substring(base, i + 2, bits - i - 1))
-    }): _*)
+    def flipSets(r: Int): Seq[Seq[Int]] =
+      if (r == 0) Seq(Seq.empty)
+      else (0 until bits).combinations(r).map(_.toSeq).toSeq
+    val probes = (0 to radius).flatMap(flipSets).map { idxs =>
+      idxs.foldLeft(base) { (b, i) =>
+        val flipped = when(substring(b, i + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+        concat(substring(b, 1, i), flipped, substring(b, i + 2, bits - i - 1))
+      }
+    }
+    array(probes: _*)
   }
 
-  /** [[lshTopK]] with Hamming-1 multi-probe on the QUERY side only: the
-    * corpus keeps one row per vector (its own bucket — the index layout
-    * is unchanged and each corpus vector still appears in at most one
-    * probed bucket, so no candidate dedup is needed); each query expands
-    * to `bits + 1` probe keys before the same equi-join. */
+  /** [[lshTopK]] with Hamming-≤`radius` multi-probe on the QUERY side
+    * only: the corpus keeps one row per vector (its own bucket — the
+    * index layout is unchanged, and because the probe keys are distinct
+    * each (query, corpus) pair joins at most once, so no candidate
+    * dedup is needed); each query expands to Σ_{r≤radius} C(bits, r)
+    * probe keys (`bits + 1` at the default radius 1) before the same
+    * equi-join. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
-                        vecCol: String, k: Int, bits: Int = AutoBits): DataFrame = {
+                        vecCol: String, k: Int, bits: Int = AutoBits,
+                        radius: Int = 1): DataFrame = {
     val w = resolveBits(corpus, bits)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       fixedPoint(col(vecCol)).as("qv"),
-      explode(multiProbeBuckets(col(vecCol), w)).as("bucket"))
+      explode(multiProbeBuckets(col(vecCol), w, radius)).as("bucket"))
       .withColumn("qn", normSqFp(col("qv"))))
     val c = corpus.select(col(idCol).as("match_id"),
       fixedPoint(col(vecCol)).as("cv"), signBucket(col(vecCol), w).as("bucket"))

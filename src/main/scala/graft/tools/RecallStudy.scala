@@ -55,7 +55,10 @@ object RecallStudy {
       for (bits <- sweep) {
         for ((mode, f) <- Seq[(String, () => DataFrame)](
           "single" -> (() => Vectors.lshTopK(qs, emb, "vec_id", "embedding", k, bits)),
-          "multiprobe" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits)))) {
+          "multiprobe" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits)),
+          // radius is the refined deploy rule's knob (grow the probe
+          // ball, not the width) — measure it at every scale
+          "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2)))) {
           val t0 = System.nanoTime()
           val cand = f().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cand.count()

@@ -270,6 +270,38 @@ class VectorsSpec extends SparkSpec {
     assert(multi == Seq(1L, 2L)) // found across the boundary, ranked first
   }
 
+  test("multiProbeBuckets radius generalization: r=1 unchanged, r=2 is the exact Hamming ball") {
+    val df = Seq((0L, Array(1f, -1f, 1f))).toDF("vec_id", "embedding")
+    def keys(r: Int): Seq[String] =
+      df.select(Vectors.multiProbeBuckets($"embedding", 3, r).as("b"))
+        .as[Seq[String]].collect().head
+    // radius 1 == the historical 2-arg behavior, order included
+    assert(keys(1) == Seq("101", "001", "111", "100"))
+    // radius 2 = C(3,0)+C(3,1)+C(3,2) = 7 DISTINCT keys, exactly the
+    // Hamming-≤2 ball around 101
+    val r2 = keys(2)
+    assert(r2.size == 7 && r2.distinct.size == 7)
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(r2.toSet == (0 until 8).map(i =>
+      Integer.toBinaryString(8 | i).substring(1)).filter(ham(_, "101") <= 2).toSet)
+    // radius 0 = the single bucket; the guard refuses radius 4
+    assert(keys(0) == Seq("101"))
+    intercept[IllegalArgumentException] {
+      df.select(Vectors.multiProbeBuckets($"embedding", 3, 4)).collect()
+    }
+    // and the retriever's recall is monotone in radius on real data
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val r1 = recallOf(queries, emb,
+      Vectors.lshTopKMultiProbe(queries, emb, "vec_id", "embedding", k = 10, bits = 4))
+    val rr2 = recallOf(queries, emb,
+      Vectors.lshTopKMultiProbe(queries, emb, "vec_id", "embedding", k = 10, bits = 4, radius = 2))
+    info(f"recall@10 radius1=$r1%.3f radius2=$rr2%.3f")
+    assert(rr2 >= r1)
+  }
+
   test("multi-probe recall@k on the embeddings table is >= single-bucket") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
