@@ -283,14 +283,19 @@ object Bench {
         }
         System.gc() // don't bill one run's garbage to the next
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
+          // the elapsed time is captured HERE, before any attribution
+          // re-run below executes (r16 advice: the member re-runs used
+          // to sit inside the timed region, so a fused row's failure
+          // path billed up to N extra member executions to its median)
+          val elapsed = (System.nanoTime() - t0) / 1e9
           // `failed` holds REGISTERED QUERY NAMES only (the prewarm-tag
           // lesson). A fused unit's single action can't attribute its
           // own failure, so re-run the members individually OUTSIDE the
-          // timer and record the real culprits; if every member passes
-          // alone (a harness-shape bug), the family tag goes to the
-          // provenance list instead.
+          // timed region and record the real culprits; if every member
+          // passes alone (a harness-shape bug), the family tag goes to
+          // the provenance list instead.
           fusedFamilies.get(name) match {
             case Some(members) if fuseMode =>
               val culprits = members.filter { m =>
@@ -313,8 +318,8 @@ object Bench {
                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               }
           }
+          elapsed
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)
     }

@@ -1034,18 +1034,6 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup clusters end-to-end: every doc in a ≥2-doc
-    * connected component of the Hamming-≤`maxDist` graph, labeled with
-    * the component's minimum doc id. Identical-signature docs are
-    * CONTRACTED first — one graph node per DISTINCT simhash — because
-    * duplicate-heavy corpora concentrate into a few signatures: at the
-    * test SF this turns 222k doc-pair edges into 4.9k hash-pair edges,
-    * and at 100 TB it is the difference between iterating over the corpus
-    * and iterating over the (bounded, 2^16 here) signature space. The
-    * tiny contracted graph runs [[connectedComponents]]; labels expand
-    * back to docs with one join + one aggregation.
-    * Returns (id, cluster_id), cluster_id = min doc id in the component.
-    */
   /** Session conf naming the union-find collect cutover (contracted
     * pair-table edges): under it, components resolve with a driver
     * union-find; over it, the distributed [[connectedComponents]] runs.
@@ -1066,6 +1054,18 @@ object Dedup {
     else df.sparkSession.conf.get(MaxCollectEdgesConf,
       MaxCollectEdgesDefault.toString).toLong
 
+  /** SimHash near-dup clusters end-to-end: every doc in a ≥2-doc
+    * connected component of the Hamming-≤`maxDist` graph, labeled with
+    * the component's minimum doc id. Identical-signature docs are
+    * CONTRACTED first — one graph node per DISTINCT simhash — because
+    * duplicate-heavy corpora concentrate into a few signatures: at the
+    * test SF this turns 222k doc-pair edges into 4.9k hash-pair edges,
+    * and at 100 TB it is the difference between iterating over the corpus
+    * and iterating over the (bounded, 2^16 here) signature space. The
+    * tiny contracted graph runs [[connectedComponents]]; labels expand
+    * back to docs with one join + one aggregation.
+    * Returns (id, cluster_id), cluster_id = min doc id in the component.
+    */
   def simhashClusters(sigs: DataFrame, maxDist: Int,
                       maxCollectEdges: Long = -1L): DataFrame = {
     val collectEdges = resolveMaxCollectEdges(sigs, maxCollectEdges)

@@ -190,12 +190,20 @@ object Vectors {
     * not the single-probe width — Lv et al. VLDB'07 generalized past
     * Hamming-1). Flip masks are enumerated at PLAN time (radius and
     * bits are plan constants), so the probe set is one literal-driven
-    * array per query row — no UDF, no join. Guarded to radius ≤ 3 and
-    * ≤ 2^16 keys: past that the probe set stops being "a few buckets"
-    * and the deploy answer is more tables (L independent hash sets),
-    * not a wider ball. */
+    * array per query row — no UDF, no join. Guarded to radius ≤ 3,
+    * bits ≤ 24 (the [[bitsFor]] ceiling — each probe key is a
+    * per-flip-set nested concat/substring EXPRESSION, so a wide
+    * explicit width would hand Catalyst tens of thousands of nodes in
+    * one array even where the key COUNT passes) and ≤ 2^16 keys: past
+    * that the probe set stops being "a few buckets" and the deploy
+    * answer is more tables ([[lshTopKMultiTable]] — L independent hash
+    * sets), not a wider ball. */
   def multiProbeBuckets(v: Column, bits: Int, radius: Int): Column = {
     require(radius >= 0 && radius <= 3, s"radius=$radius out of range 0..3")
+    require(bits <= 24,
+      s"bits=$bits exceeds the 24-bit plan-time probe ceiling (the bitsFor " +
+        "clamp): C(bits, r) flip-mask EXPRESSIONS are enumerated into one " +
+        "array literal — use more index tables, not a wider width")
     val nKeys = (0 to radius).map(r =>
       (1 to r).map(i => BigInt(bits - i + 1)).product /
         (1 to r).map(BigInt(_)).product).sum

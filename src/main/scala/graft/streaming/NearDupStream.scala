@@ -320,7 +320,16 @@ object NearDupStream {
     * parity split relies on), and a parity class with no documents
     * simply lands no file. Shared by the gate harnesses and
     * tools.NearDup16Probe so measurement and lifecycle stage batches
-    * identically. */
+    * identically.
+    *
+    * CAVEAT — the `coalesce(1)` below is a HARNESS-ONLY single-task
+    * write: the gate contract needs exactly ONE parquet file per parity
+    * class (the file source's one-file-per-trigger batch unit), and gate
+    * corpora are a few thousand rows. Do NOT lift this shape into a data
+    * path — on a real corpus a 1-task write serializes the whole table
+    * through one executor; a deployment stages per-batch landing files
+    * with a normal partitioned write (one DIRECTORY per batch) and feeds
+    * the source directory-at-a-time instead. */
   private[graft] def stageParityLanding(spark: SparkSession, docsPath: String,
                                         root: java.io.File, nBatches: Int): java.io.File = {
     val landing = new java.io.File(root, "landing"); landing.mkdirs()

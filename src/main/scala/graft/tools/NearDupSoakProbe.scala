@@ -58,6 +58,15 @@ object NearDupSoakProbe {
       val storeDir = new java.io.File(root, "store").getAbsolutePath
       val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
       val files = staged.listFiles().sortBy(_.lastModified())
+      // the nBatches>=segments pre-check is necessary but NOT sufficient
+      // (r16 advice): stageParityLanding lands NO file for an empty
+      // parity class, so the STAGED count can still fall below
+      // `segments` on gapped doc_id spaces — and the first zero-reveal
+      // segment would then read storeDir before any batch ever ran
+      require(files.length >= segments,
+        s"staged files=${files.length} < segments=$segments (empty parity " +
+          "classes landed no file): a segment would reveal zero files and " +
+          "the store read would fail before any drain")
       println(s"[soak] docs=$nDocs batches=${files.length} capacity=$capacity " +
         s"storeBound<$storeBound segments=$segments")
       println("[soak] drained  store_rows  admitted  persistent_rdds  memo_count  wall_s")
