@@ -170,8 +170,8 @@ object Bench {
         "q_window_lag", "q_window_range", "q_window_stats",
         "q_window_distribution"),
       // ANN rows share the persisted index artifacts (Caches.memo)
-      "fused:ann" -> Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_ivf",
-        "q_ann_ivf_trained", "q_ann_recall"))
+      "fused:ann" -> Seq("q_ann_lsh", "q_ann_lsh_mp", "q_ann_lsh_mp_r2",
+        "q_ann_ivf", "q_ann_ivf_trained", "q_ann_recall"))
     val fusedMembers: Set[String] =
       if (fuseMode) fusedFamilies.values.flatten.toSet else Set.empty
     // One action per family: each member reduces to one row

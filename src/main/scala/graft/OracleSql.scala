@@ -2087,6 +2087,53 @@ object OracleSql {
          |ORDER BY query_id, "rank"""".stripMargin
     },
 
+    // radius-2 multi-probe: the query's own bucket plus every key within
+    // TWO bit flips (4 singles + 6 pairs at the pinned 4-bit gate width =
+    // 11 probe keys) — the mirror of the engine's plan-time Hamming-ball
+    // expansion exactly as q_ann_lsh_mp mirrors radius 1; corpus side
+    // unchanged (one bucket per vector), probe keys distinct so each
+    // (query, corpus) pair joins at most once
+    "q_ann_lsh_mp_r2" -> {
+      // flip the (sorted, 1-based) positions of `bucket` in one concat
+      def flipExpr(pos: Seq[Int]): String = {
+        def flip(i: Int) = s"CASE substring(bucket, $i, 1) WHEN '1' THEN '0' ELSE '1' END"
+        val parts = scala.collection.mutable.ListBuffer[String]()
+        var prev = 0
+        pos.foreach { i =>
+          if (i - 1 > prev) parts += s"substring(bucket, ${prev + 1}, ${i - 1 - prev})"
+          parts += flip(i)
+          prev = i
+        }
+        if (prev < 4) parts += s"substring(bucket, ${prev + 1})"
+        parts.mkString("concat(", ", ", ")")
+      }
+      val flips = ((1 to 4).map(i => Seq(i)) ++
+        (1 to 4).combinations(2).map(_.toSeq)).map { pos =>
+        s"SELECT vec_id, ${flipExpr(pos)} AS bucket FROM b WHERE vec_id < 5"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (
+         |  SELECT vec_id, $bucket4Expr AS bucket FROM embeddings),
+         |probes AS (
+         |  SELECT vec_id, bucket FROM b WHERE vec_id < 5
+         |  UNION ALL
+         |  $flips),
+         |$fpVecCte,
+         |q AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN probes ON nv.vec_id = probes.vec_id),
+         |c AS (SELECT nv.vec_id, fv, nn, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.nn > 0 AND c.nn > 0),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_ann_ivf" -> {
       val cosQC =
         "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +

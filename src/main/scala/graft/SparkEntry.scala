@@ -3249,6 +3249,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Radius-2 multi-probe at the AUTO width — the recall knob the
+    * SCALE_r16 recall study exposed, gated (r16 verdict item 2): at the
+    * bits ~ log2 n width rule candidate cost stays constant under corpus
+    * growth but per-neighbor co-bucket probability decays, so a recall
+    * TARGET grows the probe RADIUS on an unchanged index (radius 2
+    * recovered 2-3x recall at x10/x100, SCALE_r16 study 2). Probe set =
+    * 1 + C(w,1) + C(w,2) plan-time keys (11 at the gate corpora's 4-bit
+    * floor); index layout identical to q_ann_lsh / q_ann_lsh_mp. */
+  private def qAnnLshMpR2(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.lshTopKMultiProbe(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+      radius = 2)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Vectors.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
@@ -4194,6 +4210,7 @@ object SparkEntry {
     "q_cosine_topk" -> (qCosineTopK _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_mp" -> (qAnnLshMp _),
+    "q_ann_lsh_mp_r2" -> (qAnnLshMpR2 _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_embed_neardup" -> (qEmbedNearDup _),

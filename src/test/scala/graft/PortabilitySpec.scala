@@ -72,6 +72,7 @@ class PortabilitySpec extends SparkSpec {
     ("q_ann_ivf_trained", "cosine") -> "exact-int-ratio",
     ("q_ann_lsh", "cosine") -> "exact-int-ratio",
     ("q_ann_lsh_mp", "cosine") -> "exact-int-ratio",
+    ("q_ann_lsh_mp_r2", "cosine") -> "exact-int-ratio",
     ("q_cosine_topk", "cosine") -> "exact-int-ratio",
     ("q_embed_neardup", "cosine") -> "exact-int-ratio",
     ("q_knn_graph", "cosine") -> "exact-int-ratio",

@@ -302,6 +302,23 @@ class VectorsSpec extends SparkSpec {
     assert(rr2 >= r1)
   }
 
+  test("the gated radius-2 registry row discriminates the expansion (differs from radius 1) and wide explicit widths are refused") {
+    // X234's gate claim: q_ann_lsh_mp_r2's hashed output is DISTINCT from
+    // q_ann_lsh_mp's on the gate corpus — the oracle compare exercises the
+    // Hamming-2 expansion itself, not just shared plumbing
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val r1 = graft.SparkEntry.queries("q_ann_lsh_mp")(spark, dir).collect().toSeq
+    val r2 = graft.SparkEntry.queries("q_ann_lsh_mp_r2")(spark, dir).collect().toSeq
+    assert(r1 != r2, "radius-2 row identical to radius-1 on the gate corpus — the gate would not discriminate the expansion")
+    // r16 advice: explicit widths past the 24-bit bitsFor ceiling are
+    // refused at plan time (the probe keys are enumerated EXPRESSIONS)
+    val df = Seq((0L, Array(1f, -1f, 1f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      df.select(Vectors.multiProbeBuckets($"embedding", 70, 3)).collect()
+    }
+  }
+
   test("multi-probe recall@k on the embeddings table is >= single-bucket") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
