@@ -13,4 +13,30 @@ object Fs {
     }
     f.delete()
   }
+
+  /** Root for EPHEMERAL run state (gate-harness roots, one-shot stream
+    * checkpoints): tmpfs (`/dev/shm`) when present and writable, else
+    * `java.io.tmpdir`. Rationale (r16 verdict item 3): this host's /tmp
+    * is disk-backed, so every temp checkpoint's offset/commit-log fsync
+    * and every stage-and-swap parquet commit paid the disk-writeback
+    * tax — the single biggest regime amplifier in the streaming bucket
+    * (measured ×4-10 in degraded windows on unchanged binaries). State
+    * that lives exactly as long as one drain and is deleted after has
+    * no durability claim to honor; a DEPLOYMENT passes real, durable
+    * checkpoint/store paths to the lifecycle functions and never goes
+    * through this helper. */
+  private lazy val ephemeralRoot: java.io.File =
+    sys.env.get("SPARK_GRAFT_EPHEMERAL_ROOT") match {
+      // override for A/B measurement and for hosts whose tmpfs is too
+      // small for a run's ephemeral state
+      case Some(p) => new java.io.File(p)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) shm
+        else new java.io.File(System.getProperty("java.io.tmpdir"))
+    }
+
+  /** Fresh directory under [[ephemeralRoot]]; caller owns deletion. */
+  def ephemeralDir(prefix: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(ephemeralRoot.toPath, prefix).toFile
 }

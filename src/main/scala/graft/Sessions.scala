@@ -47,6 +47,29 @@ object Sessions {
       // keep their data-sized widths — AQE only merges below the 8 MB
       // advisory target above.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // SCRATCH placement (r16 verdict item 3): spark.local.dir —
+      // shuffle files, broadcast blocks, disk-spilled cache — defaults
+      // to /tmp, which is DISK-backed on this host, so every shuffle
+      // write and spill paid the disk-writeback tax that made degraded
+      // windows read 2-10× on unchanged binaries (the r12-r16 regime
+      // findings; fsync-bound streaming rows amplified worst). Scratch
+      // is by definition reconstructable-from-lineage state with no
+      // durability claim, so place it on the fastest ephemeral volume
+      // (tmpfs when the host has one — Fs.ephemeralDir). A CLUSTER
+      // deployment sets spark.local.dir to its local NVMe array
+      // explicitly; SPARK_GRAFT_EPHEMERAL_ROOT overrides here.
+      .config("spark.local.dir", scratchDir())
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+  }
+
+  /** Fresh scratch root per JVM (Spark cleans its blockmgr/spark-*
+    * subdirs on clean shutdown; the hook removes the wrapper — both
+    * deletes are idempotent, so hook order vs Spark's own doesn't
+    * matter). */
+  private def scratchDir(): String = {
+    val d = graft.Fs.ephemeralDir("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.Fs.deleteRecursively(d)))
+    d.getAbsolutePath
   }
 }

@@ -248,6 +248,76 @@ object Vectors {
     rankTopK(scored, k)
   }
 
+  /** Sign bucket over components [offset, offset + bits) — the bank a
+    * multi-table index gives table ℓ (offset = ℓ·bits): axis-disjoint
+    * hyperplane sets are independent in exactly the sign-LSH sense, the
+    * axis-hyperplane simplification [[signBucket]] already documents
+    * (production swaps in seeded random projections; the TABLE structure
+    * is identical). `element_at` past the vector's length yields null →
+    * '0' SILENTLY, so callers must validate offset + bits ≤ dim — see
+    * [[lshTopKMultiTable]]'s dimension check. */
+  private def signBucketAt(v: Column, bits: Int, offset: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(v, offset + i + 1) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** L INDEPENDENT LSH tables (r16 verdict item 5 — the deploy route the
+    * radius guard's error message names for past-radius-3 recall
+    * targets): table ℓ hashes with its own disjoint hyperplane bank
+    * ([[signBucketAt]] at offset ℓ·bits), candidates are the UNION of
+    * the query's bucket across all L tables, deduped per (query, match)
+    * pair before the shared [[rankTopK]]. Table 0 is bit-identical to
+    * the single-table [[lshTopK]] bank, so the candidate set is a
+    * SUPERSET of single-table's and recall is structurally ≥ at equal
+    * width (recall is monotone under candidate inclusion — a displacing
+    * higher-cosine candidate is itself a truth member).
+    *
+    * Cost model vs the probe ball: L tables cost L·|bucket| candidates
+    * and ×L index rows; Hamming-≤r probing costs C(bits, r)·|bucket|
+    * candidates on ×1 index rows. At radius ≤ 3 the ball is cheaper
+    * (C(24,3) ≈ 2k probes max, no index duplication); past it the ball's
+    * key count explodes combinatorially while L stays a small linear
+    * knob — Lv VLDB'07's trade, both ends now implemented.
+    *
+    * Scale shape: the corpus side explodes to ×L rows (the L-table index
+    * IS ×L storage — the standard LSH memory/recall trade), the join is
+    * an equi-join on (table, bucket) with the model-sized query side
+    * broadcast, and the pair dedup + top-k move O(candidates) and
+    * O(queries·k) rows. One dimension-check action at plan time (first
+    * non-null vector), mirroring [[bitsFor]]'s count posture. */
+  def lshTopKMultiTable(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, bits: Int = AutoBits,
+                        tables: Int = 2): DataFrame = {
+    val w = resolveBits(corpus, bits)
+    require(tables >= 1 && tables <= 16, s"tables=$tables out of range 1..16")
+    val dim = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head.getInt(0)
+    require(tables * w <= dim,
+      s"$tables tables of $w bits need ${tables * w} components but the " +
+        s"embedding has $dim — element_at past the end would silently " +
+        "hash to '0' bits; lower the width or the table count")
+    def banks(v: Column): Column = array((0 until tables).map(l =>
+      struct(lit(l).as("tbl"), signBucketAt(v, w, l * w).as("bucket"))): _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      fixedPoint(col(vecCol)).as("qv"), explode(banks(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+      .withColumn("qn", normSqFp(col("qv"))))
+    val c = corpus.select(col(idCol).as("match_id"),
+      fixedPoint(col(vecCol)).as("cv"), explode(banks(col(vecCol))).as("tb"))
+      .select(col("match_id"), col("cv"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+      .withColumn("cn", normSqFp(col("cv")))
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      // one (query, match) pair can co-bucket in several tables; dedup
+      // before top-k or a duplicate would occupy multiple rank slots
+      .dropDuplicates("query_id", "match_id")
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN (inverted-file): assign every corpus vector to its
     * nearest of `nCentroids` centroid vectors (the "coarse quantizer" —
     * here seeded deterministically from the first `nCentroids` corpus ids

@@ -354,17 +354,68 @@ object NearDupStream {
     landing
   }
 
-  /** Stage the parity landing (see [[stageParityLanding]]) under a temp
-    * root, run `body(landing, root)` — the lifecycle under test — and
-    * hand back the admitted (id, simhash) table as a local batch frame
-    * (the memory-sink-style gate fixture collect every streaming gate
-    * row uses; the temp root is deleted after). */
+  /** Session-lifetime memo of staged parity landings, keyed by
+    * (docsPath, nBatches) — the r16 PLANS "shared gate-session" lever:
+    * every gate RUN needs a fresh admitted/store/checkpoint root, but
+    * the staged LANDING (docs read + 1-task parity write) is a pure
+    * function of the input table, and Bench re-pays it on every pass of
+    * every near-dup row (~0.3 s × ~12 stagings per bench run at sf0.1).
+    * The memo stages once per key into a JVM-temp template dir and each
+    * run hardlink-or-copies the few landing files into its own root,
+    * re-asserting the parity mtimes. Assumes the docs table is immutable
+    * within the session (the same posture as [[graft.Caches.memo]]'s
+    * plan-keyed counts); templates are deleted on JVM exit. */
+  private val stagedTemplates =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.io.File]()
+
+  private def stagedTemplate(spark: SparkSession, docsPath: String,
+                             nBatches: Int): java.io.File =
+    stagedTemplates.computeIfAbsent((docsPath, nBatches), { _ =>
+      val tmplRoot = graft.Fs.ephemeralDir("graft_nd_staged_tmpl_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(tmplRoot)))
+      stageParityLanding(spark, docsPath, tmplRoot, nBatches)
+    })
+
+  /** Materialize the memoized template into `root/landing` for one run:
+    * hardlink where the filesystem allows (same temp volume — O(1) per
+    * file), copy otherwise, and re-assert each file's staged mtime (the
+    * batch-order contract; link/copy preserves source mtimes on Linux
+    * but the contract is load-bearing, so it is SET, not assumed). */
+  private def landingFromTemplate(template: java.io.File,
+                                  root: java.io.File): java.io.File = {
+    val landing = new java.io.File(root, "landing"); landing.mkdirs()
+    template.listFiles().foreach { f =>
+      val tgt = new java.io.File(landing, f.getName)
+      try java.nio.file.Files.createLink(tgt.toPath, f.toPath)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(f.toPath, tgt.toPath,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      require(tgt.setLastModified(f.lastModified()),
+        s"setLastModified failed on $tgt; batch order would be " +
+          "nondeterministic — refusing to run the gate")
+    }
+    landing
+  }
+
+  /** Stage the parity landing (see [[stageParityLanding]], memoized per
+    * (docsPath, nBatches) via [[stagedTemplate]]) under a temp root, run
+    * `body(landing, root)` — the lifecycle under test — and hand back
+    * the admitted (id, simhash) table as a local batch frame (the
+    * memory-sink-style gate fixture collect every streaming gate row
+    * uses; the temp root is deleted after). */
   private def withStagedParityRun(spark: SparkSession, docsPath: String,
                                   nBatches: Int)
                                  (body: (java.io.File, java.io.File) => Unit): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_nd64_gate_").toFile
+    // gate roots (landing + admitted + store + checkpoint) are EPHEMERAL
+    // run state — tmpfs when available (Fs.ephemeralDir): the lifecycle's
+    // fsync rounds against a disk-backed /tmp were the streaming bucket's
+    // dominant regime amplifier (r16 verdict item 3)
+    val root = graft.Fs.ephemeralDir("graft_nd64_gate_")
     try {
-      val landing = stageParityLanding(spark, docsPath, root, nBatches)
+      val landing = landingFromTemplate(
+        stagedTemplate(spark, docsPath, nBatches), root)
       body(landing, root)
       val out = spark.read.parquet(new java.io.File(root, "admitted").getAbsolutePath)
         .select(col("id"), col("simhash"))

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+import graft.{Sessions, SparkEntry}
+
+/** Per-JOB timeline of one registered query (r17 streaming-bucket work:
+  * the near-dup drains are ~14 driver jobs per micro-batch of
+  * scheduling constants — name them before shrinking them). Prints each
+  * job's wall duration and the call site that submitted it.
+  *
+  * Usage: runMain graft.tools.JobProf <query> [sfDir]
+  */
+object JobProf {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, d).count() // warm shapes
+    val jobs = mutable.ArrayBuffer[(Int, Long, Long, String)]()
+    val starts = mutable.Map[Int, (Long, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        starts(js.jobId) = (js.time, site)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach { case (t0, site) =>
+          jobs += ((je.jobId, t0, je.time - t0, site))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, d).count()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    val sorted = jobs.sortBy(_._2)
+    println(f"[jobprof] $name total=$total%.2f s, ${sorted.size} jobs, jobSum=${sorted.map(_._3).sum / 1e3}%.2f s")
+    var prevEnd = 0L
+    sorted.foreach { case (id, t, ms, site) =>
+      val gap = if (prevEnd == 0) 0L else t - prevEnd
+      prevEnd = t + ms
+      println(f"[jobprof]   job=$id%-4d ${ms}%5d ms  gap=${gap}%5d ms  $site")
+    }
+    spark.stop()
+  }
+}

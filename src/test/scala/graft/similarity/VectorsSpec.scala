@@ -333,6 +333,42 @@ class VectorsSpec extends SparkSpec {
     assert(rMulti > 0.5, f"multi-probe recall implausibly low: $rMulti%.3f")
   }
 
+  test("lshTopKMultiTable: table 0 is the single-table bank, recall is monotone in L, guards refuse over-dimension banks") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    // L=1 degenerates to exactly lshTopK (same bank, dedup a no-op)
+    val single = Vectors.lshTopK(queries, emb, "vec_id", "embedding", k = 10, bits = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val one = Vectors.lshTopKMultiTable(queries, emb, "vec_id", "embedding", k = 10,
+      bits = 4, tables = 1).orderBy("query_id", "rank").collect().toSeq
+    assert(one == single)
+    // candidate-superset law: more tables at the SAME width never lose recall
+    val rSingle = recallOf(queries, emb,
+      Vectors.lshTopK(queries, emb, "vec_id", "embedding", k = 10, bits = 4))
+    val rTwo = recallOf(queries, emb,
+      Vectors.lshTopKMultiTable(queries, emb, "vec_id", "embedding", k = 10, bits = 4, tables = 2))
+    val rFour = recallOf(queries, emb,
+      Vectors.lshTopKMultiTable(queries, emb, "vec_id", "embedding", k = 10, bits = 4, tables = 4))
+    info(f"recall@10 single=$rSingle%.3f L2=$rTwo%.3f L4=$rFour%.3f (bits=4)")
+    assert(rTwo >= rSingle && rFour >= rTwo)
+    // equal-candidate-budget leg: L=4 tables at bits=6 expect the same
+    // 4·n/2^6 = n/16 candidates as one table at bits=4
+    val rBudget = recallOf(queries, emb,
+      Vectors.lshTopKMultiTable(queries, emb, "vec_id", "embedding", k = 10, bits = 6, tables = 4))
+    info(f"recall@10 equal-budget: L4@bits6=$rBudget%.3f vs single@bits4=$rSingle%.3f")
+    // deterministic corpus + total-order tie-breaks → these recalls are
+    // constants of the testdata, so the ≥ is a pin, not a flake risk
+    assert(rBudget >= rSingle,
+      f"L tables lost to a single coarser table at equal candidate budget: $rBudget%.3f < $rSingle%.3f")
+    // 16 tables of 6 bits would need 96 > 64 components
+    intercept[IllegalArgumentException] {
+      Vectors.lshTopKMultiTable(queries, emb, "vec_id", "embedding", k = 10,
+        bits = 6, tables = 16)
+    }
+  }
+
   test("FixedPointFp is bit-identical to the builtin Column formulation") {
     val rnd = new scala.util.Random(1234)
     val vecs = (0 until 500).map { i =>
