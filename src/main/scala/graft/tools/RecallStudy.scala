@@ -58,7 +58,14 @@ object RecallStudy {
           "multiprobe" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits)),
           // radius is the refined deploy rule's knob (grow the probe
           // ball, not the width) — measure it at every scale
-          "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2)))) {
+          "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2)),
+          // the OTHER recall lever (r17): L independent tables at the
+          // same width — the past-radius-3 deploy route; L·bits ≤ 64
+          // always holds in this sweep (bits ≤ 24 would need L ≤ 2, so
+          // clamp L to the dim budget and report the L actually run)
+          s"tables${math.min(4, 64 / math.max(bits, 1))}" -> (() =>
+            Vectors.lshTopKMultiTable(qs, emb, "vec_id", "embedding", k, bits,
+              tables = math.max(1, math.min(4, 64 / math.max(bits, 1))))))) {
           val t0 = System.nanoTime()
           val cand = f().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cand.count()
