@@ -23,21 +23,7 @@ object Bench {
     // disk-full regime — exactly what the canary probes — must not leak
     // them), and a canary FAILURE records the sentinel -1.0 instead of
     // aborting the whole suite before any query ran.
-    def ioCanary(): Double = try {
-      val buf = java.nio.ByteBuffer.allocate(1 << 23)
-      val times = (1 to 3).map { _ =>
-        val f = java.io.File.createTempFile("graft_canary_", ".bin")
-        try {
-          val t0 = System.nanoTime()
-          val ch = java.nio.channels.FileChannel.open(f.toPath,
-            java.nio.file.StandardOpenOption.WRITE)
-          try { buf.rewind(); ch.write(buf); ch.force(true) }
-          finally ch.close()
-          (System.nanoTime() - t0) / 1e9
-        } finally f.delete()
-      }
-      times.sorted.apply(1)
-    } catch { case _: Throwable => -1.0 }
+    def ioCanary(): Double = Canary.io() // the shared definition — see graft.Canary
     // CPU CANARY (r14 lesson): the round's second same-protocol window
     // read 174 s vs 104 s quiet with ALL FIVE I/O canaries quiet
     // (0.019-0.036 s) and loadavg 0.61 — pure-CPU rows slowed 2-3×
@@ -49,17 +35,7 @@ object Bench {
     // A quiet host reads a stable baseline; a contended/throttled one
     // reads a multiple of it. The sink comparison keeps JIT from
     // eliding the loop.
-    def cpuCanary(): Double = try {
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        var h = 1469598103934665603L
-        var i = 0
-        while (i < 20000000) { h = (h ^ i) * 1099511628211L; i += 1 }
-        if (h == 42L) System.err.println("") // unreachable; defeats DCE
-        (System.nanoTime() - t0) / 1e9
-      }
-      times.sorted.apply(1)
-    } catch { case _: Throwable => -1.0 }
+    def cpuCanary(): Double = Canary.cpu()
     val ioCanarySec: Double = ioCanary()
     val cpuCanarySec: Double = cpuCanary()
     val loadStart = java.lang.management.ManagementFactory
@@ -331,20 +307,35 @@ object Bench {
       }
       name -> median(times)
     }
+    // FINISH-side regime probes are captured HERE — immediately after
+    // the timed suite and BEFORE the fused-member pass below — so the
+    // start/finish bracket brackets exactly the timed rows (review
+    // finding: 16 extra member executions between the suite and the
+    // finish canary would let the member pass's own load masquerade as
+    // suite-window regime).
+    val ioCanaryFinishSec = ioCanary()
+    val cpuCanaryFinishSec = cpuCanary()
+    val loadFinish = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // MEMBER VISIBILITY under fusion (r16 verdict requirement): the
     // fused keys hide per-member drift, so after the timed suite each
     // member runs once more, individually timed, into bench_full's
     // `fused_member_sec`. These single-pass numbers are for per-row
     // tuning/attribution only — they are NOT in the headline total and
     // carry single-run noise (±30% on this host) the timed medians don't.
+    // A member that FAILS here (while its fused unit passed — a flake)
+    // records the -1.0 sentinel rather than an elapsed-until-throw time
+    // masquerading as a clean run.
     val fusedMemberSec: Seq[(String, Double)] =
       if (!fuseMode) Seq.empty
       else fusedFamilies.toSeq.sortBy(_._1).flatMap(_._2).map { m =>
         System.gc()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(m)(spark, sfDir).count()
-        catch { case _: Throwable => () } // already attributed by the unit
-        m -> (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(m)(spark, sfDir).count()
+          m -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] fused-member pass $m FAILED: ${e.getMessage}")
+          m -> -1.0 }
       }
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pwf = prewarmFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -364,8 +355,6 @@ object Bench {
     val streamingSec = results.collect {
       case (n, v) if n.startsWith("q_stream_") => v
     }.sum
-    val ioCanaryFinishSec = ioCanary()
-    val cpuCanaryFinishSec = cpuCanary()
     val midCanaries = regimeSegments.map(s => fmt(s._2, 3)).mkString("[", ",", "]")
     val midCpu = regimeSegments.map(s => fmt(s._3, 3)).mkString("[", ",", "]")
     // PER-SEGMENT ROW-TIME SUMS (r14 forward-plan item 5, triggered by
@@ -409,8 +398,6 @@ object Bench {
       // regime produced the figure instead of guessing from git history.
       val host = try java.net.InetAddress.getLocalHost.getHostName
         catch { case _: Throwable => "unknown" }
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
       val segs = regimeSegments.map { case (name, c, cc, l) =>
         s"""{"before":"$name","io_canary_sec":$c,"cpu_canary_sec":$cc,"loadavg":$l}"""
       }.mkString("[", ",", "]")
@@ -429,7 +416,7 @@ object Bench {
         s""""io_canary_sec":$ioCanarySec,"io_canary_finish_sec":$ioCanaryFinishSec,""" +
         s""""cpu_canary_sec":$cpuCanarySec,"cpu_canary_finish_sec":$cpuCanaryFinishSec,""" +
         s""""regime_segments":$segs,"segment_row_sec":$segSumsJson,"loadavg_start":$loadStart,""" +
-        s""""loadavg_finish":$load,"recorded_at":"${java.time.Instant.now()}"}"""
+        s""""loadavg_finish":$loadFinish,"recorded_at":"${java.time.Instant.now()}"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
         s"""{"total":$total,"passes":$passes,"agg":"median",$prov,"queries":$full,"failed":$fl,"prewarm_failed":$pwf,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }

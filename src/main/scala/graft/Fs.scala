@@ -32,7 +32,14 @@ object Fs {
       case Some(p) => new java.io.File(p)
       case None =>
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) shm
+        // the free-space guard (review finding): scratch includes
+        // shuffle SPILLS, which exist to relieve memory pressure — a
+        // small tmpfs would consume RAM exactly when memory is short
+        // and fail writes with ENOSPC. Only take tmpfs when it has
+        // generous headroom for this harness's working sets (the sf0.1
+        // suites spill MBs; 32 GiB is ~250× the observed peak).
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace >= 32L * 1024 * 1024 * 1024) shm
         else new java.io.File(System.getProperty("java.io.tmpdir"))
     }
 

@@ -58,15 +58,17 @@ object Sessions {
       // (tmpfs when the host has one — Fs.ephemeralDir). A CLUSTER
       // deployment sets spark.local.dir to its local NVMe array
       // explicitly; SPARK_GRAFT_EPHEMERAL_ROOT overrides here.
-      .config("spark.local.dir", scratchDir())
+      .config("spark.local.dir", scratchDir)
     extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
   }
 
-  /** Fresh scratch root per JVM (Spark cleans its blockmgr/spark-*
-    * subdirs on clean shutdown; the hook removes the wrapper — both
-    * deletes are idempotent, so hook order vs Spark's own doesn't
-    * matter). */
-  private def scratchDir(): String = {
+  /** ONE scratch root per JVM — lazy (review finding: getOrCreate
+    * ignores configs on an existing session, so a per-call dir would
+    * orphan a tmpfs dir + a shutdown hook on every repeat build()).
+    * Spark cleans its blockmgr/spark-* subdirs on clean shutdown; the
+    * hook removes the wrapper — both deletes are idempotent, so hook
+    * order vs Spark's own doesn't matter. */
+  private lazy val scratchDir: String = {
     val d = graft.Fs.ephemeralDir("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.Fs.deleteRecursively(d)))

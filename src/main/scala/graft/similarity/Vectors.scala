@@ -289,8 +289,17 @@ object Vectors {
                         tables: Int = 2): DataFrame = {
     val w = resolveBits(corpus, bits)
     require(tables >= 1 && tables <= 16, s"tables=$tables out of range 1..16")
-    val dim = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head.getInt(0)
+    // BOTH sides are validated (review finding: a shorter QUERY vector
+    // would silently hash its out-of-range components to '0' bits and
+    // land in wrong buckets for every table past its dimension budget)
+    def dimOf(df: DataFrame, side: String): Int = {
+      val row = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).limit(1).collect()
+      require(row.nonEmpty, s"$side has no non-null $vecCol vectors — " +
+        "cannot validate the table banks' dimension budget")
+      row.head.getInt(0)
+    }
+    val dim = math.min(dimOf(corpus, "corpus"), dimOf(queries, "queries"))
     require(tables * w <= dim,
       s"$tables tables of $w bits need ${tables * w} components but the " +
         s"embedding has $dim — element_at past the end would silently " +

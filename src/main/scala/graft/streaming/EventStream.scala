@@ -305,8 +305,12 @@ object EventStream {
   private def drainOnce[T](
       w: org.apache.spark.sql.streaming.DataStreamWriter[T]): Unit = {
     val ckpt = graft.Fs.ephemeralDir("graft_ckpt_")
-    val q = w.option("checkpointLocation", ckpt.getAbsolutePath).start()
-    try q.awaitTermination() finally graft.Fs.deleteRecursively(ckpt)
+    // start() is INSIDE the try (review finding): an AnalysisException
+    // from query planning would otherwise leak the checkpoint dir on a
+    // RAM-backed volume
+    try w.option("checkpointLocation", ckpt.getAbsolutePath)
+      .start().awaitTermination()
+    finally graft.Fs.deleteRecursively(ckpt)
   }
 
   def runWindowedCountsOnce(spark: SparkSession, eventsPath: String): DataFrame = {

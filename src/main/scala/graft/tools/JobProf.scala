@@ -19,25 +19,32 @@ object JobProf {
     val spark = Sessions.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, d).count() // warm shapes
+    // listener callbacks fire on the listener-bus thread while main
+    // reads after the run — all buffer access synchronizes on `jobs`
+    // and the snapshot is taken under the same lock (review finding: an
+    // unsynchronized read races late onJobEnd events on a loaded host,
+    // dropping exactly the longest trailing jobs)
     val jobs = mutable.ArrayBuffer[(Int, Long, Long, String)]()
     val starts = mutable.Map[Int, (Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        starts(js.jobId) = (js.time, site)
+        jobs.synchronized { starts(js.jobId) = (js.time, site) }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        starts.remove(je.jobId).foreach { case (t0, site) =>
-          jobs += ((je.jobId, t0, je.time - t0, site))
+        jobs.synchronized {
+          starts.remove(je.jobId).foreach { case (t0, site) =>
+            jobs += ((je.jobId, t0, je.time - t0, site))
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, d).count()
     val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    val sorted = jobs.sortBy(_._2)
+    Thread.sleep(2000) // let the listener bus drain (no public waitUntilEmpty)
+    val sorted = jobs.synchronized { jobs.toSeq }.sortBy(_._2)
     println(f"[jobprof] $name total=$total%.2f s, ${sorted.size} jobs, jobSum=${sorted.map(_._3).sum / 1e3}%.2f s")
     var prevEnd = 0L
     sorted.foreach { case (id, t, ms, site) =>

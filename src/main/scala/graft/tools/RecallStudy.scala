@@ -50,6 +50,9 @@ object RecallStudy {
           Seq("query_id", "match_id"), "left_semi").count()
         hits.toDouble / nTruth
       }
+      val dim = emb.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
       val auto = Vectors.bitsForCount(n)
       val sweep = Seq(auto - 2, auto, auto + 2).filter(b => b >= 1 && b <= 24).distinct
       for (bits <- sweep) {
@@ -60,12 +63,12 @@ object RecallStudy {
           // ball, not the width) — measure it at every scale
           "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2)),
           // the OTHER recall lever (r17): L independent tables at the
-          // same width — the past-radius-3 deploy route; L·bits ≤ 64
-          // always holds in this sweep (bits ≤ 24 would need L ≤ 2, so
-          // clamp L to the dim budget and report the L actually run)
-          s"tables${math.min(4, 64 / math.max(bits, 1))}" -> (() =>
+          // same width — the past-radius-3 deploy route; L clamped to
+          // the corpus's REAL dimension budget (review finding: a
+          // hardcoded 64 would crash the sweep on narrower embeddings)
+          s"tables${math.max(1, math.min(4, dim / math.max(bits, 1)))}" -> (() =>
             Vectors.lshTopKMultiTable(qs, emb, "vec_id", "embedding", k, bits,
-              tables = math.max(1, math.min(4, 64 / math.max(bits, 1))))))) {
+              tables = math.max(1, math.min(4, dim / math.max(bits, 1))))))) {
           val t0 = System.nanoTime()
           val cand = f().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cand.count()

@@ -66,7 +66,12 @@ object StreamGateProf {
     // passes=0 = REGISTERED-LEG-ONLY mode (the stressed A/B uses it —
     // under a writeback stressor every extra drain costs minutes)
     if (passes > 0) gates.foreach { g =>
-      val root = java.nio.file.Files.createTempDirectory("sgp_warm_").toFile
+      // probe roots ride the SAME ephemeral volume as the registered
+      // rows (review finding: /tmp roots would bill the probe legs the
+      // disk-writeback tax the registered path no longer pays); the
+      // staging stays intentionally UNMEMOIZED — the stage_s column
+      // measures the raw staging cost the memo removes
+      val root = graft.Fs.ephemeralDir("sgp_warm_")
       try {
         val landing = graft.streaming.NearDupStream
           .stageParityLanding(spark, docsPath, root, g.nBatches)
@@ -75,22 +80,13 @@ object StreamGateProf {
     }
 
     // regime context for every reading (these numbers swing ×2-10 with
-    // host disk/CPU state — unpaired comparisons are meaningless)
+    // host disk/CPU state — unpaired comparisons are meaningless);
+    // graft.Canary is the SHARED definition, so these readings are
+    // directly comparable with bench_full.json's io_canary_sec
     def regime(): String = {
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-      val buf = java.nio.ByteBuffer.allocate(1 << 23)
-      val io = (1 to 3).map { _ =>
-        val f = java.io.File.createTempFile("sgp_canary_", ".bin")
-        try {
-          val t0 = System.nanoTime()
-          val ch = java.nio.channels.FileChannel.open(f.toPath,
-            java.nio.file.StandardOpenOption.WRITE)
-          try { buf.rewind(); ch.write(buf); ch.force(true) } finally ch.close()
-          (System.nanoTime() - t0) / 1e9
-        } finally f.delete()
-      }.sorted.apply(1)
-      f"loadavg=$load%.2f io_canary=$io%.3f"
+      f"loadavg=$load%.2f io_canary=${graft.Canary.io()}%.3f"
     }
     val probeDir = graft.Fs.ephemeralDir("sgp_probe_")
     println(s"[sgp] regime start: ${regime()} ephemeral_root=${probeDir.getParent}")
@@ -109,7 +105,7 @@ object StreamGateProf {
     println("[sgp] gate             pass  stage_s  drain_s  read_s  total_s")
     if (passes > 0) gates.foreach { g =>
       (1 to passes).foreach { p =>
-        val root = java.nio.file.Files.createTempDirectory("sgp_").toFile
+        val root = graft.Fs.ephemeralDir("sgp_")
         try {
           val (landing, tStage) = t(graft.streaming.NearDupStream
             .stageParityLanding(spark, docsPath, root, g.nBatches))
