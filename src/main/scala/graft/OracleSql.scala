@@ -2134,6 +2134,41 @@ object OracleSql {
          |ORDER BY query_id, "rank"""".stripMargin
     },
 
+    // L = 4 independent tables: table l buckets on components
+    // [l*4 + 1, l*4 + 4] (axis-disjoint banks — the mirror of the
+    // engine's signBucketAt offsets), candidates are the (tbl, bucket)
+    // equi-join unioned across banks, deduped per (query, match) pair
+    // (cosine is a pure function of the pair, so DISTINCT over the
+    // triple is the exact pair dedup) before the shared
+    // (cosine DESC, match_id ASC) top-5 — the independent mirror of
+    // lshTopKMultiTable, not a hash back-feed
+    "q_ann_lsh_t4" -> {
+      def bucketAtExpr(off: Int): String =
+        (1 to 4).map(i => s"CASE WHEN embedding[${off + i}] >= 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+      val banks = (0 until 4).map(l =>
+        s"SELECT vec_id, $l AS tbl, ${bucketAtExpr(l * 4)} AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (
+         |  $banks),
+         |$fpVecCte,
+         |q AS (SELECT nv.vec_id, fv, nn, tbl, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id
+         |      WHERE nv.vec_id < 5),
+         |c AS (SELECT nv.vec_id, fv, nn, tbl, bucket FROM nv JOIN b ON nv.vec_id = b.vec_id),
+         |sc AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id,
+         |         ${cosineExpr("q", "c")} AS cosine
+         |  FROM q JOIN c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.nn > 0 AND c.nn > 0),
+         |r AS (
+         |  SELECT query_id, match_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, match_id ASC) AS INTEGER) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, match_id, cosine, "rank" FROM r WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_ann_ivf" -> {
       val cosQC =
         "CAST(list_sum(list_transform(range(1, len(q_v) + 1), i -> q_v[i] * c_v[i])) AS DOUBLE)" +

@@ -3265,6 +3265,29 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** L = 4 independent LSH tables at the AUTO width — the OTHER end of
+    * the recall-vs-cost deploy trade (r17 verdict item 1, the one
+    * sanctioned row): where q_ann_lsh_mp_r2 widens the probe BALL on one
+    * index, this row adds axis-disjoint hash TABLES (Vectors
+    * .lshTopKMultiTable — table l hashes components [l*w, l*w + w)),
+    * candidates are the union of the query's bucket across all 4 banks,
+    * deduped per (query, match) pair before the shared bounded top-k.
+    * Table 0 is bit-identical to q_ann_lsh's bank, so the candidate set
+    * is a superset of the single-table row's and recall is structurally
+    * >= at equal width. Cost: x4 index rows + 4|bucket| candidates per
+    * query vs the ball's C(w,<=r) probe keys on x1 index — the L knob
+    * stays linear where the ball grows combinatorially past radius 3
+    * (Lv VLDB'07; SCALE_r17 study 4 measured 0.140/0.250/0.430 recall
+    * at L=1/2/4 on the gate corpus). 4 tables x 4 bits = 16 of the 64
+    * embedding components — inside the dimension budget at every SF. */
+  private def qAnnLshT4(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Vectors.lshTopKMultiTable(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 5,
+      tables = 4)
+      .select(col("query_id"), col("match_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     Vectors.ivfTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
@@ -4211,6 +4234,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_mp" -> (qAnnLshMp _),
     "q_ann_lsh_mp_r2" -> (qAnnLshMpR2 _),
+    "q_ann_lsh_t4" -> (qAnnLshT4 _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_trained" -> (qAnnIvfTrained _),
     "q_embed_neardup" -> (qEmbedNearDup _),
