@@ -21,10 +21,14 @@ import graft.dedup.Dedup
   * batches win; within a batch, min doc id wins), and its state — the
   * signature store — is BOUNDED BY THE 16-BIT SIGNATURE SPACE (≤ 2^16
   * rows) no matter how many documents ever streamed, so every batch's
-  * store check is one broadcast join. Both output tables commit by
-  * stage-and-swap after full materialization (crash-safe), and the
-  * admitted table is keyed by doc id, so a replayed batch is idempotent
-  * on top of the checkpoint's exactly-once file offsets.
+  * store check is one broadcast join. Both output tables commit
+  * PER-BATCH-FILE: one partition directory per micro-batch, staged and
+  * atomically renamed (crash-safe), so a batch writes O(batch) rows no
+  * matter how much was ever admitted, and a replayed batch rewrites only
+  * its OWN directory — idempotent on top of the checkpoint's
+  * exactly-once file offsets (which also guarantee a doc id arrives in
+  * at most one batch, keeping the admitted dirs' union id-deduped
+  * without any cross-batch shuffle).
   */
 object NearDupStream {
 
@@ -56,20 +60,76 @@ object NearDupStream {
     out
   }
 
-  /** Write `df` to the target's stage directory (an ACTION — the frame,
-    * which may read the live directories, is fully on disk afterward). */
-  private def writeStage(df: DataFrame, target: String): Unit =
-    df.write.mode("overwrite").parquet(target + ".stage")
+  /** PER-BATCH FILE COMMITS (round 18, the X231 doc's deployment sketch
+    * made the implementation): both output tables are laid out as one
+    * Hive-style partition directory per micro-batch
+    * (`<dir>/seq_batch=N/`), so a batch commits O(batch) rows — stage a
+    * sibling dot-dir, one atomic rename — instead of rewriting
+    * O(total-admitted) parquet, and whole-batch FIFO eviction is a
+    * DIRECTORY DELETE, O(1) metadata. Readers are unchanged
+    * (`spark.read.parquet(dir)` partition-discovers `seq_batch`; the
+    * store's window filter `seq_batch < N` becomes a partition-PRUNED
+    * listing), and the cross-batch admitted dedup/distinct shuffles the
+    * old whole-table rewrites paid per batch are gone: per-batch
+    * admitted id sets are disjoint under the file source's exactly-once
+    * offsets, and an admitted SIGNATURE never recurs while in the match
+    * window (distance 0 ≤ maxDist always matches), so the union of the
+    * committed dirs IS the deduped table. At 100 TB this is the commit
+    * shape that makes the lifecycle deployable: per-batch cost is
+    * independent of how many documents ever streamed. */
 
-  /** Swap the previously written stage into place. Only called after ALL
-    * stages of the batch are materialized, so no live read can race a
-    * delete. */
-  private def swapStage(target: String): Unit = {
-    val live = new java.io.File(target)
-    val stage = new java.io.File(target + ".stage")
+  /** Stage `df` under `<dir>/.stage_<seq>` (dot-prefixed — invisible to
+    * Spark's file listing even if a crash leaks it) and atomically swap
+    * it into the live `<dir>/seq_batch=<seq>` partition directory. The
+    * write is an ACTION, so `df` — which may read the live dirs — is
+    * fully materialized before anything moves. */
+  private def commitSeqDir(df: DataFrame, dir: String, seq: Long): Unit = {
+    val base = new java.io.File(dir)
+    base.mkdirs()
+    val stage = new java.io.File(base, s".stage_$seq")
+    df.write.mode("overwrite").parquet(stage.getAbsolutePath)
+    val live = new java.io.File(base, s"seq_batch=$seq")
     if (live.exists()) graft.Fs.deleteRecursively(live)
     if (!stage.renameTo(live))
       throw new IllegalStateException(s"swap failed: $stage -> $live")
+  }
+
+  /** The committed batch ids under a per-batch table dir (the
+    * `seq_batch=N` partition dirs; a crash-leaked `.stage_*` never
+    * matches). Empty when the dir does not exist — a first run. */
+  private def committedSeqs(dir: String): Seq[Long] = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    fs.collect {
+      case f if f.isDirectory && f.getName.startsWith("seq_batch=") =>
+        f.getName.stripPrefix("seq_batch=").toLong
+    }.toSeq
+  }
+
+  /** Read a per-batch table dir with the partition column pinned to the
+    * given schema (partition-value INFERENCE would type `seq_batch` as
+    * int and break long consumers), or an empty frame before the first
+    * commit. */
+  private def readSeqTable(s: SparkSession, dir: String,
+                           schema: StructType): DataFrame =
+    if (committedSeqs(dir).nonEmpty) s.read.schema(schema).parquet(dir)
+    else s.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  /** Exact row count of one committed batch dir from the parquet FOOTERS
+    * — driver-side file metadata, no Spark job: the trim's
+    * per-retained-batch count aggregate priced one scheduling-constant
+    * job per micro-batch for a model-sized answer the footers already
+    * hold. O(files in the dir) opens, each reading only the footer. */
+  private def footerRowCount(dir: java.io.File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** 64-bit batch core: near-dup admission of one batch against a
@@ -112,27 +172,38 @@ object NearDupStream {
     * deployable. The 16-bit store is safe unbounded because its
     * signature SPACE is 2^16; a 64-bit store grows with every distinct
     * document ever admitted, which at ingest scale is the corpus itself.
-    * The trim needs one per-RETAINED-batch count aggregate (a frame with
-    * one row per retained batch — model-sized) and is a scan-linear
-    * filter on seq_batch: no sort, no global top-K — and because
-    * eviction is whole-batch-granular, a deployment that appends one
-    * store file per batch evicts by DELETING whole files, O(1)
-    * metadata. */
+    * The trim needs one per-RETAINED-batch count (model-sized) and is a
+    * scan-linear filter on seq_batch: no sort, no global top-K. This
+    * DataFrame form is the spec surface; the runner itself feeds
+    * [[trimCutoff]] from parquet FOOTER counts of the per-batch store
+    * dirs — same rule, zero Spark jobs — and, because eviction is
+    * whole-batch-granular and the store IS one directory per batch,
+    * evicts by DELETING whole directories, O(1) metadata. */
   private[streaming] def trimToCapacity(older: DataFrame, capacity: Long): DataFrame = {
     val counts = older.groupBy(col("seq_batch"))
       .agg(count(lit(1)).as("n"))
       .collect() // one row per RETAINED batch — bounded by capacity/min-batch
-      .sortBy(-_.getLong(0)) // newest first, sorted driver-side (no exchange)
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    older.filter(col("seq_batch") >= trimCutoff(counts, capacity))
+  }
+
+  /** The trim RULE itself, driver-side and pure: given (seq_batch, rows)
+    * per older batch, the smallest seq retained — newest batches first
+    * until their cumulative count first reaches `capacity`, whole
+    * batches only. Shared by the DataFrame form above (spec surface) and
+    * the runner's footer-count path, so the two compute ONE rule. Empty
+    * input → MaxValue → empty window. */
+  private[streaming] def trimCutoff(counts: Seq[(Long, Long)],
+                                    capacity: Long): Long = {
     var cum = 0L
     var cutoff = Long.MaxValue
-    val it = counts.iterator
+    val it = counts.sortBy(-_._1).iterator
     while (it.hasNext && cum < capacity) {
-      val r = it.next()
-      cutoff = r.getLong(0)
-      cum += r.getLong(1)
+      val (seq, n) = it.next()
+      cutoff = seq
+      cum += n
     }
-    // empty `older` leaves cutoff at MaxValue → empty window
-    older.filter(col("seq_batch") >= cutoff)
+    cutoff
   }
 
   /** Drain the landing zone once through the BOUNDED 64-bit admission
@@ -147,10 +218,14 @@ object NearDupStream {
     *     — the newest older batches covering ≥ `capacity` signatures —
     *     plus any rows already carrying seq = N (empty on a first run;
     *     exactly the batch's own admissions on a replay).
-    *   - Commit: store := rows(seq = N) ∪ WINDOW_N ∪ (newly admitted at
-    *     seq N). Eviction therefore LAGS one batch: a batch leaves the
-    *     match window once capacity is covered without it, and leaves
-    *     storage on the next commit.
+    *   - Commit (PER-BATCH-FILE): the `seq_batch=N` store dir := rows
+    *     already at seq N ∪ (newly admitted at seq N) — one O(batch)
+    *     staged-rename — then every store dir with seq outside
+    *     WINDOW_N ∪ {N} is DELETED. Storage therefore still holds
+    *     exactly rows(seq = N) ∪ WINDOW_N ∪ (new at N), and eviction
+    *     LAGS one batch as before: a batch leaves the match window once
+    *     capacity is covered without it, and leaves storage (by whole-
+    *     directory delete) on the next commit.
     *
     * Properties:
     *   - SIZE BOUND: < capacity + 2·(largest batch's admissions) rows —
@@ -167,9 +242,16 @@ object NearDupStream {
     *     reproduces the original window exactly; every originally
     *     dropped doc re-drops against the same window sig, and every
     *     originally admitted doc now matches its own stored signature
-    *     at distance 0. Zero admissions → the commit rewrites the
-    *     identical store, and the admitted table (keyed by id) is
-    *     already idempotent. A naive "trim after union" policy FAILS
+    *     at distance 0. Zero admissions with the batch's dirs already
+    *     committed → the commit is SKIPPED outright (nothing to add)
+    *     and only the idempotent eviction deletes re-run; a crash
+    *     BEFORE the store commit replays to the identical admitted
+    *     rows, which the per-batch commit unions with the batch's own
+    *     dir and dedups by id — O(batch), and the only dedup left
+    *     anywhere in the lifecycle. Evicted dirs a crashed attempt
+    *     already deleted cannot change the replayed window: they are
+    *     the OLDEST seqs, below any retained cutoff. A naive "trim
+    *     after union" policy FAILS
     *     this: the new batch's own count can push a window batch out in
     *     the same commit that matched against it, and the replay
     *     silently admits what the original run dropped.
@@ -194,39 +276,60 @@ object NearDupStream {
       "spark.sql.adaptive.enabled" -> "false"): _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      val storeSchema = StructType(Seq(StructField("simhash", StringType),
+        StructField("seq_batch", LongType)))
       val q = raw.writeStream
         .foreachBatch { (b: Dataset[Row], batchId: Long) =>
           val s = b.sparkSession
-          val store =
-            if (new java.io.File(storeDir).isDirectory) s.read.parquet(storeDir)
-            else s.createDataFrame(new java.util.ArrayList[Row](),
-              StructType(Seq(StructField("simhash", StringType),
-                StructField("seq_batch", LongType))))
-          // window + own-seq rows are re-read by the match AND the store
-          // commit; materialize both once (the trim's count aggregate is
-          // an action anyway)
+          // WINDOW selection from parquet FOOTERS: the per-older-batch
+          // row counts the trim rule needs are file metadata — zero
+          // Spark jobs — and the window read below is a
+          // partition-PRUNED scan of exactly the retained seq dirs
+          val olderCounts = committedSeqs(storeDir).filter(_ < batchId)
+            .map(seq => (seq,
+              footerRowCount(new java.io.File(storeDir, s"seq_batch=$seq"))))
+          val cutoff = trimCutoff(olderCounts, capacity)
+          val store = readSeqTable(s, storeDir, storeSchema)
           val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          val window = trimToCapacity(
-            store.filter(col("seq_batch") < batchId), capacity).persist(lvl)
+          val window = store
+            .filter(col("seq_batch") < batchId && col("seq_batch") >= cutoff)
+            .persist(lvl)
+          // own-seq rows exist only on a REPLAY (crash after the store
+          // commit): matching against them sends every originally
+          // admitted doc to a distance-0 drop, reproducing the original
+          // decision exactly
           val ownSeq = store.filter(col("seq_batch") === batchId).persist(lvl)
           val matchSet = window.select(col("simhash"))
             .unionByName(ownSeq.select(col("simhash")))
           // admitBatch64 hands back an already-persisted, materialized frame
           val admitted = admitBatch64(b.toDF(), matchSet, maxDist, capacity)
           try {
-            val newAdmitted =
-              if (new java.io.File(admittedDir).isDirectory)
-                s.read.parquet(admittedDir).unionByName(admitted)
-                  .dropDuplicates("id")
-              else admitted
-            val newStore = ownSeq
-              .unionByName(window)
-              .unionByName(admitted.select(col("simhash"))
-                .withColumn("seq_batch", lit(batchId)))
-            writeStage(newAdmitted, admittedDir)
-            writeStage(newStore, storeDir)
-            swapStage(admittedDir)
-            swapStage(storeDir)
+            // normal path (no own dir yet): commit the admitted rows
+            // directly — no emptiness probe, no dedup, no extra job.
+            // REPLAY path (own dir exists): a replay without its store
+            // commit re-derives the identical admitted rows — union
+            // with the batch's own dir and dedup by id (O(batch)); a
+            // full replay re-admits nothing and skips the commits.
+            val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+            val ownAdmitted =
+              if (!ownAdmittedDir.isDirectory) Some(admitted)
+              else if (admitted.isEmpty) None
+              else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                .unionByName(admitted).dropDuplicates("id"))
+            ownAdmitted.foreach { adm =>
+              commitSeqDir(adm, admittedDir, batchId)
+              commitSeqDir(
+                ownSeq.select(col("simhash"))
+                  .unionByName(admitted.select(col("simhash"))),
+                storeDir, batchId)
+            }
+            // eviction = whole-directory deletes, LAGGING one batch as
+            // before: storage keeps window_N ∪ {N}; batches that fell
+            // out of the window leave disk here (idempotent on replay)
+            committedSeqs(storeDir)
+              .filter(seq => seq < cutoff && seq != batchId)
+              .foreach(seq => graft.Fs.deleteRecursively(
+                new java.io.File(storeDir, s"seq_batch=$seq")))
           } finally {
             admitted.unpersist(); window.unpersist(); ownSeq.unpersist()
           }
@@ -392,6 +495,13 @@ object NearDupStream {
         java.nio.file.Files.copy(f.toPath, tgt.toPath,
           java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
       }
+      // ALIASING CAVEAT: on the hardlink path tgt and f share one inode,
+      // so this setLastModified writes through to the memoized template
+      // too. Today it re-asserts the template's OWN value (benign, and
+      // the assert is load-bearing — see the require) — but if a future
+      // change ever needs per-run mtimes diverging from the template's,
+      // it must switch the link above to a copy or it would silently
+      // corrupt batch order for every later run keyed to the template.
       require(tgt.setLastModified(f.lastModified()),
         s"setLastModified failed on $tgt; batch order would be " +
           "nondeterministic — refusing to run the gate")
@@ -440,28 +550,42 @@ object NearDupStream {
       "spark.sql.adaptive.enabled" -> "false"): _*) {
       val raw = spark.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      val storeSchema = StructType(Seq(StructField("simhash", StringType),
+        StructField("seq_batch", LongType)))
       val q = raw.writeStream
-        .foreachBatch { (b: Dataset[Row], _: Long) =>
+        .foreachBatch { (b: Dataset[Row], batchId: Long) =>
           val s = b.sparkSession
-          val store =
-            if (new java.io.File(storeDir).isDirectory) s.read.parquet(storeDir)
-            else s.createDataFrame(new java.util.ArrayList[Row](),
-              StructType(Seq(StructField("simhash", StringType))))
+          // the 16-bit match window is EVERYTHING (the signature space
+          // bounds the store) — including the batch's own seq dir, which
+          // exists only on a replay and sends every originally admitted
+          // doc to a distance-0 drop
+          val store = readSeqTable(s, storeDir, storeSchema)
           // admitBatch hands back an already-persisted, materialized frame
           val admitted = admitBatch(b.toDF(), store, maxDist)
           try {
-            val newAdmitted =
-              if (new java.io.File(admittedDir).isDirectory)
-                s.read.parquet(admittedDir).unionByName(admitted)
-                  .dropDuplicates("id")
-              else admitted
-            val newStore = store.select(col("simhash"))
-              .unionByName(admitted.select(col("simhash"))).distinct()
-            // materialize BOTH derived tables before either live dir moves
-            writeStage(newAdmitted, admittedDir)
-            writeStage(newStore, storeDir)
-            swapStage(admittedDir)
-            swapStage(storeDir)
+            // normal path commits directly (no emptiness probe); the
+            // replay path unions with the batch's own dir — see the
+            // 64-bit runner's commit block for the case analysis
+            val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+            val ownAdmitted =
+              if (!ownAdmittedDir.isDirectory) Some(admitted)
+              else if (admitted.isEmpty) None
+              else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                .unionByName(admitted).dropDuplicates("id"))
+            ownAdmitted.foreach { adm =>
+              commitSeqDir(adm, admittedDir, batchId)
+              // per-batch admitted signatures are globally distinct BY
+              // ADMISSION (a stored signature re-arriving is a
+              // distance-0 match and never re-admits; within a batch,
+              // colliding signatures cluster to one survivor), so the
+              // union of the seq dirs needs no distinct — a replay's
+              // own-seq rows re-drop the same way
+              commitSeqDir(
+                store.filter(col("seq_batch") === batchId)
+                  .select(col("simhash"))
+                  .unionByName(admitted.select(col("simhash"))),
+                storeDir, batchId)
+            }
           } finally admitted.unpersist()
         }
         .option("checkpointLocation", checkpoint)

@@ -134,6 +134,59 @@ class NearDup64StreamSpec extends SparkSpec {
       Set(0L, 3L, 6L, 1L, 5L, 8L))
   }
 
+  test("per-batch-file commits: layout, and runner-level replay of every crash point") {
+    val root = java.nio.file.Files.createTempDirectory("neardup64-replay")
+    val (landing, admitted, store, ckpt) =
+      (s"$root/landing", s"$root/admitted", s"$root/store", s"$root/ckpt")
+    new java.io.File(landing).mkdirs()
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+    def run(): Unit = NearDupStream.runNearDup64StreamOnce(
+      spark, landing, admitted, store, ckpt, maxDist = 5, capacity = 1)
+    def snap(dir: String): Set[(Long, String, Long)] =
+      spark.read.parquet(dir).select($"id", $"simhash", $"seq_batch")
+        .as[(Long, String, Long)].collect().toSet
+    def snapStore(): Set[(String, Long)] =
+      spark.read.parquet(store).select($"simhash", $"seq_batch")
+        .as[(String, Long)].collect().toSet
+
+    land(Seq((1L, A), (3L, C)))
+    run()
+    land(Seq((10L, F), (11L, C))) // 11 = exact dup of 3 → dropped cross-batch
+    run()
+    val (admitted0, store0) = (snap(admitted), snapStore())
+    assert(admitted0.map(_._1) == Set(1L, 3L, 10L))
+    // LAYOUT: one partition dir per batch, only for batches that admitted
+    def seqDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(seqDirs(admitted) == Set("seq_batch=0", "seq_batch=1"))
+    assert(seqDirs(store) == Set("seq_batch=0", "seq_batch=1"))
+
+    // REPLAY: a fresh checkpoint reprocesses the whole landing, sending
+    // every batch back through the foreachBatch body against whatever a
+    // "crashed attempt" left in the output dirs — the same commit-path
+    // cases a lost checkpoint commit produces, without racing the
+    // engine's commit-log internals. Each variant must reproduce the
+    // tables bit-for-bit.
+    def rm(dir: String): Unit =
+      graft.Fs.deleteRecursively(new java.io.File(dir))
+
+    // both commits landed: every batch re-derives zero admissions
+    // (distance-0 self matches against its own seq dir) and SKIPS the
+    // rewrite entirely
+    rm(ckpt); run()
+    assert(snap(admitted) == admitted0 && snapStore() == store0)
+    // crash BETWEEN the admitted and store commits of batch 1: own
+    // admitted dir present, own store rows absent — the replay
+    // re-derives the identical admitted rows, dedups against the
+    // batch's own dir (no doubling), and recommits both dirs
+    rm(ckpt); rm(s"$store/seq_batch=1"); run()
+    assert(snap(admitted) == admitted0 && snapStore() == store0)
+    // crash BEFORE any commit of batch 1: plain re-execution
+    rm(ckpt); rm(s"$store/seq_batch=1"); rm(s"$admitted/seq_batch=1"); run()
+    assert(snap(admitted) == admitted0 && snapStore() == store0)
+  }
+
   test("admitBatch64 with an empty match set admits cluster minima only") {
     val empty = Seq.empty[String].toDF("simhash")
     val out = NearDupStream.admitBatch64(
