@@ -73,6 +73,7 @@ class PortabilitySpec extends SparkSpec {
     ("q_ann_lsh", "cosine") -> "exact-int-ratio",
     ("q_ann_lsh_mp", "cosine") -> "exact-int-ratio",
     ("q_ann_lsh_mp_r2", "cosine") -> "exact-int-ratio",
+    ("q_ann_lsh_t4", "cosine") -> "exact-int-ratio",
     ("q_cosine_topk", "cosine") -> "exact-int-ratio",
     ("q_embed_neardup", "cosine") -> "exact-int-ratio",
     ("q_knn_graph", "cosine") -> "exact-int-ratio",
