@@ -410,7 +410,12 @@ object Bench {
           val members = fusedMemberSec.map { case (m, v) =>
             "\"" + m + "\":" + v
           }.mkString("{", ",", "}")
-          s""""fused_families":$fams,"fused_member_sec":$members,"""
+          s""""fused_families":$fams,"fused_member_sec":$members,""" +
+            // the label travels IN the artifact (r17 verdict nit): these
+            // are attribution numbers, not medians — say so where they
+            // are read, not only in the source
+            s""""fused_member_sec_note":"single pass, +/-30% noise; """ +
+            s"""attribution only, not a median; -1.0 = member flake","""
         }
       val prov = s""""provenance":{"host":"$host","cpus":"$cpus",$fusedProv""" +
         s""""io_canary_sec":$ioCanarySec,"io_canary_finish_sec":$ioCanaryFinishSec,""" +

@@ -43,8 +43,23 @@ object JobProf {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, d).count()
     val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(2000) // let the listener bus drain (no public waitUntilEmpty)
-    val sorted = jobs.synchronized { jobs.toSeq }.sortBy(_._2)
+    // Drain the listener bus by POLLING for stability instead of one
+    // fixed sleep (r17 advice: a loaded host can still be delivering
+    // trailing onJobEnd events past any fixed bound, silently dropping
+    // exactly the longest jobs): done when the buffer size is unchanged
+    // across two consecutive 500 ms checks, capped at 10 s.
+    var (stable, lastSize, waited) = (0, -1, 0)
+    while (stable < 2 && waited < 10000) {
+      Thread.sleep(500); waited += 500
+      val size = jobs.synchronized { jobs.size }
+      if (size == lastSize) stable += 1 else { stable = 0; lastSize = size }
+    }
+    val (sorted, unmatched) = jobs.synchronized {
+      (jobs.toSeq.sortBy(_._2), starts.size)
+    }
+    if (unmatched > 0)
+      println(s"[jobprof] WARNING: $unmatched job start(s) never saw an " +
+        "end event — the timeline below is missing them")
     println(f"[jobprof] $name total=$total%.2f s, ${sorted.size} jobs, jobSum=${sorted.map(_._3).sum / 1e3}%.2f s")
     var prevEnd = 0L
     sorted.foreach { case (id, t, ms, site) =>

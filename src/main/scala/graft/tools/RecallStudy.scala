@@ -56,19 +56,27 @@ object RecallStudy {
       val auto = Vectors.bitsForCount(n)
       val sweep = Seq(auto - 2, auto, auto + 2).filter(b => b >= 1 && b <= 24).distinct
       for (bits <- sweep) {
+        // the OTHER recall lever (r17): L independent tables at the
+        // same width — the past-radius-3 deploy route; L clamped to
+        // the corpus's REAL dimension budget (review finding: a
+        // hardcoded 64 would crash the sweep on narrower embeddings),
+        // and SKIPPED outright when even one table's bank exceeds the
+        // dimension (r17 advice: dim/bits floors to tables=1 there, but
+        // lshTopKMultiTable's require(tables*w <= dim) still refuses —
+        // a crash that would take the whole sweep down with it)
+        val nTables = math.max(1, math.min(4, dim / math.max(bits, 1)))
+        val tablesVariant =
+          if (bits <= dim) Seq(s"tables$nTables" -> (() =>
+            Vectors.lshTopKMultiTable(qs, emb, "vec_id", "embedding", k, bits,
+              tables = nTables)))
+          else Seq.empty[(String, () => DataFrame)]
         for ((mode, f) <- Seq[(String, () => DataFrame)](
           "single" -> (() => Vectors.lshTopK(qs, emb, "vec_id", "embedding", k, bits)),
           "multiprobe" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits)),
           // radius is the refined deploy rule's knob (grow the probe
           // ball, not the width) — measure it at every scale
-          "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2)),
-          // the OTHER recall lever (r17): L independent tables at the
-          // same width — the past-radius-3 deploy route; L clamped to
-          // the corpus's REAL dimension budget (review finding: a
-          // hardcoded 64 would crash the sweep on narrower embeddings)
-          s"tables${math.max(1, math.min(4, dim / math.max(bits, 1)))}" -> (() =>
-            Vectors.lshTopKMultiTable(qs, emb, "vec_id", "embedding", k, bits,
-              tables = math.max(1, math.min(4, dim / math.max(bits, 1))))))) {
+          "radius2" -> (() => Vectors.lshTopKMultiProbe(qs, emb, "vec_id", "embedding", k, bits, radius = 2))
+        ) ++ tablesVariant) {
           val t0 = System.nanoTime()
           val cand = f().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cand.count()
