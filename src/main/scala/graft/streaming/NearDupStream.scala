@@ -142,6 +142,7 @@ object NearDupStream {
     * admitted (id, simhash) rows. */
   def admitBatch64(batch: DataFrame, storeSigs: DataFrame, maxDist: Int,
                    capacity: Long): DataFrame = {
+    val s = batch.sparkSession
     val sigs = Dedup.simhash64(batch, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature-contracted clustering with the driver union-find fast
@@ -149,8 +150,9 @@ object NearDupStream {
     // ~12 driver jobs of scheduling constants PER MICRO-BATCH for
     // micro-batch-sized cluster graphs (measured: the 2-batch gate
     // lifecycle read 8.5 s at sf0.1, ~4x its data cost)
-    val dropped = Dedup.simhash64Clusters(sigs, maxDist)
-      .filter(col("id") =!= col("cluster_id")).select(col("id"))
+    val dropped = tagged(s, "nd64:cluster") {
+      Dedup.simhash64Clusters(sigs, maxDist)
+    }.filter(col("id") =!= col("cluster_id")).select(col("id"))
     val survivors = sigs.join(dropped, Seq("id"), "left_anti")
     val matched = Dedup.simhash64StoreMatches(survivors,
       storeSigs.select(col("simhash")), maxDist, capacity)
@@ -160,9 +162,17 @@ object NearDupStream {
     // CacheManager for the lifetime of the stream
     val out = survivors.join(matched, Seq("id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    tagged(s, "nd64:admit-materialize") { out.count() }
     sigs.unpersist(false)
     out
+  }
+
+  /** Tag the Spark jobs `body` triggers with a phase label (read back by
+    * tools.JobProf via spark.job.description) — profiling provenance
+    * only, no semantics. */
+  private def tagged[A](s: SparkSession, tag: String)(body: => A): A = {
+    s.sparkContext.setJobDescription(tag)
+    try body finally s.sparkContext.setJobDescription(null)
   }
 
   /** The bounded store's MATCH WINDOW: the newest batches of `older`
@@ -317,11 +327,15 @@ object NearDupStream {
               else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
                 .unionByName(admitted).dropDuplicates("id"))
             ownAdmitted.foreach { adm =>
-              commitSeqDir(adm, admittedDir, batchId)
-              commitSeqDir(
-                ownSeq.select(col("simhash"))
-                  .unionByName(admitted.select(col("simhash"))),
-                storeDir, batchId)
+              tagged(s, "nd64:commit-admitted") {
+                commitSeqDir(adm, admittedDir, batchId)
+              }
+              tagged(s, "nd64:commit-store") {
+                commitSeqDir(
+                  ownSeq.select(col("simhash"))
+                    .unionByName(admitted.select(col("simhash"))),
+                  storeDir, batchId)
+              }
             }
             // eviction = whole-directory deletes, LAGGING one batch as
             // before: storage keeps window_N ∪ {N}; batches that fell

@@ -28,8 +28,11 @@ object JobProf {
     val starts = mutable.Map[Int, (Long, String)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // prefer an explicit phase tag (spark.job.description, set by
+        // the code under profile) over the generic lambda call site
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))).getOrElse("?")
         jobs.synchronized { starts(js.jobId) = (js.time, site) }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
