@@ -204,6 +204,44 @@ object Unigram {
       ("unigramTrain", docs.queryExecution.logical.canonicalized,
         idCol, textCol, maxPieceLen, maxWordLen, rounds, minCount, vocabSize)) {
       require(rounds >= 1 && maxPieceLen >= 1 && vocabSize >= 1)
+      localModel(docs, idCol, textCol, maxPieceLen, maxWordLen, rounds,
+        minCount, vocabSize) match {
+        case Some(vocab) =>
+          val sess = docs.sparkSession
+          import sess.implicits._
+          vocab.toSeq.toDF("piece", "n_used", "cost_fp6")
+        case None => unigramTrainDistributed(docs, idCol, textCol,
+          maxPieceLen, maxWordLen, rounds, minCount, vocabSize)
+      }
+    }
+
+  /** Driver-side cutover (r18): at or under
+    * [[LocalTok.MaxCollectWordsConf]] distinct words the whole EM runs
+    * on the collected word table — the union-find precedent
+    * (`spark.graft.dedup.maxCollectEdges`). The distributed loop below
+    * is the 100 TB path and is BIT-IDENTICAL (TokenizerLocalSpec pins
+    * path-vs-path equality including unicode, ties and fence errors);
+    * the cutover removes ~19 driver jobs of scheduling/planning
+    * constants per cold chain (measured 4.65 s wall vs 1.03 s stage
+    * time at sf0.1). Returns None when the vocabulary exceeds the
+    * bound. */
+  private def localModel(docs: DataFrame, idCol: String, textCol: String,
+                         maxPieceLen: Int, maxWordLen: Int, rounds: Int,
+                         minCount: Long, vocabSize: Int)
+  : Option[Array[(String, Long, Long)]] =
+    graft.Caches.memo(
+      ("unigramLocalModel", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, maxPieceLen, maxWordLen, rounds, minCount, vocabSize)) {
+      LocalTok.collectedWords(wordCounts(docs, idCol, textCol)).map(wc =>
+        LocalTok.unigramTrainLocal(wc, maxPieceLen, maxWordLen, rounds,
+          minCount, vocabSize))
+    }
+
+  private def unigramTrainDistributed(docs: DataFrame, idCol: String,
+                                      textCol: String, maxPieceLen: Int,
+                                      maxWordLen: Int, rounds: Int,
+                                      minCount: Long, vocabSize: Int)
+  : DataFrame = {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // The engine's HOF-form DP handles ANY word length; the bound
       // only protects comparability with the oracle mirror (which
@@ -289,11 +327,25 @@ object Unigram {
     val segLen = graft.Caches.memo(
       ("unigramSegLen", docs.queryExecution.logical.canonicalized,
         idCol, textCol, maxPieceLen, maxWordLen, rounds, minCount, vocabSize)) {
-      graft.Caches.withModelLoopConf(docs.sparkSession, graft.Par.widthFor(words)) {
-        graft.Caches.materialize(
-          viterbiSegments(words, vocab, maxPieceLen, maxWordLen)
-            .select(col("w"), size(col("pieces")).cast("long").as("n_p"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      localModel(docs, idCol, textCol, maxPieceLen, maxWordLen, rounds,
+        minCount, vocabSize) match {
+        case Some(model) =>
+          // Driver-side walk under the local model (r18 cutover — the
+          // unigramTrain reasoning): the corpus-facing join below is
+          // untouched; only the model-sized per-word table's build moves
+          // off the cluster.
+          val wc = LocalTok.collectedWords(words).get
+          val sess = docs.sparkSession
+          import sess.implicits._
+          LocalTok.unigramSegLensLocal(wc, model, maxPieceLen)
+            .toSeq.toDF("w", "n_p")
+        case None =>
+          graft.Caches.withModelLoopConf(docs.sparkSession, graft.Par.widthFor(words)) {
+            graft.Caches.materialize(
+              viterbiSegments(words, vocab, maxPieceLen, maxWordLen)
+                .select(col("w"), size(col("pieces")).cast("long").as("n_p"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          }
       }
     }
     docs.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("w"))

@@ -85,6 +85,26 @@ object WordPiece {
         maxWordLen, minPairCount, charMinCount)
     }
 
+  /** Driver-side cutover (r18, the unigram/union-find precedent): at or
+    * under [[LocalTok.MaxCollectWordsConf]] distinct words the merge
+    * loop runs on the collected word table — bit-identical (fences,
+    * argmax tie-break in UTF-8 byte order, exact BigInt score, replace
+    * fuse semantics; TokenizerLocalSpec pins path-vs-path equality).
+    * None = vocabulary over the bound → distributed loop unchanged. */
+  private def localLoop(docs: DataFrame, idCol: String, textCol: String,
+                        nMerges: Int, maxPieceLen: Int, maxWordLen: Int,
+                        minPairCount: Long, charMinCount: Long)
+  : Option[(Seq[(Long, String, String, Long, Long)], Seq[String])] =
+    graft.Caches.memo(
+      ("wordpieceLocalLoop", docs.queryExecution.logical.canonicalized,
+        idCol, textCol, nMerges, maxPieceLen, maxWordLen, minPairCount,
+        charMinCount)) {
+      LocalTok.collectedWords(
+        Unigram.wordCounts(docs, idCol, textCol)).map(wc =>
+        LocalTok.wordpieceTrainLocal(wc, nMerges, maxPieceLen, maxWordLen,
+          minPairCount, charMinCount))
+    }
+
   private def trainLoopUncached(docs: DataFrame, idCol: String,
                                 textCol: String, nMerges: Int,
                                 maxPieceLen: Int, maxWordLen: Int,
@@ -94,6 +114,15 @@ object WordPiece {
     require(nMerges >= 1 && maxPieceLen >= 2 && maxWordLen >= 1,
       s"wordpieceTrain: nMerges=$nMerges maxPieceLen=$maxPieceLen " +
         s"maxWordLen=$maxWordLen out of range")
+    localLoop(docs, idCol, textCol, nMerges, maxPieceLen, maxWordLen,
+      minPairCount, charMinCount) match {
+      case Some((mergeRows, vocabPieces)) =>
+        import sess.implicits._
+        return (
+          mergeRows.toDF("merge_rank", "w1", "w2", "pair_count", "score_fp12"),
+          vocabPieces.toDF("piece"))
+      case None => ()
+    }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // fencedWords materializes the corpus-sized wordCounts exchange
     // eagerly HERE (session width + AQE); everything after is
@@ -267,12 +296,26 @@ object WordPiece {
       ("wordpieceWalked", docs.queryExecution.logical.canonicalized,
         idCol, textCol, nMerges, maxPieceLen, maxWordLen, minPairCount,
         charMinCount)) {
-      graft.Caches.withModelLoopConf(docs.sparkSession,
-        graft.Par.widthFor(Unigram.wordCounts(docs, idCol, textCol))) {
-        graft.Caches.materialize(
-          walkedWords(docs, idCol, textCol, nMerges, maxPieceLen,
-            maxWordLen, minPairCount, charMinCount)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      localLoop(docs, idCol, textCol, nMerges, maxPieceLen, maxWordLen,
+        minPairCount, charMinCount) match {
+        case Some((_, vocabPieces)) =>
+          // Driver-side walk (r18 cutover): the corpus-facing join below
+          // is untouched; only the model-sized per-word walk table's
+          // build moves off the cluster.
+          val wc = LocalTok.collectedWords(
+            Unigram.wordCounts(docs, idCol, textCol)).get
+          val sess = docs.sparkSession
+          import sess.implicits._
+          LocalTok.wordpieceWalkLocal(wc, vocabPieces.toSet, maxPieceLen)
+            .toSeq.toDF("w", "n_p", "unk")
+        case None =>
+          graft.Caches.withModelLoopConf(docs.sparkSession,
+            graft.Par.widthFor(Unigram.wordCounts(docs, idCol, textCol))) {
+            graft.Caches.materialize(
+              walkedWords(docs, idCol, textCol, nMerges, maxPieceLen,
+                maxWordLen, minPairCount, charMinCount)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          }
       }
     }
     docs.select(col(idCol).as("id"),
