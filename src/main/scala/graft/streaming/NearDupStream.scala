@@ -132,6 +132,160 @@ object NearDupStream {
       }.sum
   }
 
+  /** Collect cutover for the per-micro-batch admission (r19, the
+    * union-find / `maxCollectWords` precedent applied to the streaming
+    * tier): when the batch's signatures AND the match window both fit
+    * under this bound, the whole admission decision — within-batch
+    * clustering, store matching — runs driver-side ([[admitLocal]]),
+    * collapsing the ~7 Spark jobs of per-plan scheduling constants a
+    * micro-batch paid (sigCount + pair persist/count/collect +
+    * admit-materialize + broadcast builds; measured by JobProf at
+    * sf0.1: 23 jobs / 2.6 s jobSum for a 2-batch drain) to ONE bounded
+    * collect plus the two per-batch-file commit writes. The sig table
+    * is ~(72 B)/row — the 1M default is ~75 MB of driver heap, the
+    * CAPACITY.md envelope. Above the bound (production-sized batches or
+    * windows) the distributed path below runs unchanged — it is the
+    * 100 TB path, and [[admitLocal]] is spec-pinned bit-identical to it
+    * (NearDup64StreamSpec path-vs-path). 0 disables. */
+  val MaxCollectSigsConf = "spark.graft.stream.maxCollectSigs"
+  val MaxCollectSigsDefault: Long = 1000000L
+
+  private def maxCollectSigs(s: SparkSession): Long =
+    s.conf.getOption(MaxCollectSigsConf).map(_.toLong)
+      .getOrElse(MaxCollectSigsDefault)
+
+  /** Driver-side micro-batch admission — the EXACT semantics of
+    * [[admitBatch]]/[[admitBatch64]] on collected rows (width-generic:
+    * the band layout derives from the signature string length, and the
+    * banded-candidates + exact-Hamming-verify structure is the same
+    * pigeonhole argument as the distributed pair generators, so the
+    * decision set is identical regardless of band width):
+    *   1. within-batch signature-CONTRACTED clustering — nodes = the
+    *      distinct signatures, edges = Hamming ≤ maxDist, components by
+    *      union-find; every ≥2-doc component keeps its min doc id
+    *      (identical-signature docs share a node, so exact dups cluster
+    *      with zero edges);
+    *   2. store matching — a surviving doc whose signature is within
+    *      `maxDist` of ANY match-set signature is dropped.
+    * Returns the admitted (id, simhash) rows (input order). */
+  private[streaming] def admitLocal(batch: Seq[(Long, String)],
+                                    matchSet: Iterable[String],
+                                    maxDist: Int): Seq[(Long, String)] = {
+    if (batch.isEmpty) return Seq.empty
+    val sigLen = batch.head._2.length
+    val bounds = Dedup.chunkBounds(sigLen, maxDist + 1)
+    def bands(sig: String): Seq[(Int, String)] =
+      bounds.zipWithIndex.map { case ((st, len), i) =>
+        (i, sig.substring(st - 1, st - 1 + len)) }
+    // conv(substring)-equivalent integer halves: a 64-char signature
+    // splits at 32 (a sign-bit-set 64-bit value does not survive conv's
+    // decimal round-trip — the distributed path's own reasoning); a
+    // 16-char one parses whole.
+    def halves(sig: String): (Long, Long) =
+      if (sig.length <= 32) (0L, java.lang.Long.parseLong(sig, 2))
+      else (java.lang.Long.parseLong(sig.substring(0, 32), 2),
+        java.lang.Long.parseLong(sig.substring(32), 2))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    import scala.collection.mutable
+    val distinctSigs = batch.map(_._2).distinct
+    val sigHalves = distinctSigs.iterator.map(s => s -> halves(s)).toMap
+    val parent = mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) {
+        parent(r) = parent(parent(r)); r = parent(r)
+      }
+      r
+    }
+    val buckets = mutable.HashMap.empty[(Int, String), mutable.ArrayBuffer[String]]
+    distinctSigs.foreach { s =>
+      bands(s).foreach(b =>
+        buckets.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += s)
+    }
+    buckets.values.foreach { bucket =>
+      var i = 0
+      while (i < bucket.length) {
+        var j = i + 1
+        while (j < bucket.length) {
+          if (ham(sigHalves(bucket(i)), sigHalves(bucket(j))) <= maxDist) {
+            val ra = find(bucket(i)); val rb = find(bucket(j))
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val droppedIds = mutable.HashSet.empty[Long]
+    batch.groupBy { case (_, s) => find(s) }.values.foreach { docs =>
+      if (docs.size > 1) {
+        val minId = docs.iterator.map(_._1).min
+        docs.foreach { case (id, _) => if (id != minId) droppedIds += id }
+      }
+    }
+    val survivors = batch.filterNot { case (id, _) => droppedIds(id) }
+    val storeSet = matchSet.toSet
+    if (storeSet.isEmpty) return survivors
+    val storeBuckets = mutable.HashMap.empty[(Int, String), mutable.ArrayBuffer[(Long, Long)]]
+    storeSet.foreach { s =>
+      val h = halves(s)
+      bands(s).foreach(b =>
+        storeBuckets.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += h)
+    }
+    val matchedSigs = survivors.map(_._2).distinct.filter { s =>
+      val h = sigHalves(s)
+      bands(s).exists(b =>
+        storeBuckets.get(b).exists(_.exists(sh => ham(h, sh) <= maxDist)))
+    }.toSet
+    survivors.filterNot { case (_, s) => matchedSigs(s) }
+  }
+
+  /** Bounded head-collect of one micro-batch's signature table: Some
+    * when it fits under the cutover bound (the one Spark job of the
+    * driver-path batch), None → the caller runs the distributed
+    * admission unchanged. */
+  private def collectBatchSigs(sigs: DataFrame, maxSigs: Long,
+                               tag: String): Option[Array[(Long, String)]] = {
+    val lim = math.min(maxSigs, (Int.MaxValue - 2).toLong).toInt
+    val rows = tagged(sigs.sparkSession, tag) { sigs.head(lim + 1) }
+    if (rows.length > lim) None
+    else Some(rows.map(r => (r.getLong(0), r.getString(1))))
+  }
+
+  /** Signature strings of one committed store batch dir, via Spark (one
+    * small scan job — replay/restart only on the cached path below). */
+  private def readSeqSigs(s: SparkSession, dir: java.io.File): Seq[String] =
+    s.read.parquet(dir.getAbsolutePath)
+      .select(col("simhash")).collect().map(_.getString(0)).toSeq
+
+  /** Cache-through read of a retained store batch's signatures. The
+    * cache is PER RUNNER INVOCATION (created at stream start, dead with
+    * it): within one drain the runner itself wrote every retained dir's
+    * rows (cache hit); after a restart the map starts empty and fills
+    * from disk once per retained dir. The batch's OWN dir (replay) is
+    * never cached — it is read fresh by the caller. */
+  private def storeSeqSigs(s: SparkSession, storeDir: String, seq: Long,
+                           cache: scala.collection.mutable.Map[Long, Seq[String]]): Seq[String] =
+    cache.getOrElseUpdate(seq,
+      readSeqSigs(s, new java.io.File(storeDir, s"seq_batch=$seq")))
+
+  /** Local (id, simhash) rows as a DataFrame for the per-batch-file
+    * commit writes — a LocalTableScan, so each commit is one trivial
+    * single-task write job. */
+  private def localAdmittedDF(s: SparkSession, rows: Seq[(Long, String)]): DataFrame = {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("simhash", StringType)))
+    val rs: Seq[Row] = rows.map(r => Row(r._1, r._2))
+    s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+  }
+
+  private def localSigDF(s: SparkSession, sigs: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(StructField("simhash", StringType)))
+    val rs: Seq[Row] = sigs.map(Row(_))
+    s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+  }
+
   /** 64-bit batch core: near-dup admission of one batch against a
     * 64-bit signature MATCH SET (any frame with a `simhash` column —
     * the runner passes the capacity-trimmed window). Within-batch
@@ -139,7 +293,10 @@ object NearDupStream {
     * min doc id; survivors matching any match-set signature within
     * `maxDist` are dropped. `capacity` sizes the store-match band width
     * (see [[graft.dedup.Dedup.simhash64StoreMatches]]). Returns the
-    * admitted (id, simhash) rows. */
+    * admitted (id, simhash) rows. This is the DISTRIBUTED form — the
+    * spec surface and the 100 TB path; the runners route
+    * micro-batch-sized inputs through [[admitLocal]] instead (same
+    * decisions, spec-pinned). */
   def admitBatch64(batch: DataFrame, storeSigs: DataFrame, maxDist: Int,
                    capacity: Long): DataFrame = {
     val s = batch.sparkSession
@@ -288,6 +445,9 @@ object NearDupStream {
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val storeSchema = StructType(Seq(StructField("simhash", StringType),
         StructField("seq_batch", LongType)))
+      // per-invocation store-sig cache for the driver path (see
+      // [[storeSeqSigs]]) — dead with the drain, so no cross-run state
+      val sigCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
       val q = raw.writeStream
         .foreachBatch { (b: Dataset[Row], batchId: Long) =>
           val s = b.sparkSession
@@ -299,53 +459,110 @@ object NearDupStream {
             .map(seq => (seq,
               footerRowCount(new java.io.File(storeDir, s"seq_batch=$seq"))))
           val cutoff = trimCutoff(olderCounts, capacity)
-          val store = readSeqTable(s, storeDir, storeSchema)
-          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          val window = store
-            .filter(col("seq_batch") < batchId && col("seq_batch") >= cutoff)
-            .persist(lvl)
-          // own-seq rows exist only on a REPLAY (crash after the store
-          // commit): matching against them sends every originally
-          // admitted doc to a distance-0 drop, reproducing the original
-          // decision exactly
-          val ownSeq = store.filter(col("seq_batch") === batchId).persist(lvl)
-          val matchSet = window.select(col("simhash"))
-            .unionByName(ownSeq.select(col("simhash")))
-          // admitBatch64 hands back an already-persisted, materialized frame
-          val admitted = admitBatch64(b.toDF(), matchSet, maxDist, capacity)
-          try {
-            // normal path (no own dir yet): commit the admitted rows
-            // directly — no emptiness probe, no dedup, no extra job.
-            // REPLAY path (own dir exists): a replay without its store
-            // commit re-derives the identical admitted rows — union
-            // with the batch's own dir and dedup by id (O(batch)); a
-            // full replay re-admits nothing and skips the commits.
-            val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
-            val ownAdmitted =
-              if (!ownAdmittedDir.isDirectory) Some(admitted)
-              else if (admitted.isEmpty) None
-              else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
-                .unionByName(admitted).dropDuplicates("id"))
-            ownAdmitted.foreach { adm =>
-              tagged(s, "nd64:commit-admitted") {
-                commitSeqDir(adm, admittedDir, batchId)
+          val retained = olderCounts.filter(_._1 >= cutoff)
+          val ownStoreDir = new java.io.File(storeDir, s"seq_batch=$batchId")
+          val ownStoreRows =
+            if (ownStoreDir.isDirectory) footerRowCount(ownStoreDir) else 0L
+          // DRIVER CUTOVER (r19): gate on the footer-counted window size
+          // (zero jobs) first, then on the bounded batch-sig collect —
+          // both under [[MaxCollectSigsConf]] → the whole admission runs
+          // driver-side; either over → the distributed path unchanged.
+          val maxSigs = maxCollectSigs(s)
+          val localBatch: Option[Array[(Long, String)]] =
+            if (maxSigs <= 0 || retained.map(_._2).sum + ownStoreRows > maxSigs) None
+            else collectBatchSigs(Dedup.simhash64(b.toDF(), "doc_id", "text"),
+              maxSigs, "nd64:sigs-collect")
+          localBatch match {
+            case Some(batchSigs) =>
+              val windowSigs = retained.map(_._1)
+                .flatMap(seq => storeSeqSigs(s, storeDir, seq, sigCache))
+              // own-seq rows exist only on a REPLAY (crash after the
+              // store commit): matching against them sends every
+              // originally admitted doc to a distance-0 drop,
+              // reproducing the original decision exactly
+              val ownSigs: Seq[String] =
+                if (ownStoreRows > 0) readSeqSigs(s, ownStoreDir) else Seq.empty
+              val admitted = admitLocal(batchSigs.toSeq, windowSigs ++ ownSigs, maxDist)
+              // normal path (no own dir yet): commit the admitted rows
+              // directly. REPLAY path (own dir exists): a replay without
+              // its store commit re-derives the identical admitted rows
+              // — union with the batch's own dir, id-keyed (O(batch));
+              // a full replay re-admits nothing and skips the commits.
+              val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+              val ownAdmitted: Option[Seq[(Long, String)]] =
+                if (!ownAdmittedDir.isDirectory) Some(admitted)
+                else if (admitted.isEmpty) None
+                else {
+                  val prior = s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                    .select(col("id"), col("simhash")).collect()
+                    .map(r => (r.getLong(0), r.getString(1)))
+                  val seen = scala.collection.mutable.HashSet.empty[Long]
+                  Some((prior ++ admitted).filter(r => seen.add(r._1)))
+                }
+              ownAdmitted.foreach { adm =>
+                tagged(s, "nd64:commit-admitted") {
+                  commitSeqDir(localAdmittedDF(s, adm), admittedDir, batchId)
+                }
+                val storeRows = ownSigs ++ admitted.map(_._2)
+                tagged(s, "nd64:commit-store") {
+                  commitSeqDir(localSigDF(s, storeRows), storeDir, batchId)
+                }
+                sigCache(batchId) = storeRows
               }
-              tagged(s, "nd64:commit-store") {
-                commitSeqDir(
-                  ownSeq.select(col("simhash"))
-                    .unionByName(admitted.select(col("simhash"))),
-                  storeDir, batchId)
+              committedSeqs(storeDir)
+                .filter(seq => seq < cutoff && seq != batchId)
+                .foreach { seq =>
+                  graft.Fs.deleteRecursively(
+                    new java.io.File(storeDir, s"seq_batch=$seq"))
+                  sigCache.remove(seq)
+                }
+            case None =>
+              val store = readSeqTable(s, storeDir, storeSchema)
+              val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+              val window = store
+                .filter(col("seq_batch") < batchId && col("seq_batch") >= cutoff)
+                .persist(lvl)
+              // own-seq rows exist only on a REPLAY (crash after the store
+              // commit): matching against them sends every originally
+              // admitted doc to a distance-0 drop, reproducing the original
+              // decision exactly
+              val ownSeq = store.filter(col("seq_batch") === batchId).persist(lvl)
+              val matchSet = window.select(col("simhash"))
+                .unionByName(ownSeq.select(col("simhash")))
+              // admitBatch64 hands back an already-persisted, materialized frame
+              val admitted = admitBatch64(b.toDF(), matchSet, maxDist, capacity)
+              try {
+                // commit-path case analysis: see the driver branch above
+                val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+                val ownAdmitted =
+                  if (!ownAdmittedDir.isDirectory) Some(admitted)
+                  else if (admitted.isEmpty) None
+                  else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                    .unionByName(admitted).dropDuplicates("id"))
+                ownAdmitted.foreach { adm =>
+                  tagged(s, "nd64:commit-admitted") {
+                    commitSeqDir(adm, admittedDir, batchId)
+                  }
+                  tagged(s, "nd64:commit-store") {
+                    commitSeqDir(
+                      ownSeq.select(col("simhash"))
+                        .unionByName(admitted.select(col("simhash"))),
+                      storeDir, batchId)
+                  }
+                }
+                // eviction = whole-directory deletes, LAGGING one batch as
+                // before: storage keeps window_N ∪ {N}; batches that fell
+                // out of the window leave disk here (idempotent on replay)
+                committedSeqs(storeDir)
+                  .filter(seq => seq < cutoff && seq != batchId)
+                  .foreach { seq =>
+                    graft.Fs.deleteRecursively(
+                      new java.io.File(storeDir, s"seq_batch=$seq"))
+                    sigCache.remove(seq)
+                  }
+              } finally {
+                admitted.unpersist(); window.unpersist(); ownSeq.unpersist()
               }
-            }
-            // eviction = whole-directory deletes, LAGGING one batch as
-            // before: storage keeps window_N ∪ {N}; batches that fell
-            // out of the window leave disk here (idempotent on replay)
-            committedSeqs(storeDir)
-              .filter(seq => seq < cutoff && seq != batchId)
-              .foreach(seq => graft.Fs.deleteRecursively(
-                new java.io.File(storeDir, s"seq_batch=$seq")))
-          } finally {
-            admitted.unpersist(); window.unpersist(); ownSeq.unpersist()
           }
         }
         .option("checkpointLocation", checkpoint)
@@ -566,6 +783,9 @@ object NearDupStream {
         .option("maxFilesPerTrigger", 1).parquet(landingDir)
       val storeSchema = StructType(Seq(StructField("simhash", StringType),
         StructField("seq_batch", LongType)))
+      // per-invocation store-sig cache for the driver path (see
+      // [[storeSeqSigs]]) — dead with the drain, so no cross-run state
+      val sigCache = scala.collection.mutable.Map.empty[Long, Seq[String]]
       val q = raw.writeStream
         .foreachBatch { (b: Dataset[Row], batchId: Long) =>
           val s = b.sparkSession
@@ -573,34 +793,72 @@ object NearDupStream {
           // bounds the store) — including the batch's own seq dir, which
           // exists only on a replay and sends every originally admitted
           // doc to a distance-0 drop
-          val store = readSeqTable(s, storeDir, storeSchema)
-          // admitBatch hands back an already-persisted, materialized frame
-          val admitted = admitBatch(b.toDF(), store, maxDist)
-          try {
-            // normal path commits directly (no emptiness probe); the
-            // replay path unions with the batch's own dir — see the
-            // 64-bit runner's commit block for the case analysis
-            val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
-            val ownAdmitted =
-              if (!ownAdmittedDir.isDirectory) Some(admitted)
-              else if (admitted.isEmpty) None
-              else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
-                .unionByName(admitted).dropDuplicates("id"))
-            ownAdmitted.foreach { adm =>
-              commitSeqDir(adm, admittedDir, batchId)
-              // per-batch admitted signatures are globally distinct BY
-              // ADMISSION (a stored signature re-arriving is a
-              // distance-0 match and never re-admits; within a batch,
-              // colliding signatures cluster to one survivor), so the
-              // union of the seq dirs needs no distinct — a replay's
-              // own-seq rows re-drop the same way
-              commitSeqDir(
-                store.filter(col("seq_batch") === batchId)
-                  .select(col("simhash"))
-                  .unionByName(admitted.select(col("simhash"))),
-                storeDir, batchId)
-            }
-          } finally admitted.unpersist()
+          val seqs = committedSeqs(storeDir)
+          // DRIVER CUTOVER (r19): same gate as the 64-bit runner — the
+          // store is 2^16-space-bounded, so at any knob ≥ 65536 the
+          // window side always fits and only the batch collect decides
+          val maxSigs = maxCollectSigs(s)
+          val storeRowsTotal = seqs.map(seq => footerRowCount(
+            new java.io.File(storeDir, s"seq_batch=$seq"))).sum
+          val localBatch: Option[Array[(Long, String)]] =
+            if (maxSigs <= 0 || storeRowsTotal > maxSigs) None
+            else collectBatchSigs(Dedup.simhash(b.toDF(), "doc_id", "text"),
+              maxSigs, "nd16:sigs-collect")
+          localBatch match {
+            case Some(batchSigs) =>
+              // own-seq rows (replay only) are read fresh, never cached
+              val ownStoreSigs: Seq[String] =
+                if (seqs.contains(batchId))
+                  readSeqSigs(s, new java.io.File(storeDir, s"seq_batch=$batchId"))
+                else Seq.empty
+              val matchSigs = seqs.filter(_ != batchId)
+                .flatMap(seq => storeSeqSigs(s, storeDir, seq, sigCache)) ++ ownStoreSigs
+              val admitted = admitLocal(batchSigs.toSeq, matchSigs, maxDist)
+              val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+              val ownAdmitted: Option[Seq[(Long, String)]] =
+                if (!ownAdmittedDir.isDirectory) Some(admitted)
+                else if (admitted.isEmpty) None
+                else {
+                  val prior = s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                    .select(col("id"), col("simhash")).collect()
+                    .map(r => (r.getLong(0), r.getString(1)))
+                  val seen = scala.collection.mutable.HashSet.empty[Long]
+                  Some((prior ++ admitted).filter(r => seen.add(r._1)))
+                }
+              ownAdmitted.foreach { adm =>
+                commitSeqDir(localAdmittedDF(s, adm), admittedDir, batchId)
+                // per-batch admitted signatures are globally distinct BY
+                // ADMISSION (a stored signature re-arriving is a
+                // distance-0 match and never re-admits; within a batch,
+                // colliding signatures cluster to one survivor), so the
+                // union of the seq dirs needs no distinct — a replay's
+                // own-seq rows re-drop the same way
+                val storeRows = ownStoreSigs ++ admitted.map(_._2)
+                commitSeqDir(localSigDF(s, storeRows), storeDir, batchId)
+                sigCache(batchId) = storeRows
+              }
+            case None =>
+              val store = readSeqTable(s, storeDir, storeSchema)
+              // admitBatch hands back an already-persisted, materialized frame
+              val admitted = admitBatch(b.toDF(), store, maxDist)
+              try {
+                // commit-path case analysis: see the 64-bit runner
+                val ownAdmittedDir = new java.io.File(admittedDir, s"seq_batch=$batchId")
+                val ownAdmitted =
+                  if (!ownAdmittedDir.isDirectory) Some(admitted)
+                  else if (admitted.isEmpty) None
+                  else Some(s.read.parquet(ownAdmittedDir.getAbsolutePath)
+                    .unionByName(admitted).dropDuplicates("id"))
+                ownAdmitted.foreach { adm =>
+                  commitSeqDir(adm, admittedDir, batchId)
+                  commitSeqDir(
+                    store.filter(col("seq_batch") === batchId)
+                      .select(col("simhash"))
+                      .unionByName(admitted.select(col("simhash"))),
+                    storeDir, batchId)
+                }
+              } finally admitted.unpersist()
+          }
         }
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

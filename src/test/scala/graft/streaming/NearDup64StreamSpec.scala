@@ -196,6 +196,73 @@ class NearDup64StreamSpec extends SparkSpec {
     assert(out == Set(5L, 7L)) // 6 clusters with 5 (Hamming 5): min id wins
   }
 
+  test("admitLocal is decision-identical to the distributed admitBatch64 / admitBatch (path-vs-path)") {
+    // corpora crafting every decision branch: exact within-batch dup
+    // (contraction, zero edges), near-dup chain (A~A2), distinct
+    // singletons, store drops at distance 0 and at maxDist, store
+    // non-drops past maxDist, and an empty match set
+    val batch = Seq((9L, A), (2L, A), (5L, A2), (3L, C), (7L, F), (8L, G))
+    val stores = Seq(
+      Seq.empty[String],
+      Seq(sig(C)),            // distance-0 drop of 3
+      Seq(sig(A2)),           // drops the A/A2 cluster's survivor (dist <= 5)
+      Seq(sig(F), sig(G)),    // drops 7 and 8
+      Seq(sig(C), sig(C)))    // duplicate store sigs (distinct() semantics)
+    for (store <- stores; maxDist <- Seq(0, 3, 5)) {
+      val dist = NearDupStream.admitBatch64(
+          batch.toDF("doc_id", "text"), store.toDF("simhash"), maxDist,
+          capacity = 1)
+        .select($"id", $"simhash").as[(Long, String)].collect().toSet
+      val local = NearDupStream.admitLocal(
+        batch.map { case (id, t) => (id, sig(t)) }, store, maxDist).toSet
+      assert(local == dist, s"store=$store maxDist=$maxDist")
+    }
+    // 16-bit width through the same local core vs admitBatch
+    def sig16(t: String): String =
+      Dedup.simhash(Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text")
+        .select($"simhash").as[String].collect().head
+    for (store16 <- Seq(Seq.empty[String], Seq(sig16(C)), Seq(sig16(A)));
+         maxDist <- Seq(0, 2)) {
+      val dist = NearDupStream.admitBatch(
+          batch.toDF("doc_id", "text"), store16.toDF("simhash"), maxDist)
+        .select($"id", $"simhash").as[(Long, String)].collect().toSet
+      val local = NearDupStream.admitLocal(
+        batch.map { case (id, t) => (id, sig16(t)) }, store16, maxDist).toSet
+      assert(local == dist, s"store16=$store16 maxDist=$maxDist")
+    }
+  }
+
+  test("runner over-bound fallback (maxCollectSigs=0) runs the distributed path with identical tables") {
+    def lifecycle(): (Set[(Long, String, Long)], Set[(String, Long)]) = {
+      val root = java.nio.file.Files.createTempDirectory("neardup64-fb")
+      val (landing, admitted, store, ckpt) =
+        (s"$root/landing", s"$root/admitted", s"$root/store", s"$root/ckpt")
+      new java.io.File(landing).mkdirs()
+      def land(rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(landing)
+      land(Seq((1L, A), (2L, A), (3L, C)))
+      NearDupStream.runNearDup64StreamOnce(spark, landing, admitted, store,
+        ckpt, maxDist = 5, capacity = 1)
+      land(Seq((10L, F), (11L, C), (12L, A2)))
+      NearDupStream.runNearDup64StreamOnce(spark, landing, admitted, store,
+        ckpt, maxDist = 5, capacity = 1)
+      (spark.read.parquet(admitted).select($"id", $"simhash", $"seq_batch")
+        .as[(Long, String, Long)].collect().toSet,
+        spark.read.parquet(store).select($"simhash", $"seq_batch")
+          .as[(String, Long)].collect().toSet)
+    }
+    val viaLocal = lifecycle()
+    val prev = spark.conf.getOption(NearDupStream.MaxCollectSigsConf)
+    spark.conf.set(NearDupStream.MaxCollectSigsConf, "0")
+    try {
+      val viaDistributed = lifecycle()
+      assert(viaLocal == viaDistributed)
+    } finally prev match {
+      case Some(v) => spark.conf.set(NearDupStream.MaxCollectSigsConf, v)
+      case None => spark.conf.unset(NearDupStream.MaxCollectSigsConf)
+    }
+  }
+
   test("trimToCapacity keeps the newest batches covering capacity, whole batches only") {
     val older = Seq(("s1", 0L), ("s2", 0L), ("s3", 1L), ("s4", 2L), ("s5", 2L))
       .toDF("simhash", "seq_batch")
