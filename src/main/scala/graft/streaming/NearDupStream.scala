@@ -270,21 +270,62 @@ object NearDupStream {
     cache.getOrElseUpdate(seq,
       readSeqSigs(s, new java.io.File(storeDir, s"seq_batch=$seq")))
 
-  /** Local (id, simhash) rows as a DataFrame for the per-batch-file
-    * commit writes — a LocalTableScan, so each commit is one trivial
-    * single-task write job. */
-  private def localAdmittedDF(s: SparkSession, rows: Seq[(Long, String)]): DataFrame = {
-    val schema = StructType(Seq(StructField("id", LongType),
-      StructField("simhash", StringType)))
-    val rs: Seq[Row] = rows.map(r => Row(r._1, r._2))
-    s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+  /** Driver-side commit writes for the driver path: the rows are
+    * already local, so a Spark write would pay ~180 ms of
+    * job/committer constants per commit to produce a few KB. Write the
+    * staged file with the parquet-hadoop writer instead — zero Spark
+    * jobs, standard parquet (same optional int64/binary-UTF8 physical
+    * types and snappy codec as the engine's own writes), so every
+    * reader (schema-pinned [[readSeqTable]], `spark.read.parquet` in
+    * gates/specs, [[footerRowCount]]) is unchanged, and
+    * distributed-fallback batches and driver batches can share one
+    * table dir. Same staged-dot-dir + atomic-rename contract as
+    * [[commitSeqDir]]. */
+  private val admittedMsgType = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message spark_schema { optional int64 id; optional binary simhash (UTF8); }")
+  private val storeMsgType = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      "message spark_schema { optional binary simhash (UTF8); }")
+
+  private def commitSeqDirLocal(dir: String, seq: Long,
+                                schema: org.apache.parquet.schema.MessageType,
+                                groups: Iterator[org.apache.parquet.example.data.Group]): Unit = {
+    val base = new java.io.File(dir)
+    base.mkdirs()
+    val stage = new java.io.File(base, s".stage_$seq")
+    if (stage.exists()) graft.Fs.deleteRecursively(stage) // crash-leaked stage
+    stage.mkdirs()
+    val out = new java.io.File(stage,
+      s"part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(out.getAbsolutePath), conf))
+      .withType(schema)
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try groups.foreach(writer.write) finally writer.close()
+    val live = new java.io.File(base, s"seq_batch=$seq")
+    if (live.exists()) graft.Fs.deleteRecursively(live)
+    if (!stage.renameTo(live))
+      throw new IllegalStateException(s"swap failed: $stage -> $live")
   }
 
-  private def localSigDF(s: SparkSession, sigs: Seq[String]): DataFrame = {
-    val schema = StructType(Seq(StructField("simhash", StringType)))
-    val rs: Seq[Row] = sigs.map(Row(_))
-    s.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
-  }
+  private def commitAdmittedLocal(dir: String, seq: Long,
+                                  rows: Seq[(Long, String)]): Unit =
+    commitSeqDirLocal(dir, seq, admittedMsgType, rows.iterator.map { case (id, sig) =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(admittedMsgType)
+      g.append("id", id); g.append("simhash", sig); g
+    })
+
+  private def commitStoreLocal(dir: String, seq: Long, sigs: Seq[String]): Unit =
+    commitSeqDirLocal(dir, seq, storeMsgType, sigs.iterator.map { sig =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(storeMsgType)
+      g.append("simhash", sig); g
+    })
 
   /** 64-bit batch core: near-dup admission of one batch against a
     * 64-bit signature MATCH SET (any frame with a `simhash` column —
@@ -500,13 +541,9 @@ object NearDupStream {
                   Some((prior ++ admitted).filter(r => seen.add(r._1)))
                 }
               ownAdmitted.foreach { adm =>
-                tagged(s, "nd64:commit-admitted") {
-                  commitSeqDir(localAdmittedDF(s, adm), admittedDir, batchId)
-                }
+                commitAdmittedLocal(admittedDir, batchId, adm)
                 val storeRows = ownSigs ++ admitted.map(_._2)
-                tagged(s, "nd64:commit-store") {
-                  commitSeqDir(localSigDF(s, storeRows), storeDir, batchId)
-                }
+                commitStoreLocal(storeDir, batchId, storeRows)
                 sigCache(batchId) = storeRows
               }
               committedSeqs(storeDir)
@@ -826,7 +863,7 @@ object NearDupStream {
                   Some((prior ++ admitted).filter(r => seen.add(r._1)))
                 }
               ownAdmitted.foreach { adm =>
-                commitSeqDir(localAdmittedDF(s, adm), admittedDir, batchId)
+                commitAdmittedLocal(admittedDir, batchId, adm)
                 // per-batch admitted signatures are globally distinct BY
                 // ADMISSION (a stored signature re-arriving is a
                 // distance-0 match and never re-admits; within a batch,
@@ -834,7 +871,7 @@ object NearDupStream {
                 // union of the seq dirs needs no distinct — a replay's
                 // own-seq rows re-drop the same way
                 val storeRows = ownStoreSigs ++ admitted.map(_._2)
-                commitSeqDir(localSigDF(s, storeRows), storeDir, batchId)
+                commitStoreLocal(storeDir, batchId, storeRows)
                 sigCache(batchId) = storeRows
               }
             case None =>
