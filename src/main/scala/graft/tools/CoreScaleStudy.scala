@@ -15,14 +15,14 @@ import graft.{Caches, Sessions, SparkEntry}
   *
   * Session confs for path pinning (e.g. the collect-cutover knobs set
   * to 0 so the DISTRIBUTED paths — the ones that matter at 100 TB —
-  * are what scales) come as a ;-separated k=v list.
+  * are what scales) come as a +-separated k=v list (sbt eats ;).
   *
   * Methodology matches ScaleStudy: warm pass per (dir, query) for
   * codegen/classloading, every timed run cold w.r.t. caches
   * (clearCache + Caches.release), median-of-passes.
   *
   * Usage: runMain graft.tools.CoreScaleStudy <dir1,dir2,...> <passes>
-  *          <q1,q2,...> [conf1=v1;conf2=v2]
+  *          <q1,q2,...> [conf1=v1+conf2=v2]
   */
 object CoreScaleStudy {
   def main(args: Array[String]): Unit = {
@@ -30,7 +30,7 @@ object CoreScaleStudy {
     val passes = args(1).toInt
     val names = args(2).split(",").toSeq
     val confs: Map[String, String] = args.lift(3)
-      .map(_.split(";").map { kv =>
+      .map(_.split("[+]").map { kv =>
         val Array(k, v) = kv.split("=", 2); k -> v
       }.toMap).getOrElse(Map.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
